@@ -1,0 +1,157 @@
+"""Text-analysis expressions (SURVEY.md §2.11, O71-O78; contract
+extension "text analysis" per BASELINE.json).
+
+All pure Column expressions — tokenization, n-grams, quality signals,
+fingerprints — so they run JVM-side over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def tokens(text: Column | str) -> Column:
+    """O73 — lowercase word tokens (splits on non-alphanumeric runs,
+    drops empty strings)."""
+    return F.filter(
+        F.split(F.lower(_c(text)), r"[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace-ish token count — the cheap 'how many words' signal."""
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles (for MinHash / Jaccard dedup, O63/O75)."""
+    t = F.lower(_c(text))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+
+
+def word_ngrams(toks: Column | str, n: int = 3) -> Column:
+    """Word n-grams from a token array (O75)."""
+    a = _c(toks)
+    return F.when(
+        F.size(a) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(a, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", a)))
+
+
+def quality_signals(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring signals (contract: training-data pipeline).
+
+    Returns named expressions; callers select the ones they need:
+    length, token count, mean word length, punctuation ratio, digit
+    ratio, uppercase ratio, stopword ratio (small English lexicon).
+    """
+    t = _c(text)
+    n = F.length(t).cast("double")
+    toks = tokens(t)
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    return {
+        "n_chars": F.length(t),
+        "n_tokens": F.size(toks),
+        "mean_token_len": F.when(
+            F.size(toks) > 0,
+            F.aggregate(
+                toks, F.lit(0), lambda acc, w: acc + F.length(w)
+            ).cast("double")
+            / F.size(toks),
+        ),
+        "punct_ratio": F.when(
+            n > 0,
+            (n - F.length(F.regexp_replace(t, r"[^\w\s]", ""))) / n,
+        ),
+        "digit_ratio": F.when(
+            n > 0, (n - F.length(F.regexp_replace(t, r"[0-9]", ""))) / n
+        ),
+        "upper_ratio": F.when(
+            n > 0, (n - F.length(F.regexp_replace(t, r"[A-Z]", ""))) / n
+        ),
+        "stopword_ratio": F.when(
+            F.size(toks) > 0, n_stop.cast("double") / F.size(toks)
+        ),
+    }
+
+
+_STOPWORDS = (
+    "the a an and or but if then of to in on at by for with is are was were "
+    "be been it this that as from not no he she they we you i his her its "
+    "their our your do does did have has had will would can could"
+).split()
+
+#: n-gram language profiles for the heuristic language-ID below.
+#: Tiny hand-rolled lexicons per language the documents table carries
+#: (en/zh/es/de/fr, SURVEY.md §1.2 [T]).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that", "with", "for"),
+    "es": ("el", "la", "los", "las", "de", "que", "es", "una", "para"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "de", "et", "est", "une", "pour", "que"),
+}
+
+
+def language_guess(text: Column | str) -> Column:
+    """Heuristic language-ID (contract op): CJK-codepoint test for zh,
+    else argmax of marker-word hits across the Latin languages.
+    Deliberately simple and deterministic; the engine treats it as a
+    feature column, not ground truth."""
+    t = _c(text)
+    toks = tokens(t)
+    has_cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", "")) > 0
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda w: F.array_contains(marker_arr, w)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(has_cjk, F.lit("zh")).otherwise(best.getField("lang"))
+
+
+def rolling_fingerprint(text: Column | str, modulus: int = 2**31 - 1) -> Column:
+    """O86-adjacent — deterministic document fingerprint: polynomial
+    rolling hash of the lowercased text (base 31, mod 2³¹−1), as a
+    Column expression via aggregate()."""
+    chars = F.filter(F.split(F.lower(_c(text)), ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(31) + F.ascii(ch), F.lit(modulus)),
+    )
+
+
+def simhash64(toks: Column | str) -> Column:
+    """SimHash over token xxhash64s — 64-bit near-dup signature (O63
+    family). Majority vote per bit, expressed with array HOFs."""
+    a = _c(toks)
+    bits = F.sequence(F.lit(0), F.lit(63))
+    hashes = F.transform(a, lambda w: F.xxhash64(w))
+    return F.aggregate(
+        bits,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.size(
+                F.filter(
+                    hashes,
+                    lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            * 2
+            > F.size(hashes),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )

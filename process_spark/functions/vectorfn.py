@@ -1,0 +1,116 @@
+"""Vector expressions over array<float> embeddings (SURVEY.md §2.10,
+O65-O66; contract extension "similarity search").
+
+Two tiers:
+- Column-expression forms (array HOFs: aggregate/zip_with) — exact,
+  codegen'd, oracle-checkable against DuckDB list lambdas.
+- Arrow-vectorized pandas_udf forms (numpy) — the throughput path for
+  brute-force k-NN at scale (SURVEY.md O97).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """O66 — dot product via zip_with + aggregate (exact expression)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """O65 — Euclidean norm."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_c(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-length vector (null-safe on zero vectors)."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(_c(a), lambda x: x / n))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity as a pure expression."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def elementwise_avg(a: Column | str) -> Column:
+    """Per-group centroid helper — used with posexplode path in the
+    operators; this HOF form averages an array *of arrays* collected
+    per group (small-group use only)."""
+    arrs = _c(a)
+    dim = F.size(F.element_at(arrs, 1))
+    return F.transform(
+        F.sequence(F.lit(1), dim),
+        lambda i: F.aggregate(
+            arrs, F.lit(0.0), lambda acc, v: acc + F.element_at(v, i)
+        )
+        / F.size(arrs),
+    )
+
+
+# --- Arrow-vectorized throughput path (SURVEY.md O97) ---------------------
+
+def cosine_to_query_udf():
+    """Vectorized cosine(embedding, query) — numpy over Arrow batches.
+
+    ~10-100× the row-at-a-time UDF; used by the brute-force k-NN
+    operator when the expression form becomes the bottleneck. Factory
+    (not module-level) because pandas_udf needs an active session.
+    """
+
+    @pandas_udf("double")
+    def _cos(emb: pd.Series, query: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        q = np.stack(query.to_numpy())
+        num = (mat * q).sum(axis=1)
+        den = np.linalg.norm(mat, axis=1) * np.linalg.norm(q, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, np.nan)
+        return pd.Series(out)
+
+    return _cos
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic signed-random-projection planes for SimHash-style
+    embedding LSH (O68). Driver-side constant, broadcast by closure."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def srp_signature(a: Column | str, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bit signature as a long (≤63 planes)."""
+    if len(planes) > 63:
+        raise ValueError("srp_signature supports at most 63 planes")
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                _c(a),
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig

@@ -1,0 +1,199 @@
+"""Deduplication family (SURVEY.md O62-O64; contract: "dedup" for
+LLM-data pipelines).
+
+Tiers, cheapest first — at 100 TB you run them in this order:
+1. exact           — hash groupBy on content hash (one shuffle)
+2. keep_latest     — row_number over the business key
+3. minhash_lsh     — shingle → minhash → band-bucket equi-join
+4. simhash         — 64-bit signature, bucket by band
+5. ngram_jaccard   — exact token-set Jaccard within blocks (oracle-able)
+6. embedding near-dup → operators.similarity (cosine threshold)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from process_spark.functions.textfn import simhash64, tokens, word_ngrams
+
+
+def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """O62 — exact dedup. dropDuplicates = hash shuffle on the subset;
+    map-side combine makes this safe at any scale."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def keep_latest(
+    df: DataFrame, key: Sequence[str], order_col: str, desc: bool = True
+) -> DataFrame:
+    """O62 keep-latest variant: one row per key by recency."""
+    ob = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    w = Window.partitionBy(*key).orderBy(ob)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_hash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact near-trivial text dedup: normalize whitespace+case, keep
+    one doc per xxhash64 of the normalized text."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return keep_latest(
+        df.withColumn("__h", F.xxhash64(norm)), ["__h"], df.columns[0], desc=False
+    ).drop("__h")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document, as pure expressions.
+
+    Shingle (word n-grams) → per-permutation min of a seeded xxhash64.
+    xxhash64(shingle, seed_i) is a family of independent hash functions;
+    min over the shingle set approximates Jaccard (MinHash, Broder '97
+    — public algorithm). All array HOFs: no UDF, no shuffle until LSH.
+    """
+    sh = word_ngrams(tokens(F.col(text_col)), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """O63 — candidate near-dup pairs via banded MinHash LSH.
+
+    Split the signature into ``bands`` bands of r = num_hashes/bands
+    rows; docs colliding on any full band are candidates. The band
+    bucket join is an equi-join on (band_idx, band_hash) — shuffle
+    partitioned, no cross join anywhere, which is what makes this the
+    100 TB path. Returns (id_a, id_b, n_shared_bands), id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("minhash", b * r + j + 1).cast("string")
+                                for j in range(r)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash_dedup_candidates(
+    df: DataFrame, id_col: str, text_col: str = "text", band_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature split into 4
+    16-bit bands; Hamming-close docs share ≥1 exact band (pigeonhole).
+    Equi-join on band value — same scale shape as MinHash LSH."""
+    sig = simhash64(tokens(F.col(text_col)))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = df.select(F.col(id_col), sig.alias("__sim")).select(
+        id_col,
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sim"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.__sim").alias("sim_a"),
+        F.col("b.__sim").alias("sim_b"),
+    ).distinct()
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """O63 exact variant — token-set Jaccard for every pair within a
+    block (oracle-checkable in SQL). Blocking keeps the pair count
+    bounded; at scale pass a real blocking key (source, length bucket,
+    LSH band) — never run unblocked.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a.__toks"), F.col("b.__toks")))
+    uni = F.size(F.array_union(F.col("a.__toks"), F.col("b.__toks")))
+    jac = F.when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(0.0)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

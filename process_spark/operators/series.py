@@ -1,0 +1,237 @@
+"""Time-series operators (SURVEY.md §2.4, §2.7: O23-O28, O53-O55).
+
+These re-express the reference's imperative merge/segment/maneuver
+passes (SURVEY.md §3.1, [PK-high]) as window/groupBy plans. Every
+ordered window takes a partition key — an unpartitioned orderBy window
+is a single-task bottleneck at 100 TB (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(partition_by: Sequence[str], order_by: str) -> Window:
+    return Window.partitionBy(*partition_by).orderBy(order_by)
+
+
+def resample_grid(
+    df: DataFrame,
+    ts_col: str,
+    step: str = "1 second",
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """O24 — regular grid: one row per ``step`` over [min(ts), max(ts)]
+    per partition key, left-joined to the observations.
+
+    sequence+explode happens per group after a groupBy — distributed,
+    no driver-side loop. Joining back is a co-partitioned equi-join.
+    """
+    keys = list(partition_by)
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("__min_ts"), F.max(ts_col).alias("__max_ts")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__min_ts", "__max_ts", F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    return grid.join(df, on=[*keys, ts_col], how="left")
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    ts_col: str = "ts",
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """O25 — LOCF: carry the last non-null observation forward."""
+    w = _w(partition_by, ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def linear_interpolate(
+    df: DataFrame,
+    cols: Sequence[str],
+    ts_col: str = "ts",
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """O26 — time-weighted linear interpolation across null gaps
+    (position between GPS fixes). Window-expression only."""
+    fwd = _w(partition_by, ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    bwd = _w(partition_by, ts_col).rowsBetween(0, Window.unboundedFollowing)
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("double")
+    out = df
+    for c in cols:
+        v = F.col(c)
+        prev_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(fwd)
+        prev_t = F.last(F.when(v.isNotNull(), ts_s), ignorenulls=True).over(fwd)
+        next_v = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(bwd)
+        next_t = F.first(F.when(v.isNotNull(), ts_s), ignorenulls=True).over(bwd)
+        frac = F.when(
+            next_t != prev_t, (ts_s - prev_t) / (next_t - prev_t)
+        ).otherwise(F.lit(0.0))
+        interp = prev_v + (next_v - prev_v) * frac
+        out = out.withColumn(
+            c,
+            F.when(v.isNotNull(), v)
+            .when(prev_v.isNull(), next_v)
+            .when(next_v.isNull(), prev_v)
+            .otherwise(interp),
+        )
+    return out
+
+
+def moving_average(
+    df: DataFrame,
+    col: str,
+    alias: str,
+    ts_col: str = "ts",
+    partition_by: Sequence[str] = (),
+    before: int = 2,
+    after: int = 2,
+    time_based_seconds: int | None = None,
+) -> DataFrame:
+    """O27 — centered moving average (row frame) or trailing time-range
+    frame when ``time_based_seconds`` is given."""
+    if time_based_seconds is not None:
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(F.unix_timestamp(F.col(ts_col)))
+            .rangeBetween(-time_based_seconds, 0)
+        )
+    else:
+        w = _w(partition_by, ts_col).rowsBetween(-before, after)
+    return df.withColumn(alias, F.avg(col).over(w))
+
+
+def ewma(
+    df: DataFrame,
+    col: str,
+    alias: str,
+    alpha: float,
+    ts_col: str = "ts",
+    partition_by: Sequence[str] = ("__single",),
+) -> DataFrame:
+    """O28 — exponential smoothing. Not frame-expressible (SURVEY.md
+    §2.4) → applyInPandas per partition key (Arrow-batched, one pass,
+    state bounded by group size; partition by day/session at scale)."""
+    keys = [k for k in partition_by if k in df.columns]
+    added = False
+    if not keys:
+        df = df.withColumn("__g", F.lit(1))
+        keys, added = ["__g"], True
+
+    schema_out = df.schema.add(alias, "double")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        pdf[alias] = pdf[col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    out = df.groupBy(*keys).applyInPandas(fn, schema=schema_out)
+    return out.drop("__g") if added else out
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    partition_by: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """O53 — gap-based sessionization (the reference's race
+    segmentation, SURVEY.md §3.1 step 1): two stacked windows —
+    lag → new-session flag → cumulative sum."""
+    w = _w(partition_by, ts_col)
+    gap_s = F.expr(f"INTERVAL {gap}")
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (prev.isNull() | (F.col(ts_col) > prev + gap_s)).cast("bigint")
+    cum = Window.partitionBy(*partition_by).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(session_col, F.sum(is_new).over(cum))
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    partition_by: Sequence[str] = (),
+    session_col: str = "session_id",
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """O53/D4 — per-session summary (start/end/duration + caller aggs)."""
+    return df.groupBy(*partition_by, session_col).agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_rows"),
+        *aggs,
+    )
+
+
+def detect_maneuvers(
+    df: DataFrame,
+    hdg_col: str = "hdg",
+    ts_col: str = "ts",
+    partition_by: Sequence[str] = (),
+    lookback: int = 5,
+    threshold_deg: float = 60.0,
+) -> DataFrame:
+    """O54 — tack/gybe detection: sustained heading change beyond
+    ``threshold_deg`` within ``lookback`` samples, deduped to one event
+    per flag run (flag-run dedup via the sessionize pattern).
+
+    Emits one row per maneuver with entry ts/hdg and the turn size.
+    """
+    w = _w(partition_by, ts_col)
+    prev_hdg = F.lag(F.col(hdg_col), lookback).over(w)
+    # smallest signed angular difference (SURVEY.md O17)
+    delta = F.pmod(F.col(hdg_col) - prev_hdg + F.lit(540.0), F.lit(360.0)) - F.lit(180.0)
+    flagged = df.withColumn("__delta", delta).withColumn(
+        "__flag", (F.abs(F.col("__delta")) >= threshold_deg).cast("int")
+    )
+    # run-id: new run when flag turns on
+    prev_flag = F.lag("__flag", 1, 0).over(w)
+    run_start = ((F.col("__flag") == 1) & (prev_flag == 0)).cast("bigint")
+    cum = Window.partitionBy(*partition_by).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = flagged.withColumn("__run", F.sum(run_start).over(cum)).filter(
+        F.col("__flag") == 1
+    )
+    return runs.groupBy(*partition_by, "__run").agg(
+        F.min(ts_col).alias("maneuver_ts"),
+        F.first("__delta").alias("turn_deg"),
+        F.count(F.lit(1)).alias("n_samples"),
+    ).withColumnRenamed("__run", "maneuver_id")
+
+
+def pivot_signals(
+    long_df: DataFrame,
+    ts_col: str,
+    signal_col: str,
+    value_col: str,
+    signals: Sequence[str],
+    partition_by: Sequence[str] = (),
+    grain: str = "second",
+) -> DataFrame:
+    """O23 — long→wide: one row per time grain, one column per signal.
+
+    Static column list (no .pivot() schema inference scan): a single
+    hash aggregate with max(when(...)) per signal — one shuffle.
+    """
+    key = F.date_trunc(grain, F.col(ts_col)).alias(ts_col)
+    return long_df.groupBy(*partition_by, key).agg(
+        *[
+            F.max(F.when(F.col(signal_col) == s, F.col(value_col))).alias(s)
+            for s in signals
+        ]
+    )

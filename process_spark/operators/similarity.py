@@ -1,0 +1,212 @@
+"""Similarity search over embeddings (SURVEY.md §2.10, O65-O69;
+contract: "similarity search").
+
+Baseline: brute-force cosine top-k (exact, oracle-checkable at small
+SF). Scale path: IVF — k-means-ish coarse centroids assign each vector
+to a cell; queries probe the nearest cells only, turning the cross
+join into an equi-join on cell id. An SRP-LSH variant is in
+functions.vectorfn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from process_spark.functions.vectorfn import cosine, dot, l2_norm
+
+
+def brute_force_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "q_emb",
+    corpus_vec: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """O67 — exact k-NN: broadcast the (small) query side, score every
+    corpus vector, row_number ≤ k per query.
+
+    The corpus never shuffles for scoring (map-side broadcast join);
+    the only shuffle is the per-query top-k, which is tiny. This is the
+    right physical shape when |queries| ≪ |corpus| — the common case.
+    """
+    score = {
+        "cosine": cosine(F.col(query_vec), F.col(corpus_vec)),
+        "dot": dot(F.col(query_vec), F.col(corpus_vec)),
+    }[metric]
+    scored = corpus.join(F.broadcast(queries)).select(
+        F.col(query_id), F.col(corpus_id), score.alias("score")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """O69 — per-label mean vector via posexplode → avg per dimension →
+    re-assemble ordered array. Two shuffles, both on small keys."""
+    exploded = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg("val").alias("avg_val"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("avg_val")))
+            ).alias("__pairs")
+        )
+        .select(
+            F.col(label_col),
+            F.transform(F.col("__pairs"), lambda p: p.getField("avg_val")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> tuple[DataFrame, DataFrame]:
+    """O68 scale path — IVF index: deterministic seed vectors (every
+    ``hash(id) % (n/n_cells)``-th vector) act as coarse centroids; one
+    Lloyd refinement; each vector assigned to its nearest cell.
+
+    Returns (cells, assignments). ``cells`` is small (n_cells rows) —
+    always broadcastable; ``assignments`` adds a ``cell_id`` to every
+    corpus row, ready to be written bucketed/partitioned by cell.
+    """
+    # Deterministic sample of n_cells seeds (no Math.random — stable runs).
+    w = Window.orderBy(F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod)))
+    seeds = (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cells)
+        .select(
+            (F.col("__rn") - 1).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+    assign = _assign_cells(corpus, seeds, corpus_id, vec_col)
+    # One refinement pass: recompute cell means, reassign.
+    refined = (
+        assign.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("cell_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p")
+        )
+        .select(
+            "cell_id",
+            F.transform("__p", lambda p: p.getField("m").cast("float")).alias(
+                "centroid"
+            ),
+        )
+    )
+    assignments = _assign_cells(corpus, refined, corpus_id, vec_col)
+    return refined, assignments
+
+
+def _assign_cells(
+    corpus: DataFrame, cells: DataFrame, corpus_id: str, vec_col: str
+) -> DataFrame:
+    scored = corpus.join(F.broadcast(cells)).select(
+        corpus_id,
+        vec_col,
+        "cell_id",
+        cosine(F.col(vec_col), F.col("centroid")).alias("__sim"),
+    )
+    w = Window.partitionBy(corpus_id).orderBy(
+        F.col("__sim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(corpus_id, vec_col, "cell_id")
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    cells: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """O68 — probe the ``n_probe`` nearest cells per query, brute-force
+    within them. Probed fraction ≈ n_probe/n_cells of the corpus —
+    that's the speedup; the cell equi-join keeps it shuffle-shaped."""
+    qcells = (
+        queries.join(F.broadcast(cells))
+        .select(
+            query_id,
+            query_vec,
+            "cell_id",
+            cosine(F.col(query_vec), F.col("centroid")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__sim").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        qcells.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id, query_vec, "cell_id")
+    )
+    cand = assignments.join(F.broadcast(probes), on="cell_id").select(
+        query_id,
+        corpus_id,
+        cosine(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_embeddings(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """O64 — semantic dedup: pairs above a cosine threshold, blocked to
+    bound the pair count (block by label/IVF cell at scale)."""
+    sel = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        sel.append(F.col(block_col))
+    base = emb.select(*sel)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,282 @@
+"""Aggregation queries (SURVEY.md §2.6, O38-O47)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from process_spark.queries._util import davg, dsum, o_davg, o_dsum, t
+from process_spark.queries.registry import register
+
+
+@register(
+    "agg_basic_stats",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {o_dsum('value', 'sum_value')},
+           {o_davg('value', 'avg_value')},
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O38: hash aggregate with the full basic stat set."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+            davg("value", "avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY DATE_TRUNC('day', ts)
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O39: exact distinct counts per day (approx variant is rows-only,
+    see agg_approx_distinct). Day key stays a timestamp (date_trunc) on
+    both sides — DATE-typed outputs render differently across engines."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O39 approx: HLL approx_count_distinct — the 100 TB path (no
+    per-key exact distinct shuffle). Engine-specific sketch → no oracle."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {o_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O40: rollup with subtotal + grand-total rows."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "agg_cube_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O40: cube + grouping_id disambiguating the margin rows."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_extendedprice) AS median_price,
+           QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O41: exact median + interpolated percentile (Spark
+    percentile == DuckDB quantile_cont, both exact/interpolated;
+    approx variants stay rows-only per SURVEY.md §7.3)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_extendedprice").alias("median_price"),
+            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "agg_moments_corr",
+    oracle="""
+    SELECT event_type,
+           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+           ROUND(VAR_SAMP(value), 4) AS var_value,
+           ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O42: stddev/variance/correlation. No exact-decimal form exists —
+    rounded identically on both sides (SURVEY.md §5.2)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(
+                F.corr(F.col("value"), F.col("user_id").cast("double")), 6
+            ).alias("corr_value_user"),
+        )
+    )
+
+
+@register(
+    "agg_argmax_first_last",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rmax,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rmin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rmax = 1 THEN event_id END) AS max_value_event,
+           MAX(CASE WHEN rmin = 1 THEN event_id END) AS min_value_event,
+           MAX(value) AS max_value
+    FROM ranked GROUP BY user_id
+    """,
+)
+def agg_argmax_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O43: argmax/argmin via max_by/min_by. Tie-broken on
+    (value, event_id) — bare max_by over a non-unique ordering value is
+    nondeterministic in any engine, so the oracle could never match."""
+    ord_key = F.struct(F.col("value"), F.col("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", ord_key).alias("max_value_event"),
+            F.min_by("event_id", ord_key).alias("min_value_event"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "agg_collect_sorted_list",
+    oracle="""
+    SELECT o_custkey, LIST(o_orderkey ORDER BY o_orderkey) AS order_keys
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O44: array agg, deterministically sorted (collect_list order is
+    nondeterministic → always sort_array before exposing)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           {o_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END", 'purchase_value')}
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O45: count_if / sum(when(...)) conditional aggregation."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                ),
+                "purchase_value",
+            ),
+        )
+    )
+
+
+@register(
+    "agg_histogram_2d",
+    oracle=f"""
+    SELECT CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS value_bin,
+           event_type,
+           COUNT(*) AS n,
+           {o_davg('value', 'avg_in_bin')}
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O46: 2-D histogram binning (the polar-table pattern: bin × bin →
+    aggregate; SURVEY.md O46)."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vbin = (F.floor(F.col("value") / 10) * 10).cast("double")
+    return e.groupBy(vbin.alias("value_bin"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"), davg("value", "avg_in_bin")
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {o_dsum('o_totalprice', 'total_spend')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O47: post-aggregation filter (HAVING)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
