@@ -21,7 +21,9 @@ def _c(x: Column | str) -> Column:
 
 # --- O15: unit conversions ----------------------------------------------
 
-KNOTS_PER_MPS = 1.9438444924406046  # 3600 / 1852
+KNOTS_PER_MPS = 3600.0 / 1852.0  # computed, not a literal: DuckDB's strtod
+# rounds the 17-digit decimal literal to the neighboring ULP, so deriving
+# the constant from exact integers keeps both engines bit-identical.
 METERS_PER_NM = 1852.0
 
 

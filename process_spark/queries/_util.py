@@ -64,3 +64,12 @@ def o_davg(expr: str, alias: str) -> str:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shorthand table loader used throughout the query modules."""
     return load(spark, sf_dir, name)
+
+
+def o_pmod(expr: str, m: str) -> str:
+    """DuckDB twin of Spark's float pmod: ``fmod(x, m)`` plus one
+    conditional ``+ m`` when negative. The naive
+    ``FMOD(FMOD(x,m)+m, m)`` idiom re-rounds through ``x+m`` and drifts
+    a ULP — measured, not hypothetical."""
+    f = f"FMOD({expr}, {m})"
+    return f"(CASE WHEN {f} < 0 THEN {f} + {m} ELSE {f} END)"
