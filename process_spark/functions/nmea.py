@@ -106,13 +106,17 @@ def nmea_timestamp(hhmmss: Column | str, ddmmyy: Column | str) -> Column:
 
 # --- Parse stage: raw text → long format (SURVEY.md D2) -------------------
 
-def parse_long(df_raw: DataFrame, raw_col: str = "raw") -> DataFrame:
+def parse_long(
+    df_raw: DataFrame, raw_col: str = "raw", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Raw lines → ``NMEA_LONG``-shaped DataFrame (ts filled later from
-    RMC via the as-of/LOCF alignment in operators.series)."""
+    RMC via the as-of/LOCF alignment in operators.series). ``keep``
+    passes lineage columns (capture ts, source file) through."""
     r = F.col(raw_col)
     return (
         df_raw.filter(r.startswith("$"))
         .select(
+            *[F.col(c) for c in keep],
             talker_id(r).alias("talker"),
             sentence_id(r).alias("sentence"),
             fields_array(r).alias("fields"),
@@ -120,6 +124,18 @@ def parse_long(df_raw: DataFrame, raw_col: str = "raw") -> DataFrame:
             r.alias("raw"),
         )
         .filter(F.col("sentence").isin(*KNOWN_SENTENCES))
+    )
+
+
+def split_capture_prefix(df_raw: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Logger-prefixed line (``2024-06-01T10:00:00Z $IIVHW,...``) →
+    ``capture_ts`` + bare sentence in ``raw_col``."""
+    r = F.col(raw_col)
+    return df_raw.select(
+        F.to_timestamp(
+            F.substring_index(r, " $", 1), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("capture_ts"),
+        F.concat(F.lit("$"), F.substring_index(r, " $", -1)).alias(raw_col),
     )
 
 

@@ -135,23 +135,18 @@ def rolling_fingerprint(text: Column | str, modulus: int = 2**31 - 1) -> Column:
 
 def simhash64(toks: Column | str) -> Column:
     """SimHash over token xxhash64s — 64-bit near-dup signature (O63
-    family). Majority vote per bit, expressed with array HOFs."""
+    family). Majority vote per bit; unrolled over the 64 bit positions
+    (shift amounts must be static ints), OR-folded into one long."""
     a = _c(toks)
-    bits = F.sequence(F.lit(0), F.lit(63))
     hashes = F.transform(a, lambda w: F.xxhash64(w))
-    return F.aggregate(
-        bits,
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            F.size(
-                F.filter(
-                    hashes,
-                    lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                )
-            )
-            * 2
-            > F.size(hashes),
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    n = F.size(a)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        n_set = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(
+            n_set * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return sig

@@ -130,7 +130,13 @@ def ewma(
         df = df.withColumn("__g", F.lit(1))
         keys, added = ["__g"], True
 
-    schema_out = df.schema.add(alias, "double")
+    # Copy — StructType.add mutates in place, which would corrupt the
+    # input DataFrame's cached schema object.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema_out = StructType(
+        list(df.schema.fields) + [StructField(alias, DoubleType())]
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)

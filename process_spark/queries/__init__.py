@@ -18,5 +18,6 @@ from process_spark.queries import vectors  # noqa: E402,F401
 from process_spark.queries import nmea  # noqa: E402,F401
 from process_spark.queries import timeseries  # noqa: E402,F401
 from process_spark.queries import streaming  # noqa: E402,F401
+from process_spark.queries import io_udf  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "queries", "oracle_sql", "register"]

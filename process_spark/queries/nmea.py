@@ -1,1 +1,243 @@
-"""Queries: nmea (to be filled; see SURVEY.md §2)."""
+"""NMEA-domain queries (SURVEY.md §2.2-§2.3 O9-O11, O21; §3.1 — the
+reference's parse → merge → segment → maneuver → export pipeline).
+
+Oracle strategy (SURVEY.md §5.2): DuckDB can't parse NMEA, but both
+engines can *construct* identical sentences from the grading tables
+with integer-only math, then the engine parses with its real parser
+while the oracle re-derives the fields with SQL string functions. The
+full-pipeline and export queries run on the deterministic generated
+day log (sources/nmea_fixture.py) and take rows-only checks, with
+pytest pinning exact session/maneuver counts (tests/test_nmea.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from process_spark.functions import angles
+from process_spark.functions.nmea import (
+    checksum_valid,
+    dfield,
+    fields_array,
+    nmea_timestamp,
+    parse_long,
+    sentence_id,
+    split_capture_prefix,
+    talker_id,
+)
+from process_spark.operators.series import (
+    detect_maneuvers,
+    forward_fill,
+    pivot_signals,
+    session_stats,
+    sessionize,
+)
+from process_spark.queries._util import t
+from process_spark.queries.registry import register
+from process_spark.sources.io import read_json, write_json_docs
+from process_spark.sources.nmea_fixture import sail_log
+
+#: DuckDB XOR-fold over the chars of a string expression (O10 twin).
+def _o_xor_fold(body: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0, list_transform("
+        f"range(1, length({body}) + 1),"
+        f" i -> ascii(substr({body}, CAST(i AS INT), 1)))), (a, b) -> xor(a, b))"
+    )
+
+
+@register(
+    "nmea_parse_constructed",
+    oracle=f"""
+    WITH built AS (
+      SELECT event_id,
+             CAST(event_id % 360 AS VARCHAR) AS hdg_str,
+             CAST((event_id % 200) // 10 AS VARCHAR) || '.' ||
+               CAST((event_id % 200) % 10 AS VARCHAR) AS spd_str
+      FROM events
+    ),
+    sent AS (
+      SELECT event_id, hdg_str, spd_str,
+             'IIVHW,' || hdg_str || ',T,,M,' || spd_str || ',N,,K' AS body
+      FROM built
+    ),
+    chk AS (
+      SELECT *,
+             CASE WHEN event_id % 10 = 0
+                  THEN xor({_o_xor_fold('body')}, 1)
+                  ELSE {_o_xor_fold('body')} END AS stated
+      FROM sent
+    )
+    SELECT event_id,
+           'II' AS talker, 'VHW' AS sentence,
+           CAST(hdg_str AS DOUBLE) AS hdg,
+           CAST(spd_str AS DOUBLE) AS speed,
+           (event_id % 10 <> 0) AS valid
+    FROM chk
+    """,
+)
+def nmea_parse_constructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9-O11 + O10: build VHW sentences from events rows (integer math
+    → byte-identical on both engines), corrupt every 10th checksum,
+    then parse with the engine's real parser. The oracle *re-derives*
+    what a correct parser must produce."""
+    e = t(spark, sf_dir, "events")
+    hdg_str = (F.col("event_id") % 360).cast("string")
+    spd10 = F.col("event_id") % 200
+    spd_str = F.concat(
+        (spd10 / 10).cast("long").cast("string"),
+        F.lit("."),
+        (spd10 % 10).cast("string"),
+    )
+    body = F.concat(
+        F.lit("IIVHW,"), hdg_str, F.lit(",T,,M,"), spd_str, F.lit(",N,,K")
+    )
+    # Engine-side construction reuses the engine's own checksum fold.
+    from process_spark.functions.nmea import computed_checksum
+
+    chk = computed_checksum(F.concat(F.lit("$"), body))
+    chk = F.when(F.col("event_id") % 10 == 0, chk.bitwiseXOR(F.lit(1))).otherwise(chk)
+    raw = F.concat(
+        F.lit("$"), body, F.lit("*"), F.lpad(F.upper(F.hex(chk)), 2, "0")
+    )
+    built = e.select("event_id", raw.alias("raw"))
+    f = fields_array("raw")
+    return built.select(
+        "event_id",
+        talker_id("raw").alias("talker"),
+        sentence_id("raw").alias("sentence"),
+        dfield(f, 1).alias("hdg"),
+        dfield(f, 5).alias("speed"),
+        checksum_valid("raw").alias("valid"),
+    )
+
+
+@register(
+    "nmea_time_assembly",
+    oracle="""
+    SELECT event_id,
+           strptime(strftime(ts, '%d%m%y') || ' ' || strftime(ts, '%H%M%S'),
+                    '%d%m%y %H%M%S') AS fix_ts
+    FROM events
+    """,
+)
+def nmea_time_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21: hhmmss + ddmmyy → timestamp, driven from events.ts (both
+    engines reassemble the same second-truncated instant)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        nmea_timestamp(
+            F.date_format("ts", "HHmmss"), F.date_format("ts", "ddMMyy")
+        ).alias("fix_ts"),
+    )
+
+
+def _pipeline_wide(spark: SparkSession) -> DataFrame:
+    """Generated log → parsed → 1 Hz wide series with derived wind
+    columns + session ids. Shared by the summary/export queries."""
+    log = split_capture_prefix(sail_log(spark))
+    long = parse_long(log, keep=("capture_ts",))
+    ok = long.filter(F.col("valid"))
+    f = F.col("fields")
+    sig = (
+        ok.filter(F.col("sentence") == "VHW")
+        .select("capture_ts", F.lit("hdg").alias("sig"), dfield(f, 1).alias("val"))
+        .unionAll(
+            ok.filter(F.col("sentence") == "VHW").select(
+                "capture_ts", F.lit("speed").alias("sig"), dfield(f, 5).alias("val")
+            )
+        )
+        .unionAll(
+            ok.filter(F.col("sentence") == "MWV").select(
+                "capture_ts", F.lit("awa").alias("sig"), dfield(f, 1).alias("val")
+            )
+        )
+        .unionAll(
+            ok.filter(F.col("sentence") == "MWV").select(
+                "capture_ts", F.lit("aws").alias("sig"), dfield(f, 3).alias("val")
+            )
+        )
+    )
+    wide = pivot_signals(
+        sig, ts_col="capture_ts", signal_col="sig", value_col="val",
+        signals=["hdg", "speed", "awa", "aws"],
+    ).withColumn("day", F.date_trunc("day", "capture_ts"))
+    filled = forward_fill(
+        wide, cols=["hdg", "speed", "awa", "aws"],
+        ts_col="capture_ts", partition_by=["day"],
+    )
+    tws = angles.true_wind_speed("aws", "awa", "speed")
+    twa = angles.true_wind_angle("aws", "awa", "speed")
+    derived = (
+        filled.withColumn("tws", tws)
+        .withColumn("twa", twa)
+        .withColumn("twd", angles.true_wind_direction("twa", "hdg"))
+        .withColumn("vmg", angles.vmg("speed", "twa"))
+    )
+    return sessionize(
+        derived, ts_col="capture_ts", gap="5 minutes", partition_by=["day"]
+    )
+
+
+@register("nmea_pipeline_sail_summary", oracle=None)
+def nmea_pipeline_sail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §3.1 end-to-end (rows-only; exact counts pinned in
+    tests/test_nmea.py): generated day log → parse (O9-O11) → 1 Hz
+    pivot (O23) → LOCF (O25) → true wind + VMG (O18/O19) → gap
+    sessionization (O53) → maneuver detection (O54) → per-race summary
+    (D4/D6). Two sessions and the scripted tack count come out."""
+    sess = _pipeline_wide(spark)
+    man = detect_maneuvers(
+        sess, hdg_col="hdg", ts_col="capture_ts",
+        partition_by=["day", "session_id"], lookback=15, threshold_deg=45.0,
+    )
+    man_counts = man.groupBy("day", "session_id").agg(
+        F.count(F.lit(1)).alias("n_maneuvers"),
+    )
+    summary = session_stats(
+        sess, ts_col="capture_ts", partition_by=["day"],
+        aggs=(
+            F.round(F.avg("speed"), 3).alias("avg_speed"),
+            F.round(F.avg("vmg"), 3).alias("avg_vmg"),
+            F.round(F.max("tws"), 3).alias("max_tws"),
+        ),
+    ).withColumnRenamed("n_rows", "n_seconds")
+    return summary.join(man_counts, ["day", "session_id"], "left").orderBy(
+        "day", "session_id"
+    )
+
+
+@register("nmea_export_json_docs", oracle=None)
+def nmea_export_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 + O80 + O4 (rows-only): shape one nested JSON doc per race —
+    metadata + first track points — write with the JSON sink, read it
+    back (schema-on-read), and return the round-tripped docs. This is
+    the reference's output stage (SURVEY.md D6)."""
+    sess = _pipeline_wide(spark)
+    docs = (
+        sess.groupBy("day", "session_id")
+        .agg(
+            F.min("capture_ts").alias("start"),
+            F.max("capture_ts").alias("end"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("capture_ts", "hdg", "speed", "vmg")
+                    )
+                ),
+                1,
+                10,
+            ).alias("track_head"),
+        )
+        .select("session_id", "start", "end", "n_points", "track_head")
+    )
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "nmea_json")
+    write_json_docs(docs, out_dir)
+    back = read_json(spark, out_dir)
+    return back.select(F.to_json(F.struct(*back.columns)).alias("doc"))

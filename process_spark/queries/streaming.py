@@ -1,1 +1,225 @@
-"""Queries: streaming (to be filled; see SURVEY.md §2)."""
+"""Structured Streaming queries over the ``events`` stream table
+(SURVEY.md §2.13 O88-O95).
+
+Batch-first grading: each streaming query runs availableNow → memory
+sink and returns the drained result as a batch DataFrame; where the
+semantics are SQL-expressible the oracle is the batch twin (SURVEY.md
+§2.13 "oracle = batch twin"). At production scale the same plans run
+against a live file/Kafka source with watermarks bounding state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from process_spark.queries._util import t
+from process_spark.queries.registry import register
+from process_spark.schemas import TABLES
+
+_MEM_SEQ = 0
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 — replay the events table as a file-source stream (same
+    nanos→µs handling as sources.io.load)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File stream sources take a directory; select the one table file
+    # with a glob (a real deployment streams a directory of files).
+    raw = (
+        spark.readStream.schema(TABLES["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def _drain(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """O8/O95 — run the streaming plan availableNow into a memory sink
+    and return the drained table (unique sink name per call)."""
+    global _MEM_SEQ
+    _MEM_SEQ += 1
+    name = f"__stream_sink_{_MEM_SEQ}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O88: tumbling 1-day windows per event type (oracle = batch
+    twin: day-truncated group-by)."""
+    s = _stream_events(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    out = _drain(agg).select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+    return out
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH contrib AS (
+      SELECT unnest([date_trunc('day', ts),
+                     date_trunc('day', ts) - INTERVAL 1 DAY]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM contrib
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O89: sliding windows (2-day length, 1-day slide) — each event
+    lands in exactly two windows; the oracle materializes that
+    contribution list explicitly."""
+    s = _stream_events(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "2 days", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return _drain(agg).select(
+        F.col("w.start").alias("window_start"), "n", "sum_value"
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts > COALESCE(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts) + INTERVAL 1 HOUR,
+                    ts - INTERVAL 1 SECOND)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 HOUR AS session_end,
+           COUNT(*) AS n_events
+    FROM runs
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O90: gap-based session windows (1-hour gap) per user — the
+    streaming twin of O53 sessionization. session_window's end is
+    last-event + gap; the oracle's gap-islands form mirrors that."""
+    s = _stream_events(spark, sf_dir)
+    agg = s.groupBy(
+        F.session_window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return _drain(agg).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH weights(event_type, weight) AS (VALUES
+      ('click', 1), ('view', 1), ('purchase', 10), ('signup', 5), ('error', -1))
+    SELECT e.event_id, e.event_type, w.weight,
+           e.value * w.weight AS weighted_value
+    FROM events e JOIN weights w USING (event_type)
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O94: stream ⋈ static dim — the dim broadcasts to every
+    micro-batch (stream side never shuffles)."""
+    s = _stream_events(spark, sf_dir)
+    weights = spark.createDataFrame(
+        [("click", 1), ("view", 1), ("purchase", 10), ("signup", 5), ("error", -1)],
+        "event_type string, weight int",
+    )
+    joined = s.join(F.broadcast(weights), "event_type").select(
+        "event_id",
+        "event_type",
+        "weight",
+        (F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
+    return _drain(joined, mode="append")
+
+
+@register("stream_dedup_watermark", oracle=None)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O91/O92: watermarked exactly-once dedup on event_id — state is
+    dropped for ids older than the 1-day watermark (rows-only; the
+    watermark cut depends on micro-batch boundaries)."""
+    s = _stream_events(spark, sf_dir)
+    deduped = s.withWatermark("ts", "1 day").dropDuplicates(["event_id"])
+    return _drain(
+        deduped.select("event_id", "ts", "user_id", "event_type"), mode="append"
+    )
+
+
+@register("stream_stateful_user_stats", oracle=None)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O93: custom stateful per-key logic via applyInPandasWithState —
+    running per-user event count / max value / last event type carried
+    in explicit GroupState (rows-only; emission timing is
+    batch-boundary-dependent)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    s = _stream_events(spark, sf_dir).select("user_id", "ts", "value", "event_type")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, vmax = state.get
+        else:
+            n, vmax = 0, float("-inf")
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(out, mode="update")

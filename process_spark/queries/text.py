@@ -1,1 +1,423 @@
-"""Queries: text (to be filled; see SURVEY.md §2)."""
+"""Text-analysis queries over ``documents`` (SURVEY.md §2.11 O71-O78,
+§2.9 O63; contract extension "text analysis" / "dedup").
+
+Scale shape: every query here is explode/groupBy/equi-join — no cross
+join without a blocking key, no driver-side loops. Tokenization and
+scoring are pure Column expressions (JVM codegen), so the same plan
+that passes the sf0.01 oracle runs unchanged over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from process_spark.functions.textfn import (
+    language_guess,
+    quality_signals,
+    tokens,
+    word_ngrams,
+)
+from process_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_dedup_candidates,
+)
+from process_spark.queries._util import davg, o_davg, t
+from process_spark.queries.registry import register
+
+#: DuckDB twin of functions.textfn.tokens — keep in sync.
+_O_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+
+@register(
+    "text_tokenize_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_O_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CASE WHEN len(toks) > 0 THEN toks[1] END AS first_token
+    FROM tk
+    """,
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O73: tokenization + per-doc token stats."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(F.size(toks) > 0, F.element_at(toks, 1)).alias("first_token"),
+    )
+
+
+@register(
+    "text_term_frequency",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest({_O_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O74: corpus term frequencies — explode + hash agg (map-side
+    combine; the canonical word-count shuffle shape)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("n_occurrences") >= 5)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_O_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tk GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    WHERE tf.tf >= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O74: TF-IDF — tf per (doc, term) joined to corpus doc-frequency.
+    The df table is tiny relative to the exploded tokens, so Spark
+    broadcasts it; rounded because ln() is libm-dependent."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tk.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar, driver-side once — not a per-row collect
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .filter(F.col("tf") >= 3)
+    )
+
+
+@register(
+    "text_ngram_shingles",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_O_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tk
+    )
+    SELECT doc_id, len(shingles) AS n_shingles,
+           len(list_distinct(shingles)) AS n_distinct_shingles
+    FROM sh
+    """,
+)
+def text_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O75: word 3-gram shingles (the MinHash input) — counts only, so
+    the oracle needn't agree on array ordering."""
+    d = t(spark, sf_dir, "documents")
+    sh = word_ngrams(tokens("text"), 3)
+    return d.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )
+
+
+@register(
+    "text_levenshtein",
+    oracle="""
+    SELECT p1.p_partkey AS key_a, p2.p_partkey AS key_b,
+           levenshtein(p1.p_name, p2.p_name) AS edit_dist
+    FROM part p1 JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_partkey < p2.p_partkey
+    WHERE p1.p_partkey % 50 = 0 AND p2.p_partkey % 50 = 0
+    """,
+)
+def text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O77: fuzzy matching — edit distance between part names, blocked
+    by brand + sampled by key so the pair count stays bounded."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, ["brand"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
+        )
+    )
+
+
+_LEXICON: dict[str, int] = {
+    "good": 2, "great": 3, "best": 3, "new": 1, "free": 1,
+    "bad": -2, "worst": -3, "error": -2, "old": -1, "broken": -3,
+}
+
+
+@register(
+    "text_lexicon_score",
+    oracle=f"""
+    WITH lex(tok, weight) AS (VALUES
+      ('good', 2), ('great', 3), ('best', 3), ('new', 1), ('free', 1),
+      ('bad', -2), ('worst', -3), ('error', -2), ('old', -1), ('broken', -3)),
+    tk AS (SELECT doc_id, unnest({_O_TOKS}) AS tok FROM documents)
+    SELECT tk.doc_id,
+           CAST(COALESCE(SUM(lex.weight), 0) AS BIGINT) AS sentiment,
+           CAST(COUNT(lex.tok) AS BIGINT) AS n_hits
+    FROM tk LEFT JOIN lex USING (tok)
+    GROUP BY tk.doc_id
+    """,
+)
+def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O78: lexicon scoring — broadcast-join a tiny weight table to the
+    exploded tokens (the only sane shape at corpus scale)."""
+    d = t(spark, sf_dir, "documents")
+    lex = d.sparkSession.createDataFrame(
+        list(_LEXICON.items()), "tok string, weight int"
+    )
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    return (
+        tk.join(F.broadcast(lex), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("weight"), F.lit(0)).cast("bigint").alias("sentiment"),
+            F.count("weight").cast("bigint").alias("n_hits"),
+        )
+    )
+
+
+@register(
+    "text_lang_source_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           {o_davg('n_chars', 'avg_chars')},
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O76: per-(lang, source) corpus statistics."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_quality_signals",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, text, LENGTH(text) AS nc, {_O_TOKS} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           nc AS n_chars,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+               / len(toks) END AS mean_token_len,
+           CASE WHEN nc > 0 THEN
+             CAST(nc - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / nc END AS punct_ratio,
+           CASE WHEN nc > 0 THEN
+             CAST(nc - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) / nc END AS digit_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','but','if','then','of','to','in','on',
+                'at','by','for','with','is','are','was','were','be','been','it',
+                'this','that','as','from','not','no','he','she','they','we','you',
+                'i','his','her','its','their','our','your','do','does','did',
+                'have','has','had','will','would','can','could'], x)))
+               AS DOUBLE) / len(toks) END AS stopword_ratio
+    FROM tk
+    """,
+)
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract op: document quality scoring (length / punctuation /
+    digit / stopword signals) as pure expressions."""
+    d = t(spark, sf_dir, "documents")
+    q = quality_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_language_guess",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, text, {_O_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             LENGTH(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+               AS has_cjk,
+             list_sort([
+               {{'score': len(list_filter(toks, x -> list_contains(
+                  ['the','and','of','is','that','with','for'], x))),
+                 'lang': 'en'}},
+               {{'score': len(list_filter(toks, x -> list_contains(
+                  ['el','la','los','las','de','que','es','una','para'], x))),
+                 'lang': 'es'}},
+               {{'score': len(list_filter(toks, x -> list_contains(
+                  ['der','die','das','und','ist','nicht','mit','ein'], x))),
+                 'lang': 'de'}},
+               {{'score': len(list_filter(toks, x -> list_contains(
+                  ['le','la','les','de','et','est','une','pour','que'], x))),
+                 'lang': 'fr'}}
+             ], 'DESC')[1].lang AS best_latin
+      FROM tk
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN has_cjk THEN 'zh' ELSE best_latin END AS guessed_lang,
+           (CASE WHEN has_cjk THEN 'zh' ELSE best_latin END) = lang AS hit
+    FROM scored
+    """,
+)
+def text_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract op: heuristic language-ID vs. the labeled lang column.
+    Ties resolve identically on both sides: max/sort on (score, lang)
+    structs is field-lexicographic in Spark and DuckDB."""
+    d = t(spark, sf_dir, "documents")
+    g = language_guess(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        g.alias("guessed_lang"),
+        (g == F.col("lang")).alias("hit"),
+    )
+
+
+@register(
+    "text_fingerprint_rolling",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nt
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, LENGTH(nt) + 1),
+                              i -> CAST(ascii(substr(nt, CAST(i AS INT), 1)) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 2147483647), 0) AS fingerprint
+    FROM norm
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract op: deterministic document fingerprint — polynomial
+    rolling hash over normalized text (integer arithmetic: exact on
+    both engines)."""
+    d = t(spark, sf_dir, "documents")
+    nt = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
+    chars = F.filter(F.split(nt, ""), lambda c: F.length(c) > 0)
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(31) + F.ascii(ch), F.lit(2147483647)),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_exact_content_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_exact_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O62/contract: exact content dedup — group by normalized-text
+    hash, keep the lowest doc_id (one shuffle, any scale)."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "text_jaccard_pairs_blocked",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, source, list_distinct({_O_TOKS}) AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(a.toks || b.toks)) > 0 THEN
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / len(list_distinct(a.toks || b.toks))
+           ELSE 0.0 END AS jaccard
+    FROM tk a JOIN tk b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def text_jaccard_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 exact variant: token-set Jaccard within (lang, source)
+    blocks — the equi-join blocking that replaces a cross join at
+    scale. Sampled by doc_id to bound the pair count for the oracle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    blocked = d.withColumn("__blk", F.concat_ws("|", "lang", "source"))
+    return jaccard_pairs(blocked, "doc_id", "text", block_col="__blk").select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+@register("text_minhash_lsh_pairs", oracle=None)
+def text_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63: banded MinHash LSH candidate pairs (rows-only check —
+    xxhash64-seeded signatures have no DuckDB twin). The band-bucket
+    equi-join is the 100 TB dedup path."""
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=8)
+
+
+@register("text_simhash_candidates", oracle=None)
+def text_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63: SimHash banded candidates + Hamming distance (rows-only —
+    xxhash64-based signature)."""
+    d = t(spark, sf_dir, "documents")
+    return simhash_dedup_candidates(d, "doc_id", "text")

@@ -1,1 +1,253 @@
-"""Queries: vectors (to be filled; see SURVEY.md §2)."""
+"""Vector / similarity-search queries over ``embeddings`` (SURVEY.md
+§2.10 O65-O69; contract extension "similarity search").
+
+Exactness note: the engine computes dot/norm with sequential array
+HOFs (``F.aggregate`` folds left-to-right in float64 over float32
+products). The DuckDB oracles mirror that exact fold with
+``list_reduce`` — identical operand order → identical IEEE results →
+hash-stable scores and therefore hash-stable top-k rankings.
+
+Scale shape: queries broadcast; corpus never shuffles for scoring;
+pair generation always rides a blocking key (label here, IVF cell at
+100 TB). See operators/similarity.py for the IVF path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from process_spark.functions.vectorfn import (
+    cosine,
+    cosine_to_query_udf,
+    l2_norm,
+    l2_normalize,
+    random_hyperplanes,
+    srp_signature,
+)
+from process_spark.operators.similarity import (
+    brute_force_knn,
+    ivf_build,
+    ivf_search,
+    near_dup_embeddings,
+)
+from process_spark.queries._util import t
+from process_spark.queries.registry import register
+
+
+def _o_fold(terms: str) -> str:
+    """DuckDB twin of ``F.aggregate(terms, 0.0D, (a,x) -> a+x)``."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {terms}), (a, x) -> a + x)"
+    )
+
+
+def _o_dot(a: str, b: str) -> str:
+    """Dot product: float32 products folded left-to-right in float64 —
+    the exact op order of functions.vectorfn.dot."""
+    terms = (
+        f"list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)])"
+    )
+    return _o_fold(terms)
+
+
+def _o_norm(a: str) -> str:
+    return f"sqrt({_o_fold(f'list_transform({a}, x -> x * x)')})"
+
+
+def _o_cosine(a: str, b: str) -> str:
+    return f"({_o_dot(a, b)} / ({_o_norm(a)} * {_o_norm(b)}))"
+
+
+@register(
+    "vec_norms",
+    oracle=f"""
+    SELECT vec_id,
+           {_o_norm('embedding')} AS l2,
+           CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+           (CAST(embedding[1] AS DOUBLE) / {_o_norm('embedding')}) AS unit_first
+    FROM embeddings
+    """,
+)
+def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O65: norms & normalization (scalar projections so the oracle
+    compares doubles, not array renderings)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        l2_norm("embedding").alias("l2"),
+        F.array_min("embedding").cast("double").alias("min_elem"),
+        F.array_max("embedding").cast("double").alias("max_elem"),
+        F.element_at(l2_normalize("embedding"), 1).cast("double").alias("unit_first"),
+    )
+
+
+@register(
+    "vec_cosine_pairs",
+    oracle=f"""
+    WITH s AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_o_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+    """,
+)
+def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O66: pairwise cosine within label blocks (equi-join blocking —
+    never an unblocked cross join)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a, b = e.alias("a"), e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+
+
+@register(
+    "vec_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_o_cosine('q.q_emb', 'e.embedding')} AS score
+      FROM q CROSS JOIN embeddings e
+    )
+    SELECT q_id, vec_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def vec_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O67: exact top-5 cosine k-NN — broadcast queries, score the
+    corpus map-side, per-query top-k. Rank ties break on vec_id; scores
+    are bit-identical across engines (see module docstring)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return brute_force_knn(q, e, k=5)
+
+
+@register(
+    "vec_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id,
+             unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY vec_id)),
+                       (a, v) -> a + v) / COUNT(*) AS centroid_val
+    FROM ex
+    GROUP BY label, dim
+    """,
+)
+def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O69: per-label centroid, exploded to (label, dim, value).
+
+    Oracle-exact form: per group, fold values in vec_id order (both
+    engines fold the identical sequence). The production path at scale
+    is operators.similarity.centroids (plain avg — no per-group
+    collect); this query exists to pin the semantics.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select("label", "vec_id", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "x"))).alias("__vs"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.aggregate(
+                    F.transform("__vs", lambda p: p.getField("x")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.col("__n")
+            ).alias("centroid_val"),
+        )
+    )
+
+
+@register(
+    "vec_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_o_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+      AND {_o_cosine('a.embedding', 'b.embedding')} >= 0.2
+    """,
+)
+def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64: semantic near-dup pairs — cosine threshold within label
+    blocks. Thresholding on bit-identical scores keeps the row set
+    hash-stable."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    return near_dup_embeddings(e, threshold=0.2, block_col="label")
+
+
+@register("vec_srp_lsh_buckets", oracle=None)
+def vec_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68: signed-random-projection LSH bucket histogram (rows-only —
+    the plane constants have no SQL twin). Bucketing turns ANN into an
+    equi-join on signature bands at scale."""
+    e = t(spark, sf_dir, "embeddings")
+    planes = random_hyperplanes(dim=64, n_planes=16, seed=42)
+    sig = srp_signature("embedding", planes)
+    return (
+        e.select(sig.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register("vec_ivf_knn", oracle=None)
+def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68: IVF approximate k-NN (rows-only). Build coarse cells, probe
+    the 2 nearest cells per query — the equi-join-on-cell shape that
+    replaces the cross join at 100 TB."""
+    e = t(spark, sf_dir, "embeddings")
+    cells, assignments = ivf_build(e, n_cells=8)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_search(q, cells, assignments, k=5, n_probe=2)
+
+
+@register("vec_knn_arrow", oracle=None)
+def vec_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O97: the Arrow-vectorized scoring path — same top-k as
+    vec_knn_bruteforce but scored by a numpy pandas_udf (rows-only;
+    numpy's pairwise summation is not bit-identical to the HOF fold).
+    This is the throughput path when scoring dominates."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cos_udf = cosine_to_query_udf()
+    scored = e.join(F.broadcast(q)).select(
+        "q_id", "vec_id", cos_udf("embedding", "q_emb").alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
