@@ -17,16 +17,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Headline set: one per operator family — aggregation, fact-dim join,
-#: window, as-of, dedup, text, vectors. Updated as coverage widens.
+#: window, as-of, dedup, text, vectors, timeseries, SQL surface.
 HEADLINE = [
     "q1_pricing_summary",
+    "sql_q5_local_supplier_volume",
     "join_fact_dims_chain",
     "join_left_outer",
     "agg_count_distinct",
     "agg_conditional",
     "join_asof_purchase_before_click",
     "join_interval_events_windows",
+    "win_sessionize",
+    "ts_pivot_wide",
+    "text_term_frequency",
+    "text_minhash_lsh_pairs",
+    "vec_knn_bruteforce",
 ]
+
+#: Tiny SF used once per query to trigger whole-stage-codegen compile +
+#: classloading before the timed run (JIT is not the thing under test).
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
@@ -41,9 +51,14 @@ def main() -> None:
         sys.exit(2)
 
     spark = get_spark("process-spark-bench")
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # query, not first-touch costs.
+    # Warm the JVM and compile each query's codegen once at the tiny SF
+    # so per-query times measure execution, not first-touch JIT/IO.
     spark.range(1).count()
+    for name in names:
+        try:
+            REGISTRY[name].fn(spark, WARMUP_SF_DIR).count()
+        except Exception as exc:  # warmup failures surface in the timed run
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()

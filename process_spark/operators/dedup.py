@@ -61,15 +61,36 @@ def minhash_signatures(
     xxhash64(shingle, seed_i) is a family of independent hash functions;
     min over the shingle set approximates Jaccard (MinHash, Broder '97
     — public algorithm). All array HOFs: no UDF, no shuffle until LSH.
+
+    Physical shape: explode shingles → one hash-aggregate computing all
+    ``num_hashes`` mins at once. Array-HOF per-permutation transforms
+    re-evaluate the tokenize+shingle pipeline per permutation (Catalyst
+    collapses projections back into the consumer — measured 9 s at
+    sf0.1); the explode+agg form is whole-stage-codegen'd, combines
+    map-side, and shuffles only (id, 64×8 bytes) — the same plan shape
+    scales to 100 TB of documents.
     """
-    sh = word_ngrams(tokens(F.col(text_col)), shingle_n)
-    sig = F.array(
+    # Repartition by id BEFORE the tokenize/shingle/hash map work: a
+    # single-file local scan is one partition, which would serialize
+    # the whole CPU-heavy stage on one core. The partition count is
+    # explicit (defaultParallelism) because AQE would coalesce a
+    # few-MB text shuffle back to one partition — right for IO-bound
+    # stages, wrong for this CPU-bound one.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(tokens(F.col(text_col)), shingle_n))
+        ).alias("__sh"),
+    )
+    mins = exploded.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return mins.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -91,7 +112,14 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # Materialize signatures once — a self-join otherwise recomputes
+    # the whole tokenize→shingle→hash pipeline on BOTH sides (no
+    # ReusedExchange across the join; verified in the physical plan).
+    # At warehouse scale this is "write the signature table"; locally
+    # localCheckpoint is the same cut.
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -136,7 +164,13 @@ def simhash_dedup_candidates(
     sig = simhash64(tokens(F.col(text_col)))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    banded = df.select(F.col(id_col), sig.alias("__sim")).select(
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    signed = (
+        df.repartition(n_part, F.col(id_col))  # parallelize the CPU-bound hash stage
+        .select(F.col(id_col), sig.alias("__sim"))
+        .localCheckpoint(eager=False)  # compute once, not per join side
+    )
+    banded = signed.select(
         id_col,
         "__sim",
         F.posexplode(
@@ -177,9 +211,15 @@ def jaccard_pairs(
     bounded; at scale pass a real blocking key (source, length bucket,
     LSH band) — never run unblocked.
     """
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
-        *( [F.col(block_col)] if block_col else [] ),
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(n_part, F.col(id_col))  # parallelize tokenization
+        .select(
+            F.col(id_col),
+            F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+            *([F.col(block_col)] if block_col else []),
+        )
+        .localCheckpoint(eager=False)  # tokenize once, not per join side
     )
     a, b = toks.alias("a"), toks.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -37,6 +37,11 @@ def brute_force_knn(
         "cosine": cosine(F.col(query_vec), F.col(corpus_vec)),
         "dot": dot(F.col(query_vec), F.col(corpus_vec)),
     }[metric]
+    # Fan the corpus out before scoring: a single-file local scan is one
+    # partition, which would serialize |Q|·|C| score evaluations on one
+    # core (explicit count — AQE would coalesce the small shuffle back).
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n_part, F.col(corpus_id))
     scored = corpus.join(F.broadcast(queries)).select(
         F.col(query_id), F.col(corpus_id), score.alias("score")
     )
