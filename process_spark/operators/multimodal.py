@@ -1,0 +1,147 @@
+"""Multimodal columns (SURVEY.md §2.10 O70; contract: "multimodal
+columns" for LLM-data pipelines).
+
+Convention (SURVEY.md §1.2): media travels as an opaque ``binary``
+payload plus a typed metadata struct ``(mime, uri, size)``; decode /
+feature-extraction run as Arrow-batched functions over ``mapInPandas``
+so a 100 TB media corpus streams through Python in columnar batches
+(never row-at-a-time).
+
+The container has no image/audio codecs, so the decode kernels are
+STUBS by design: real decoding raises ``NotImplementedError`` unless
+the optional library import succeeds, and the deterministic fake path
+(header-derived pseudo-dimensions) keeps the Spark-side plumbing —
+schema, batching, partitioning — real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # optional codec backend — absent in this container
+    import PIL.Image  # type: ignore[import-not-found]  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+
+def attach_blob(
+    df: DataFrame,
+    payload: Column,
+    mime: Column,
+    uri: Column,
+    blob_col: str = "blob",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Attach the payload + metadata pair in the engine convention.
+    ``size`` is derived from the payload so it can never drift."""
+    return df.withColumn(blob_col, payload).withColumn(
+        meta_col,
+        F.struct(
+            mime.alias("mime"),
+            uri.alias("uri"),
+            F.length(F.col(blob_col)).alias("size"),
+        ),
+    )
+
+
+def _stub_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: pseudo width/height/channels from the
+    payload digest (stands in for reading the real image header)."""
+    h = hashlib.md5(payload).digest()
+    return 64 + h[0] * 4, 64 + h[1] * 4, 1 + h[2] % 4
+
+
+def decode_image_meta(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode image header metadata (width/height/channels) for every
+    blob — Arrow-batched ``mapInPandas``; one Python crossing per
+    partition batch, not per row."""
+
+    schema = f"{id_col} bigint, width int, height int, channels int"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAVE_PIL:  # pragma: no cover — codec not in container
+                raise NotImplementedError(
+                    "real codec path: PIL.Image.open over io.BytesIO per blob"
+                )
+            dims = [_stub_dims(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, blob_col)
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(decode, schema=schema)
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-extract each blob into a dense float vector (stub:
+    digest-derived; real model inference would batch onto an accelerator
+    behind the same mapInPandas signature)."""
+
+    schema = f"{id_col} bigint, feature array<float>"
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[blob_col]:
+                h = hashlib.sha256(bytes(b)).digest()
+                feats.append([h[i] / 255.0 for i in range(dim)])
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "feature": feats}
+            )
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, blob_col)
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(featurize, schema=schema)
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    duration_col: str,
+    every_s: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling for video rows — pure expression (the frame
+    *extraction* would be a decode kernel; the sampling plan is just
+    sequence+explode, fully JVM-side)."""
+    return df.select(
+        id_col,
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.col(duration_col) / every_s).cast("int") - 1, F.lit(0)
+                ),
+            )
+        ).alias("frame_idx", "frame_bucket"),
+    ).select(
+        id_col,
+        "frame_idx",
+        (F.col("frame_bucket") * every_s).alias("frame_ts_s"),
+    )

@@ -215,7 +215,11 @@ def detect_maneuvers(
     )
     return runs.groupBy(*partition_by, "__run").agg(
         F.min(ts_col).alias("maneuver_ts"),
-        F.first("__delta").alias("turn_deg"),
+        # Peak signed turn in the run — deterministic argmax on
+        # (|delta|, ts), unlike first() which is partition-order luck.
+        F.max_by(
+            "__delta", F.struct(F.abs(F.col("__delta")), F.col(ts_col))
+        ).alias("turn_deg"),
         F.count(F.lit(1)).alias("n_samples"),
     ).withColumnRenamed("__run", "maneuver_id")
 

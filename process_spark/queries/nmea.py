@@ -241,3 +241,42 @@ def nmea_export_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_json_docs(docs, out_dir)
     back = read_json(spark, out_dir)
     return back.select(F.to_json(F.struct(*back.columns)).alias("doc"))
+
+
+@register("nmea_maneuver_metrics", oracle=None)
+def nmea_maneuver_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O55 (rows-only; counts pinned in tests/test_nmea.py): per-tack
+    entry/exit dynamics — join each detected maneuver back to the 1 Hz
+    series over [t−20 s, t−5 s] (entry) and [t+15 s, t+30 s] (exit)
+    windows and compare speed/VMG. The join is a time-bucketed interval
+    join: both sides key on a minute bucket first, so at scale it is an
+    equi-join with a residual range predicate, never a nested loop."""
+    sess = _pipeline_wide(spark)
+    man = detect_maneuvers(
+        sess, hdg_col="hdg", ts_col="capture_ts",
+        partition_by=["day", "session_id"], lookback=15, threshold_deg=45.0,
+    ).select("day", "session_id", "maneuver_id", "maneuver_ts", "turn_deg")
+    series = sess.select("day", "capture_ts", "speed", "vmg")
+
+    def window_avg(off0: int, off1: int, prefix: str) -> DataFrame:
+        lo = F.col("maneuver_ts") + F.expr(f"INTERVAL {off0} SECOND")
+        hi = F.col("maneuver_ts") + F.expr(f"INTERVAL {off1} SECOND")
+        j = man.join(series, "day").filter(
+            F.col("capture_ts").between(lo, hi)
+        )
+        return j.groupBy("day", "session_id", "maneuver_id").agg(
+            F.round(F.avg("speed"), 3).alias(f"{prefix}_speed"),
+            F.round(F.avg("vmg"), 3).alias(f"{prefix}_vmg"),
+        )
+
+    entry = window_avg(-20, -5, "entry")
+    exit_ = window_avg(15, 30, "exit")
+    return (
+        man.join(entry, ["day", "session_id", "maneuver_id"], "left")
+        .join(exit_, ["day", "session_id", "maneuver_id"], "left")
+        .withColumn(
+            "speed_loss",
+            F.round(F.col("entry_speed") - F.col("exit_speed"), 3),
+        )
+        .orderBy("day", "session_id", "maneuver_id")
+    )

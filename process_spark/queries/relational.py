@@ -334,3 +334,24 @@ def join_asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
         value_cols=["last_purchase_ts"],
         direction="backward",
     ).select("event_id", "user_id", "ts", "last_purchase_ts")
+
+
+@register(
+    "sort_within_partitions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    """,
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O58: write-time clustering — repartition by order key, sort each
+    partition by (orderkey, linenumber). The row SET is unchanged (the
+    oracle checks exactly that); the value is the layout: range-free
+    clustering feeds min/max-indexed parquet at 100 TB without a global
+    sort's single range-partitioner."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    return li.repartition(F.col("l_orderkey")).sortWithinPartitions(
+        "l_orderkey", "l_linenumber"
+    )

@@ -460,3 +460,23 @@ def unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.radians("value").alias("val_rad"),
         F.degrees(F.col("value") / 10).alias("val_deg"),
     )
+
+
+@register(
+    "mag_true_heading",
+    oracle=f"""
+    SELECT event_id,
+           {o_pmod('value + 16.0', '360.0')} AS hdg_true,
+           {o_pmod('value - 16.0', '360.0')} AS hdg_mag
+    FROM events
+    """,
+)
+def mag_true_heading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16: magnetic↔true heading via variation, wrapped to [0, 360)
+    (events.value as the pseudo-heading, +16°E variation)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        angles.mag_to_true(F.col("value"), F.lit(16.0)).alias("hdg_true"),
+        angles.norm_360(F.col("value") - F.lit(16.0)).alias("hdg_mag"),
+    )

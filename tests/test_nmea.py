@@ -82,3 +82,15 @@ def test_export_docs_roundtrip(spark):
     docs = REGISTRY["nmea_export_json_docs"].fn(spark, SF).collect()
     assert len(docs) == 2
     assert all("track_head" in d.doc for d in docs)
+
+
+def test_maneuver_metrics(spark):
+    from process_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["nmea_maneuver_metrics"].fn(spark, SF).collect()
+    assert len(rows) == 9  # 11 scripted transitions minus 2 in the gap
+    # peak turn is the full scripted ±90°, entry speed the 6.0-6.9 band
+    for r in rows:
+        assert abs(abs(r.turn_deg) - 90.0) <= 1e-9
+        assert 5.9 <= r.entry_speed <= 7.0
+        assert 5.9 <= r.exit_speed <= 7.0
