@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: window, as-of, dedup, text, vectors, timeseries, SQL surface.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "sql_q5_local_supplier_volume",
     "join_fact_dims_chain",
     "join_left_outer",

@@ -20,5 +20,6 @@ from process_spark.queries import timeseries  # noqa: E402,F401
 from process_spark.queries import streaming  # noqa: E402,F401
 from process_spark.queries import io_udf  # noqa: E402,F401
 from process_spark.queries import multimodal  # noqa: E402,F401
+from process_spark.queries import tpch  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "queries", "oracle_sql", "register"]
