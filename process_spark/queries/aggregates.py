@@ -280,3 +280,45 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 15)
     )
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe hot-key rollup (SURVEY.md §4.2): event_type has only 5
+    values, so a plain groupBy funnels 1/5 of 100 TB through single
+    reducers; the salted two-phase spreads phase 1 over 16 reducers per
+    key. Decimal sums make the two-phase result bit-equal to the plain
+    one — which is exactly what the oracle checks."""
+    from process_spark.operators.skew import salted_sum
+
+    e = t(spark, sf_dir, "events")
+    sums = salted_sum(
+        e,
+        keys=["event_type"],
+        value=F.col("value").cast("decimal(18,6)"),
+        alias="__dec_total",
+        salt=F.xxhash64("event_id"),
+        n_salts=16,
+    )
+    counts = salted_sum(
+        e,
+        keys=["event_type"],
+        value=F.lit(1).cast("long"),
+        alias="n",
+        salt=F.xxhash64("event_id"),
+        n_salts=16,
+    )
+    return sums.join(counts, "event_type").select(
+        "event_type",
+        F.col("__dec_total").cast("double").alias("total_value"),
+        "n",
+    )

@@ -223,3 +223,46 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _drain(out, mode="update")
+
+
+@register("stream_foreach_batch_export", oracle=None)
+def stream_foreach_batch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O95: foreachBatch sink — per-micro-batch custom export (the
+    reference's JSON-doc output as a stream, SURVEY.md O95). Each batch
+    aggregates per event_type and appends parquet partitioned by batch
+    id; the query returns the read-back union (rows-only: batch
+    boundaries are source-dependent)."""
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", "stream_batches")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    s = _stream_events(spark, sf_dir)
+    agg_src = s.select("event_type", "value")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg_src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "batch_id", "event_type", "n", "sum_value"
+    )

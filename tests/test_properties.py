@@ -1,0 +1,97 @@
+"""Hypothesis property tests for the pure expression library
+(SURVEY.md §5.2): engine Column expressions vs. independent Python
+reference implementations. Batched — one Spark job per property, many
+generated cases per job."""
+
+from __future__ import annotations
+
+import functools
+import math
+import operator
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+def _col_eval(spark, values, schema, expr_fn):
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    return [r.out for r in df.select(expr_fn(F.col("x")).alias("out")).collect()]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ).map(lambda body: f"${body.replace('*', 'x').replace('$', 'y')}*00"),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_checksum_matches_python(spark, sentences):
+    from process_spark.functions.nmea import computed_checksum
+
+    got = _col_eval(spark, sentences, "x string", computed_checksum)
+    for s, g in zip(sentences, got):
+        body = s[1:s.index("*")]
+        expect = functools.reduce(operator.xor, (ord(c) for c in body), 0)
+        assert g == expect, s
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_norm360_and_angle_diff(spark, degs):
+    from process_spark.functions.angles import angle_diff, norm_360
+
+    got = _col_eval(spark, degs, "x double", norm_360)
+    for d, g in zip(degs, got):
+        assert 0.0 <= g < 360.0 or math.isclose(g, 0.0)
+        assert math.isclose(math.cos(math.radians(g)),
+                            math.cos(math.radians(d)), abs_tol=1e-6)
+        assert math.isclose(math.sin(math.radians(g)),
+                            math.sin(math.radians(d)), abs_tol=1e-6)
+
+    diffs = _col_eval(
+        spark, degs, "x double", lambda c: angle_diff(c, F.lit(0.0))
+    )
+    for d, g in zip(degs, diffs):
+        assert -180.0 <= g < 180.0
+        # smallest signed difference to 0 preserves direction cosine
+        assert math.isclose(math.cos(math.radians(g)),
+                            math.cos(math.radians(d)), abs_tol=1e-6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=89),   # degrees
+            st.floats(min_value=0, max_value=59.9999, allow_nan=False),  # minutes
+            st.booleans(),                             # southern hemisphere?
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_nmea_coord_conversion(spark, coords):
+    from process_spark.functions.geo import nmea_coord_to_deg
+
+    rows = [(d * 100 + m, "S" if south else "N") for d, m, south in coords]
+    df = spark.createDataFrame(rows, "x double, hemi string")
+    got = [
+        r.out
+        for r in df.select(
+            nmea_coord_to_deg(F.col("x"), F.col("hemi")).alias("out")
+        ).collect()
+    ]
+    for (d, m, south), g in zip(coords, got):
+        expect = (d + m / 60.0) * (-1 if south else 1)
+        assert math.isclose(g, expect, rel_tol=1e-12, abs_tol=1e-12)
