@@ -71,6 +71,48 @@ def interval_join(
     return p.join(iv, cond, how).drop("__bucket")
 
 
+def bucketed_join(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 8,
+    tag: str = "t",
+    how: str = "inner",
+    base_dir: str = "/tmp/process_spark_bucketed",
+) -> DataFrame:
+    """O29 at scale — shuffle-free equi-join via bucketed tables.
+
+    Both sides are materialized once as Parquet tables bucketed (and
+    sorted) by their join key with the same bucket count, then joined
+    through the catalog: Spark's sort-merge join reads matching buckets
+    pairwise with no Exchange on either side. On a real cluster this is
+    the standard trick for fact⋈fact joins repeated across jobs — pay
+    one write-side shuffle at ingest, then every subsequent join is
+    co-located. ``tag`` namespaces the materialization (callers derive
+    it from the input path so different SFs don't collide).
+    """
+    lname = f"bkt_{tag}_l"
+    rname = f"bkt_{tag}_r"
+    for name, df, key in ((lname, left, left_key), (rname, right, right_key)):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", f"{base_dir}/{name}")
+            .saveAsTable(name)
+        )
+    # The merge hint keeps the planner on sort-merge join even when one
+    # side is small enough to broadcast (as in local tests) — the point
+    # of the bucketed materialization is the exchange-free SMJ the plan
+    # would use at fact⋈fact scale.
+    lt = spark.table(lname).hint("merge")
+    rt = spark.table(rname)
+    return lt.join(rt, lt[left_key] == rt[right_key], how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

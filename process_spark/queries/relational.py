@@ -210,6 +210,77 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < -900
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31: right outer — all deeply-negative-balance customers kept
+    even with no orders (null order columns). Catalyst plans it as the
+    mirrored left join with the filtered side broadcast."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT l.l_orderkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           MAX(o.o_orderpriority) AS priority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 at scale: fact⋈fact equi-join through *bucketed* tables —
+    both sides written bucketed by the join key so the sort-merge join
+    reads co-located buckets with NO shuffle exchange (the decisive
+    optimization for repeated 100 TB fact-fact joins; explain() shows
+    no Exchange above either scan). The bucketed copies are
+    materialized once per (sf_dir, session) into the local warehouse.
+    Results are identical to the plain join, so the oracle checks the
+    logical semantics while the physical plan is the point."""
+    import hashlib
+
+    from process_spark.operators.relational import bucketed_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = bucketed_join(
+        spark,
+        li,
+        o,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        n_buckets=8,
+        tag=f"q_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    return (
+        j.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.max("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer

@@ -311,6 +311,21 @@ def ids_and_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sample_stratified_by")  # rows-only: PRNG is engine-specific
+def sample_stratified_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O87 stratified: per-stratum Bernoulli sampling via sampleBy —
+    the 100 TB downsampling path (per-language quotas for a training
+    mix). Seeded for run-to-run determinism within Spark; PRNG differs
+    across engines → rows-only check."""
+    d = t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+    return (
+        d.sampleBy("lang", fractions=fractions, seed=7)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
 # --- NMEA math over relational columns (O14-O20 oracle strategy) ----------
 
 @register(

@@ -70,6 +70,22 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O60: bag intersection — keeps min(multiplicity) copies per key,
+    so nations keep as many rows as they have matching suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
     "setop_except_all",
     oracle="""
     SELECT o_custkey AS custkey FROM orders
