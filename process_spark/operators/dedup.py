@@ -237,3 +237,68 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    The cluster-formation step of a near-dup pipeline: candidate pairs
+    (MinHash/Jaccard edges) → one component id per document, so a
+    keeper can be chosen per component. Each vertex starts labeled with
+    its own id; every iteration each vertex takes the min of its label
+    and its neighbors' labels, until a fixpoint (≤ graph diameter
+    iterations — near-dup graphs are dense and shallow, typically 2-4).
+
+    Scale shape: one shuffle per iteration (edge⋈label hash join +
+    groupBy min), label state is (vertex, long) only, and lineage is
+    cut per iteration with localCheckpoint so plans don't grow. The
+    driver only sees one count per iteration (convergence check) —
+    never the data. For graphs with huge diameter (not dedup graphs),
+    switch to alternating small-star/large-star; for dedup workloads
+    plain propagation converges faster in wall-clock.
+
+    Returns (``id_col``, component) — component = min vertex id in the
+    component; singleton vertices (if ``vertices`` given) map to
+    themselves.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    sym = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+    sym = sym.localCheckpoint(eager=False)
+
+    if vertices is None:
+        verts = sym.select(F.col("__s").alias("id")).distinct()
+    else:
+        verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    labels = verts.withColumn("label", F.col("id"))
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["__d"] == labels["id"])
+            .groupBy("__s")
+            .agg(F.min("label").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["__s"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__nbr_min"), F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("__nbr_min"), F.col("label")) < F.col("label")
+                ).alias("__changed"),
+            )
+            .localCheckpoint()  # cut lineage; also materializes for the count
+        )
+        n_changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

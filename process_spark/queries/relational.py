@@ -281,6 +281,47 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+    WITH user_totals AS (
+      SELECT user_id, COUNT(*) AS n_user,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS user_value
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, u.n_user, u.user_value
+    FROM events e JOIN user_totals u ON e.user_id = u.user_id
+    WHERE e.event_type = 'click'
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join (SURVEY.md §4.2 "salting for
+    skew"): enrich each click with its user's totals through a salted
+    join — the big side salted on a unique column, the per-user dim
+    replicated across 8 salt values, so one hot user's events spread
+    over 8 reducers instead of one. Results are identical to the plain
+    join, which is what the oracle checks."""
+    from process_spark.operators.skew import salted_join
+
+    e = t(spark, sf_dir, "events")
+    user_totals = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("user_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id"
+    )
+    return salted_join(
+        clicks,
+        user_totals,
+        key="user_id",
+        salt=F.xxhash64("event_id"),
+        n_salts=8,
+    ).select("event_id", "user_id", "n_user", "user_value")
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer

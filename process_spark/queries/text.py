@@ -421,3 +421,55 @@ def text_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-based signature)."""
     d = t(spark, sf_dir, "documents")
     return simhash_dedup_candidates(d, "doc_id", "text")
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id, lang, source, list_distinct({_O_TOKS}) AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tk a JOIN tk b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CASE WHEN len(list_distinct(a.toks || b.toks)) > 0 THEN
+              CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(a.toks || b.toks))
+            ELSE 0.0 END >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM tk
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 cluster formation: near-dup pairs → connected components via
+    distributed min-label propagation (operators.dedup). Each sampled
+    doc gets the min doc_id of its similarity cluster — the id a
+    keeper-selection pass would group on. The oracle computes the same
+    components with a recursive CTE (min label reachable along
+    edges)."""
+    from process_spark.operators.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    blocked = d.withColumn("__blk", F.concat_ws("|", "lang", "source"))
+    edges = jaccard_pairs(
+        blocked, "doc_id", "text", block_col="__blk", min_jaccard=0.2
+    )
+    return connected_components(
+        edges,
+        src="id_a",
+        dst="id_b",
+        vertices=d,
+        id_col="doc_id",
+    ).select(F.col("id").alias("doc_id"), "component")
