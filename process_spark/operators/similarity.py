@@ -215,3 +215,54 @@ def near_dup_embeddings(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an embedding column, fully distributed.
+
+    Deterministic init (same seeding as :func:`ivf_build` — every
+    ``hash(id) % seed_mod``-th vector, no RNG so replays are
+    bit-stable), then ``n_iter`` rounds of assign → recompute means.
+    Each round is one broadcast join (centroids are k rows — always
+    broadcastable) plus one hash aggregate over (cluster, dim); no
+    driver-side data movement, so the same plan runs at any corpus
+    scale. Iterations are unrolled into the lineage with a
+    localCheckpoint per round to keep plans bounded.
+
+    Returns (centroids, assignments): centroids(cell_id, centroid),
+    assignments(corpus_id, vec_col, cell_id).
+    """
+    w = Window.orderBy(F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod)))
+    cents = (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            (F.col("__rn") - 1).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+    assign = None
+    for _ in range(n_iter):
+        assign = _assign_cells(corpus, cents, corpus_id, vec_col)
+        cents = (
+            assign.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p"))
+            .select(
+                "cell_id",
+                F.transform("__p", lambda p: p.getField("m").cast("float")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    assignments = _assign_cells(corpus, cents, corpus_id, vec_col)
+    return cents, assignments

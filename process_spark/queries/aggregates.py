@@ -348,3 +348,35 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__dec_total").cast("double").alias("total_value"),
         "n",
     )
+
+
+@register(
+    "profile_column_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) - COUNT(o_orderpriority) AS null_priorities,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date,
+           {o_davg('o_totalprice', 'avg_price')},
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling in one scan — the dataset-card pass a training
+    pipeline runs before ingesting a new source: row counts, key
+    cardinality, null counts, value ranges, exact-decimal averages.
+    One job, one aggregate, no shuffle beyond the final combine."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("null_priorities"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        davg("o_totalprice", "avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

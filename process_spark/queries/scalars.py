@@ -495,3 +495,56 @@ def mag_true_heading(spark: SparkSession, sf_dir: str) -> DataFrame:
         angles.mag_to_true(F.col("value"), F.lit(16.0)).alias("hdg_true"),
         angles.norm_360(F.col("value") - F.lit(16.0)).alias("hdg_mag"),
     )
+
+
+@register(
+    "nmea_polar_table",
+    oracle=f"""
+    WITH obs AS (
+      SELECT value AS bs,
+             FMOD({o_pmod('value * 13', '360')}, 180) AS awa,
+             value * CAST(1.5 AS DOUBLE) + CAST(4 AS DOUBLE) AS aws
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ), tw AS (
+      SELECT bs,
+             ROUND(SQRT(aws*aws + bs*bs - 2*aws*bs*COS(RADIANS(awa))), 6) AS tws,
+             ROUND(ABS(DEGREES(ATAN2(aws * SIN(RADIANS(awa)),
+                                     aws * COS(RADIANS(awa)) - bs))), 6) AS twa
+      FROM obs
+    )
+    SELECT CAST(FLOOR(tws / 2) * 2 AS INT) AS tws_bin,
+           CAST(FLOOR(twa / 10) * 10 AS INT) AS twa_bin,
+           COUNT(*) AS n_obs,
+           ROUND(QUANTILE_CONT(bs, 0.9), 6) AS p90_speed
+    FROM tw
+    GROUP BY 1, 2
+    """,
+)
+def nmea_polar_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's polar performance table (SURVEY.md O41/O46):
+    target boat speed = 90th percentile of observed speed per
+    (2-kn TWS bin × 10° |TWA| bin), over the same synthetic
+    apparent-wind series as true_wind_vmg. TWS/TWA are rounded to 6 dp
+    BEFORE binning on both sides so transcendental ULP noise can't
+    flip a bin edge; percentile is the exact interpolated form in both
+    engines."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    bs = F.col("value")
+    awa = angles.norm_360(bs * 13) % 180
+    aws = bs * 1.5 + 4
+    tws = F.round(angles.true_wind_speed(aws, awa, bs), 6)
+    twa = F.round(F.abs(angles.true_wind_angle(aws, awa, bs)), 6)
+    return (
+        e.select(
+            (F.floor(tws / 2) * 2).cast("int").alias("tws_bin"),
+            (F.floor(twa / 10) * 10).cast("int").alias("twa_bin"),
+            bs.alias("bs"),
+        )
+        .groupBy("tws_bin", "twa_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.percentile("bs", 0.9), 6).alias("p90_speed"),
+        )
+    )

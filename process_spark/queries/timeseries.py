@@ -352,3 +352,89 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_click, first_purchase,
+           (first_click IS NOT NULL AND first_purchase IS NOT NULL
+            AND first_purchase > first_click) AS converted,
+           CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
+                THEN date_diff('second', first_click, first_purchase) END
+             AS secs_to_convert
+    FROM per_user
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per-user first click → first purchase
+    conversion with time-to-convert. One conditional aggregate over the
+    fact — no self-join, no window; the per-user width stays O(#steps)
+    however many events a user has (the shape that survives 100 TB of
+    events)."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click"))
+    )
+    return per_user.select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        converted.alias("converted"),
+        F.when(
+            F.col("first_click").isNotNull()
+            & (F.col("first_purchase") > F.col("first_click")),
+            F.col("first_purchase").cast("long") - F.col("first_click").cast("long"),
+        ).alias("secs_to_convert"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events
+      GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted distinct on each later active day. The firsts table is
+    |users| rows — broadcast back onto the fact, so the only full
+    shuffle is the final (cohort, offset) distinct-count."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
+    )
+    return (
+        e.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            ).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

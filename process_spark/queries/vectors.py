@@ -251,3 +251,28 @@ def vec_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 5
     )
+
+
+@register("vec_kmeans_clusters", oracle=None)
+def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed k-means (Lloyd's, deterministic init, 4
+    rounds) over the embeddings — cluster sizes plus mean
+    within-cluster cosine to the centroid. Rows-only by design:
+    iterative fixpoints have no single-statement SQL twin (SURVEY.md
+    §5.2 carve-out for iterative algorithms); determinism within Spark
+    is covered by the seeded init and tie-broken assignment."""
+    from process_spark.operators.similarity import kmeans
+
+    e = t(spark, sf_dir, "embeddings")
+    cents, assign = kmeans(e, k=8, n_iter=4)
+    scored = assign.join(F.broadcast(cents), "cell_id").select(
+        "cell_id", cosine(F.col("embedding"), F.col("centroid")).alias("__sim")
+    )
+    return (
+        scored.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("__sim"), 6).alias("avg_cosine_to_centroid"),
+        )
+        .orderBy("cell_id")
+    )
