@@ -94,14 +94,21 @@ def ivf_build(
     always broadcastable; ``assignments`` adds a ``cell_id`` to every
     corpus row, ready to be written bucketed/partitioned by cell.
     """
-    # Deterministic sample of n_cells seeds (no Math.random — stable runs).
-    w = Window.orderBy(F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod)))
-    seeds = (
-        corpus.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_cells)
-        .select(
-            (F.col("__rn") - 1).alias("cell_id"), F.col(vec_col).alias("centroid")
-        )
+    # Deterministic sample of n_cells seeds (no Math.random — stable
+    # runs). orderBy().limit() is a distributed TakeOrdered (per-
+    # partition top-k, k-row merge on the driver) — never the
+    # unpartitioned-window single-partition sort of the whole corpus;
+    # the row_number window then runs over the n_cells-row result only.
+    key = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod))
+    topk = (
+        corpus.select(F.col(corpus_id), F.col(vec_col), key.alias("__key"))
+        .orderBy("__key", corpus_id)
+        .limit(n_cells)
+    )
+    w = Window.orderBy("__key", corpus_id)
+    seeds = topk.select(
+        (F.row_number().over(w) - 1).alias("cell_id"),
+        F.col(vec_col).alias("centroid"),
     )
     assign = _assign_cells(corpus, seeds, corpus_id, vec_col)
     # One refinement pass: recompute cell means, reassign.
@@ -239,13 +246,18 @@ def kmeans(
     Returns (centroids, assignments): centroids(cell_id, centroid),
     assignments(corpus_id, vec_col, cell_id).
     """
-    w = Window.orderBy(F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod)))
-    cents = (
-        corpus.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(
-            (F.col("__rn") - 1).alias("cell_id"), F.col(vec_col).alias("centroid")
-        )
+    # Same distributed TakeOrdered seed pick as ivf_build: top-k first
+    # (per-partition top-k + k-row merge), tiny-window row_number after.
+    key = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod))
+    topk = (
+        corpus.select(F.col(corpus_id), F.col(vec_col), key.alias("__key"))
+        .orderBy("__key", corpus_id)
+        .limit(k)
+    )
+    w = Window.orderBy("__key", corpus_id)
+    cents = topk.select(
+        (F.row_number().over(w) - 1).alias("cell_id"),
+        F.col(vec_col).alias("centroid"),
     )
     assign = None
     for _ in range(n_iter):

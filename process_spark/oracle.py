@@ -49,13 +49,25 @@ class CompareResult:
 
 
 def _canon_cell(v):
-    """Canonicalize one value for order-insensitive comparison."""
+    """Canonicalize one value for order-insensitive comparison.
+
+    Type-strict on numerics: the driver hashes *stringified* cells, so
+    Spark int 2207 vs DuckDB float 2207.0 is a driver-side mismatch
+    even though Python's ``2207 == 2207.0`` would hide it. Tagging the
+    Python type makes this mirror exactly as strict as the driver
+    (numpy scalars collapse to Python types first, so int32 vs int64
+    width — which stringifies identically — does not false-positive).
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", repr(v))
     if hasattr(v, "dtype") and hasattr(v, "tolist") and not hasattr(v, "columns"):
         # numpy scalar or ndarray
         return _canon_cell(v.tolist())

@@ -34,7 +34,7 @@ def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN lang = 'zh' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
            COUNT(*) AS n_blobs,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents
     GROUP BY 1

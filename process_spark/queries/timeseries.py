@@ -316,9 +316,9 @@ def ts_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT user_id, ts, delta, flag,
-             SUM(run_start) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(run_start) OVER (PARTITION BY user_id ORDER BY ts
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS run_id
+                  AS BIGINT) AS run_id
       FROM f
     )
     SELECT user_id, run_id AS change_id,

@@ -114,3 +114,53 @@ def test_windows_are_partitioned(spark, name):
     assert "windowspecdefinition(" not in plan.lower() or True
     # robust check: a global window forces Exchange SinglePartition
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q21_no_fact_self_join_explosion(spark):
+    """Q21's double correlation (EXISTS + NOT EXISTS over lineitem)
+    must plan as ONE per-order aggregate joined back — at most two
+    lineitem scans, never the three of the naive double-self-join, and
+    no nested-loop join anywhere."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_q17_correlated_avg_is_grouped_join(spark):
+    """Q17's correlated per-part average must be a grouped aggregate
+    joined back (no nested-loop subquery execution)."""
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_window_runs_over_aggregated_side(spark):
+    """Q2's min-cost window must consume the grouped (part, supplier)
+    aggregate, not the raw fact: the Window's child subtree must
+    contain a HashAggregate below it."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    below_window = plan.split("Window")[-1]
+    assert "HashAggregate" in below_window
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_contamination_check_is_equi_join(spark):
+    """The decontamination pass must meet on a shingle equi-join —
+    never a pairwise doc×doc comparison."""
+    plan = _plan(spark, "pipeline_contamination_check")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_seed_pick_is_take_ordered(spark):
+    """The IVF/k-means seed pick must be a distributed TakeOrdered,
+    not a single-partition sort of the whole corpus."""
+    from process_spark.operators.similarity import ivf_build
+    from process_spark.sources.io import load
+
+    corpus = load(spark, SF, "embeddings")
+    seeds, _ = ivf_build(corpus, n_cells=8)
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
