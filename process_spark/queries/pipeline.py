@@ -155,3 +155,194 @@ def pipeline_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") == 1).alias("is_keeper"),
         )
     )
+
+
+@register(
+    "pipeline_repetition_signals",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_O_TOKS} AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM tk
+    ),
+    tok_cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+    ),
+    tok_stats AS (
+      SELECT doc_id,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens
+      FROM tok_cnt GROUP BY doc_id
+    ),
+    gr AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2 THEN
+                      list_transform(range(1, len(toks)),
+                                     i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS gram
+      FROM tk
+    ),
+    gr_cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM gr GROUP BY doc_id, gram
+    ),
+    gr_stats AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_grams
+      FROM gr_cnt GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.top_cnt AS DOUBLE) / t.n_tokens AS top_token_frac,
+           CAST(g.n_grams - g.n_distinct_grams AS DOUBLE) / g.n_grams
+             AS dup_2gram_frac
+    FROM tok_stats t JOIN gr_stats g ON g.doc_id = t.doc_id
+    """,
+)
+def pipeline_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the most
+    frequent token's share of all tokens, and the duplicate fraction
+    of word 2-grams — the filters that catch boilerplate/spam in a
+    training corpus. Shape: two explode→two-level-aggregate branches
+    re-joined on doc_id; counts stay integers until one final division,
+    so both engines land on identical doubles."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tok_stats = (
+        tk.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_tokens"))
+    )
+    gr_stats = (
+        tk.select("doc_id", F.explode(word_ngrams(F.col("toks"), 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+        )
+    )
+    return tok_stats.join(gr_stats, "doc_id").select(
+        "doc_id",
+        (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+        (
+            (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+            / F.col("n_grams")
+        ).alias("dup_2gram_frac"),
+    )
+
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+
+
+@register(
+    "pipeline_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact: user' || doc_id || '@example.com'
+                  ELSE text END AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           md5(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'))
+             AS redacted_md5
+    FROM aug
+    """,
+)
+def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact email-like spans (the testdata
+    corpus has none, so a deterministic synthetic email is appended to
+    every 7th doc — the redaction itself is the operator under test;
+    the md5 of the redacted text proves byte-identical output across
+    engines). Pure regexp expressions — JVM codegen, no UDF — the
+    pattern kept to the regex subset Java and RE2 agree on."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com")
+        ),
+    ).otherwise(F.col("text"))
+    aug = d.select("doc_id", txt.alias("txt"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("txt", F.lit(_EMAIL_RE), 0)).cast("long").alias(
+            "n_emails"
+        ),
+        F.md5(F.regexp_replace("txt", _EMAIL_RE, "<EMAIL>")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, LENGTH(text) AS nc, {_O_TOKS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, nc,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                 / len(toks) END AS mean_token_len
+      FROM sig
+    )
+    SELECT doc_id,
+           CASE WHEN nc < 100 THEN 'too_short'
+                WHEN n_tokens < 20 THEN 'too_few_tokens'
+                WHEN mean_token_len < 2.0 OR mean_token_len > 12.0
+                  THEN 'weird_tokens'
+                WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+                  THEN 'repetitive'
+                ELSE 'keep' END AS reason,
+           CASE WHEN nc < 100 THEN false
+                WHEN n_tokens < 20 THEN false
+                WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN false
+                WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.3 THEN false
+                ELSE true END AS keep
+    FROM m
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus quality gate — the one-pass keep/drop decision
+    with a first-failing-rule reason (length, token count, token-shape,
+    repetition), the filter stage every training pipeline runs before
+    dedup. All signals are integer counts until a final division, so
+    the rule cuts agree bitwise across engines; one scan, no shuffle
+    at all (pure per-row expressions)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+            / F.size(toks),
+        ).alias("mean_token_len"),
+    )
+    reason = (
+        F.when(F.col("nc") < 100, "too_short")
+        .when(F.col("n_tokens") < 20, "too_few_tokens")
+        .when(
+            (F.col("mean_token_len") < 2.0) | (F.col("mean_token_len") > 12.0),
+            "weird_tokens",
+        )
+        .when(F.col("n_distinct").cast("double") / F.col("n_tokens") < 0.3, "repetitive")
+        .otherwise("keep")
+    )
+    return m.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    )
