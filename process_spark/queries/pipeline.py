@@ -346,3 +346,110 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
     )
+
+
+_PACK_CAP = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT doc_id, source,
+             CAST(len({_O_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM cnt
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // {_PACK_CAP} AS first_chunk,
+           CASE WHEN n_tokens = 0 THEN start_offset // {_PACK_CAP}
+                ELSE (start_offset + n_tokens - 1) // {_PACK_CAP}
+           END AS last_chunk
+    FROM offs
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents per source
+    stream in doc_id order and chunk into fixed {cap}-token training
+    windows; emit each doc's token offset and the first/last chunk it
+    lands in. The running sum is windowed PER SOURCE — each stream
+    packs independently, so the window never needs a global sort and
+    the shape holds when one source is 100 TB (shard the stream key
+    further, e.g. (source, file), exactly as a real tokenizer-sharder
+    does). Integer math only — chunk ids are exact on both engines."""
+    d = t(spark, sf_dir, "documents")
+    cnt = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnt.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    first_chunk = F.expr(f"start_offset div {_PACK_CAP}")
+    last_chunk = F.when(F.col("n_tokens") == 0, first_chunk).otherwise(
+        F.expr(f"(start_offset + n_tokens - 1) div {_PACK_CAP}")
+    )
+    return offs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+    )
+
+
+@register(
+    "pipeline_domain_mixture",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_O_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS actual_frac,
+           (CAST(SUM(n_tokens) OVER () AS DOUBLE)
+              / COUNT(*) OVER ()) / n_tokens AS sample_weight
+    FROM g
+    """,
+)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-language token counts and the
+    per-doc sampling weight that rebalances the corpus to a uniform
+    token budget per language (weight = target_frac / actual_frac) —
+    the knob a data-mixture pass turns before sampling a training set.
+    One aggregate over the corpus; the reweighting window runs over
+    the tiny per-domain table, never the corpus itself."""
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    n_langs = F.count(F.lit(1)).over(w)
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("actual_frac"),
+        ((total.cast("double") / n_langs) / F.col("n_tokens")).alias(
+            "sample_weight"
+        ),
+    )
