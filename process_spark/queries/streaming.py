@@ -24,17 +24,36 @@ _MEM_SEQ = 0
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 — replay the events table as a file-source stream (same
-    nanos→µs handling as sources.io.load)."""
+    footer-sniffed µs/ns handling as sources.io.load)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from process_spark.sources.io import _events_ts_layout
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    layout = _events_ts_layout(os.path.join(sf_dir, "events.parquet"))
     # File stream sources take a directory; select the one table file
     # with a glob (a real deployment streams a directory of files).
-    raw = (
+    if layout == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in TABLES["events"].fields
+            ]
+        )
+        raw = (
+            spark.readStream.schema(ns_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return (
         spark.readStream.schema(TABLES["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def _drain(df: DataFrame, mode: str = "complete") -> DataFrame:

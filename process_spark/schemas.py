@@ -76,15 +76,16 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # NOTE: events.ts is parquet TIMESTAMP(NANOS) which Spark cannot map
-    # to TimestampType (µs). The engine reads it as long (see
-    # sources.io.load, which sets spark.sql.legacy.parquet.nanosAsLong)
-    # and converts with timestamp_micros(ts DIV 1000) — the exact
-    # truncation DuckDB applies when it narrows ns → µs.
+    # NOTE: events.ts layout has drifted between driver testdata
+    # generations (TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS) since
+    # round 2). sources.io.load sniffs the parquet footer and branches:
+    # µs reads directly against this schema; ns falls back to a legacy
+    # long read + timestamp_micros(ts DIV 1000) (the truncation DuckDB
+    # applies when narrowing ns → µs).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

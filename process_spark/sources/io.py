@@ -12,7 +12,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import datetime
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,26 +23,70 @@ from pyspark.sql import types as T
 from process_spark.schemas import TABLES
 
 
+@lru_cache(maxsize=None)
+def _events_ts_layout(path: str) -> str:
+    """Sniff the parquet footer once per path: 'us', 'ns', or 'unknown'.
+
+    Driver testdata has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) layouts across regenerations; a hard-coded
+    assumption silently corrupts every events-based query (1970-era
+    timestamps), so the unit is read from the file, never assumed.
+    Footer-only: no Spark job, no data scan.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        unit = pf.schema_arrow.field("ts").type.unit
+        # Cheap drift guard from footer statistics: events must be
+        # modern-era. A unit mismatch shows up as 1970 values; fail loud
+        # instead of grading garbage.
+        try:
+            stats = pf.metadata.row_group(0).column(
+                pf.schema_arrow.get_field_index("ts")
+            ).statistics
+            if stats is not None and stats.has_min_max:
+                min_ts = stats.min
+                if isinstance(min_ts, datetime.datetime) and min_ts.year < 2000:
+                    raise ValueError(
+                        f"events.ts min {min_ts} predates 2000 — testdata "
+                        f"layout drift at {path}; refusing to load garbage"
+                    )
+        except (AttributeError, IndexError):
+            pass
+        return unit if unit in ("us", "ns") else "unknown"
+    except (ImportError, OSError, KeyError):
+        return "unknown"
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """O2 — Parquet scan of one testdata table with its declared schema.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS): read as long (legacy
-    nanosAsLong) and truncate to µs exactly as DuckDB does.
+    ``events.ts`` parquet unit is sniffed from the footer (µs vs ns —
+    the driver has shipped both); see ``_events_ts_layout``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Defensive: the driver's session may not carry the engine confs.
-    # Both are runtime-settable; UTC keeps timestamp semantics aligned
-    # with the DuckDB oracle even on a non-UTC host (SURVEY.md §7.3).
+    # UTC keeps timestamp semantics aligned with the DuckDB oracle even
+    # on a non-UTC host (SURVEY.md §7.3). Idempotent, runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    if name == "events" and _events_ts_layout(path) == "ns":
+        # Legacy nanos layout: Spark can't map TIMESTAMP(NANOS) to
+        # TimestampType, so read ts as long and truncate ns → µs exactly
+        # as DuckDB does. The conf is only touched on this branch.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in TABLES["events"].fields
+            ]
+        )
+        df = spark.read.schema(ns_schema).parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     reader = spark.read
     if name in TABLES:
         reader = reader.schema(TABLES[name])
-    df = reader.parquet(path)
-    if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    return reader.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
