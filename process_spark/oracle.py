@@ -122,6 +122,26 @@ def compare_query(
             con.close()
 
     issues: list[str] = []
+    # The driver's canonicalizer crashes on list/array/dict cells
+    # (pandas factorize over unhashables); any such cell in an
+    # oracle-backed result is a guaranteed driver ERR even though this
+    # mirror could compare it. Be exactly as strict.
+    for frame, side in ((spark_pdf, "spark"), (duck_pdf, "oracle")):
+        for c in frame.columns:
+            col = frame[c].dropna()
+            if not len(col):
+                continue
+            v = col.iloc[0]
+            # numpy/pandas SCALARS are fine (they stringify like Python
+            # scalars); only container cells (ndarray, list, dict) crash
+            # the driver's canonicalizer.
+            is_ndarray = hasattr(v, "dtype") and getattr(v, "ndim", 0) > 0
+            if isinstance(v, (list, tuple, dict, set)) or is_ndarray:
+                issues.append(
+                    f"unhashable {side} cell type in column {c!r} "
+                    f"({type(v).__name__}) — driver would ERR; "
+                    "stringify/flatten before exposing"
+                )
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         issues.append(
             f"column mismatch: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"

@@ -221,18 +221,33 @@ def agg_argmax_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted_list",
     oracle="""
-    SELECT o_custkey, LIST(o_orderkey ORDER BY o_orderkey) AS order_keys
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           array_to_string(LIST(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
     FROM orders
     GROUP BY o_custkey
     """,
 )
 def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O44: array agg, deterministically sorted (collect_list order is
-    nondeterministic → always sort_array before exposing)."""
+    nondeterministic → always sort_array before exposing).
+
+    The array is exposed as a comma-joined string: the driver's result
+    canonicalizer cannot hash list-typed cells, and a joined string of
+    bigints renders identically in Spark and DuckDB."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys"),
+        )
     )
 
 

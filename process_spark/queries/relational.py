@@ -139,8 +139,10 @@ def clean_clamp_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_fact_dims_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O29+O30: fact⋈fact⋈dim chain. lineitem⋈orders shuffles on the
-    order key; customer/nation/region are broadcast (hinted — they're
-    always under the threshold; SURVEY.md §4.2)."""
+    order key; nation/region are broadcast (hinted — 25/5 rows at every
+    SF, bounded forever). Customer GROWS with SF, so it carries no
+    hint: AQE broadcasts it at small SF from measured size and shuffles
+    it at 100 TB (SURVEY.md §4.2)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
@@ -151,7 +153,7 @@ def join_fact_dims_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
@@ -341,13 +343,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O33: NOT EXISTS → left anti join."""
+    """O33: NOT EXISTS → left anti join.
+
+    The price filter makes the result discriminating: every customer
+    has *some* order in the testdata, so an unfiltered anti join is
+    vacuously empty and the hash check proves nothing."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -9,7 +9,7 @@ results (SURVEY.md §5.2: the staged-table strategy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from process_spark.functions import angles, geo
@@ -200,17 +200,20 @@ def timestamp_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey,
            LEN(prices) AS n,
-           list_transform(prices, x -> ROUND(x * 1.1, 4)) AS taxed,
-           list_filter(prices, x -> x > 50000) AS big,
+           array_to_string(list_transform(prices, x -> CAST(ROUND(x * 1.1, 4) AS VARCHAR)), ',') AS taxed,
+           array_to_string(list_transform(list_filter(prices, x -> x > 50000), x -> CAST(x AS VARCHAR)), ',') AS big,
            CAST(list_sum(list_transform(prices, x -> CAST(x AS DECIMAL(38,6)))) AS DOUBLE) AS total,
-           list_sort(prices) AS sorted_prices,
+           array_to_string(list_transform(list_sort(prices), x -> CAST(x AS VARCHAR)), ',') AS sorted_prices,
            list_contains(list_transform(prices, x -> x > 100000), true) AS any_six_figure
     FROM base
     """,
 )
 def array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O82-O84: array HOFs — transform/filter/aggregate/exists plus
-    sort/size/contains (lambda path = DuckDB list lambdas)."""
+    sort/size/contains (lambda path = DuckDB list lambdas). Array
+    outputs are exposed comma-joined: the driver's canonicalizer
+    cannot hash list cells, and double→string rendering matches
+    across engines for these parquet-born values."""
     o = t(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.array_sort(
@@ -222,11 +225,16 @@ def array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prices"
         ),
     )
+    def joined(col: Column) -> Column:
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return base.select(
         "o_custkey",
         F.size("prices").alias("n"),
-        F.transform("prices", lambda x: F.round(x * 1.1, 4)).alias("taxed"),
-        F.filter("prices", lambda x: x > 50000).alias("big"),
+        joined(F.transform("prices", lambda x: F.round(x * 1.1, 4))).alias(
+            "taxed"
+        ),
+        joined(F.filter("prices", lambda x: x > 50000)).alias("big"),
         F.aggregate(
             "prices",
             F.lit(0).cast("decimal(38,6)"),
@@ -234,7 +242,7 @@ def array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("total"),
-        F.sort_array("prices").alias("sorted_prices"),
+        joined(F.sort_array("prices")).alias("sorted_prices"),
         F.exists("prices", lambda x: x > 100000).alias("any_six_figure"),
     )
 

@@ -14,6 +14,39 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_sessionstart(session):
+    """Fail fast on silent testdata drift (the driver regenerates
+    /root/testdata between rounds and has already changed the events
+    timestamp unit once — VERDICT.md r02). Footer-stats only: no Spark,
+    runs in milliseconds."""
+    import duckdb
+
+    con = duckdb.connect()
+    checks = [
+        # (sql over sf0.01, predicate, label)
+        (
+            f"SELECT MIN(ts), MAX(ts) FROM read_parquet('{SF_ORACLE}/events.parquet')",
+            lambda lo, hi: lo.year == 2024 and hi.year == 2024,
+            "events.ts must span 2024 (unit drift lands in 1970)",
+        ),
+        (
+            f"SELECT MIN(o_orderdate), MAX(o_orderdate) FROM read_parquet('{SF_ORACLE}/orders.parquet')",
+            lambda lo, hi: 1994 <= lo.year <= 1996 and 2000 <= hi.year <= 2002,
+            "orders.o_orderdate must span ~1995-2001",
+        ),
+    ]
+    for sql, pred, label in checks:
+        lo, hi = con.execute(sql).fetchone()
+        if not pred(lo, hi):
+            pytest.exit(
+                f"TESTDATA DRIFT: {label}; measured [{lo}, {hi}]. "
+                "Re-check sources/io.py layout sniffing before trusting "
+                "any parity result.",
+                returncode=3,
+            )
+    con.close()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from process_spark.session import get_spark
