@@ -422,14 +422,15 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day,
     counted distinct on each later active day. The firsts table is
-    |users| rows — broadcast back onto the fact, so the only full
+    |users| rows — joined back onto the fact (AQE broadcasts it while it
+    fits, shuffle-joins beyond), so the only full
     shuffle is the final (cohort, offset) distinct-count."""
     e = t(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
     )
     return (
-        e.join(F.broadcast(firsts), "user_id")
+        e.join(firsts, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff(

@@ -62,7 +62,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dims filter the fact, group by order,
     top-10 by revenue (ties broken on orderkey for hash-stable
-    output). Customer broadcast-prunes orders before lineitem joins."""
+    output). No broadcast hints on orders/customer — both grow with SF,
+    so a pinned broadcast OOMs executors at 100 TB; AQE picks broadcast
+    at small SF from runtime sizes and falls back to shuffle joins at
+    scale."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
@@ -71,8 +74,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -99,7 +102,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer — fact
-    filtered on returnflag (pushed down), dims broadcast, top-20."""
+    filtered on returnflag (pushed down), top-20. Only the bounded dim
+    (nation, 25 rows forever) carries a broadcast hint; orders/customer
+    grow with SF, so their join strategy is left to AQE."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     o = t(spark, sf_dir, "orders").filter(
@@ -108,8 +113,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))

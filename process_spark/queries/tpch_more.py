@@ -7,7 +7,9 @@ join + conditional agg ratio (Q14), window-max over grouped revenue
 self-agg then dim enrich (Q18), disjunctive multi-predicate join (Q19),
 scalar-subquery filter + anti join (Q22).
 
-Scale notes (100 TB): every dim side is broadcast; the fact-side aggs
+Scale notes (100 TB): bounded dims (nation/region) broadcast by hint;
+SF-scaling sides (part/supplier/customer/orders) are left to AQE's
+runtime strategy choice; the fact-side aggs
 are partial+final hash aggregates; semi/anti joins avoid materializing
 the probe side; Q15's window-max runs over the *grouped* (small)
 supplier aggregate, never the raw fact.
@@ -75,7 +77,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: one month of lineitem joined to part (broadcast
+    """TPC-H Q14 shape: one month of lineitem joined to part (AQE-chosen
     — part is the small side at every SF), promo share of revenue as a
     conditional-aggregate ratio. Both sums are exact-decimal so the one
     IEEE division lands both engines on identical doubles."""
@@ -86,7 +88,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         (
             F.sum(promo_rev.cast("decimal(18,6)")).cast("double")
             / F.sum(rev.cast("decimal(18,6)")).cast("double")
@@ -157,7 +159,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part class, with a
     NOT IN exclusion list (negative-balance suppliers stand in for the
-    canonical complaint-comment filter) expressed as a broadcast anti
+    canonical complaint-comment filter) expressed as an anti
     join — never a full subquery re-scan per row."""
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "BRAND#1")
@@ -167,8 +169,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -208,10 +210,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
                 F.col("l_orderkey") == F.col("big_key"), "inner")
-        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -236,11 +238,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: three OR'd brand/size/quantity bands across a
     lineitem⋈part join. Catalyst extracts the common join key so the
-    disjunction evaluates post-join on the broadcast hash join's
+    disjunction evaluates post-join on the part join's
     output, not as a nested-loop."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     band = (
         ((F.col("p_brand") == "BRAND#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 21))

@@ -88,8 +88,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     return (
-        cheapest.join(F.broadcast(p), cheapest.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), cheapest.l_suppkey == s.s_suppkey)
+        cheapest.join(p, cheapest.l_partkey == p.p_partkey)
+        .join(s, cheapest.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
     )
@@ -118,10 +118,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between two nations by year. The
     fact joins two independent dim chains (supplier→nation and
-    orders→customer→nation) — a bushy join where every dim side is
-    broadcast, so the only shuffle is the final 3-key aggregate. The
-    disjunctive nation-pair predicate is applied after both chains
-    resolve, exactly as Catalyst plans it."""
+    orders→customer→nation); only the bounded nation sides carry
+    broadcast hints — supplier/customer/orders grow with SF, so their
+    strategy is AQE's runtime call. The disjunctive nation-pair
+    predicate is applied after both chains resolve, exactly as Catalyst
+    plans it."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -138,7 +139,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(
@@ -211,9 +212,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_rkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.cast("decimal(18,6)").alias("volume"),
@@ -262,8 +263,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -306,7 +307,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), "part_value"))
@@ -440,7 +441,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(pavg, li.l_partkey == F.col("pa_key"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
@@ -491,7 +492,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty"))
         .filter(F.col("qty") > 25)
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
+        .join(p, F.col("l_partkey") == p.p_partkey, "left_semi")
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(
@@ -552,7 +553,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey, "left_semi")
         .join(per_order, li.l_orderkey == F.col("po_key"))
         .filter((F.col("n_supp") > 1) & (F.col("n_fail") == 1))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -35,16 +35,31 @@ def test_q6_filters_reach_parquet_scan(spark):
     assert "l_returnflag" not in read_schema  # pruned
 
 
-def test_q3_dims_are_broadcast(spark):
-    """Customer and orders sides must broadcast — no shuffle exchange
-    for the dim joins."""
-    plan = _plan(spark, "q3_shipping_priority")
+def _final_plan(spark, name: str) -> str:
+    """Execute, then read the AQE-finalized plan. Join strategy for
+    SF-scaling tables is AQE's runtime call (no static hints — a pinned
+    broadcast of orders/customer OOMs at 100 TB), so only the final
+    adaptive plan shows the real join strategies."""
+    from process_spark.queries import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_no_static_broadcast_of_scaling_tables(spark):
+    """orders/customer must NOT carry broadcast hints (they grow with
+    SF); at this small SF, AQE should still end up broadcasting them
+    from measured runtime sizes."""
+    plan = _final_plan(spark, "q3_shipping_priority")
+    assert "isFinalPlan=true" in plan
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
 
 
-def test_fact_dims_chain_broadcasts_all_dims(spark):
-    plan = _plan(spark, "join_fact_dims_chain")
+def test_fact_dims_chain_broadcasts_dims_at_small_sf(spark):
+    plan = _final_plan(spark, "join_fact_dims_chain")
+    assert "isFinalPlan=true" in plan
+    # nation/region statically hinted + customer via AQE at this SF
     assert plan.count("BroadcastHashJoin") >= 3
 
 
