@@ -434,17 +434,20 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sampling weight that rebalances the corpus to a uniform
     token budget per language (weight = target_frac / actual_frac) —
     the knob a data-mixture pass turns before sampling a training set.
-    One aggregate over the corpus; the reweighting window runs over
-    the tiny per-domain table, never the corpus itself."""
+    One aggregate over the corpus; the corpus-wide totals are a one-row
+    aggregate broadcast back onto the tiny per-domain table — no
+    global window anywhere."""
     d = t(spark, sf_dir, "documents")
     g = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy()
-    total = F.sum("n_tokens").over(w)
-    n_langs = F.count(F.lit(1)).over(w)
-    return g.select(
+    tot = g.agg(
+        F.sum("n_tokens").alias("__total"), F.count(F.lit(1)).alias("__n_langs")
+    )
+    total = F.col("__total")
+    n_langs = F.col("__n_langs")
+    return g.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_docs",
         "n_tokens",

@@ -2,8 +2,8 @@
 grading tables' columns (no partsupp / commitdate / shipmode in the
 testdata, so the canonical predicates are re-targeted to existing
 columns while keeping each query's *plan shape*: semi-join + agg (Q4),
-join + conditional agg ratio (Q14), window-max over grouped revenue
-(Q15), anti-join + distinct-count rollup (Q16), HAVING-gated fact
+join + conditional agg ratio (Q14), broadcast scalar-max over grouped
+revenue (Q15), anti-join + distinct-count rollup (Q16), HAVING-gated fact
 self-agg then dim enrich (Q18), disjunctive multi-predicate join (Q19),
 scalar-subquery filter + anti join (Q22).
 
@@ -11,13 +11,13 @@ Scale notes (100 TB): bounded dims (nation/region) broadcast by hint;
 SF-scaling sides (part/supplier/customer/orders) are left to AQE's
 runtime strategy choice; the fact-side aggs
 are partial+final hash aggregates; semi/anti joins avoid materializing
-the probe side; Q15's window-max runs over the *grouped* (small)
-supplier aggregate, never the raw fact.
+the probe side; Q15's global max is a one-row aggregate broadcast back
+onto the grouped revenue table (no unpartitioned window anywhere).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from process_spark.queries._util import dsum, o_dsum, t
@@ -117,9 +117,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: quarterly revenue per supplier, keep the max.
-    The scalar subquery becomes a window max over the *grouped*
-    aggregate (|suppliers| rows, not |lineitem|), so the unpartitioned
-    window is safe at any scale."""
+    The scalar subquery becomes a one-row max aggregate broadcast back
+    onto the grouped revenue table — never an unpartitioned window:
+    |suppliers| grows with SF, and a global window would drag them all
+    through a single task at 100 TB."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -127,9 +128,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
     )
-    top = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     s = t(spark, sf_dir, "supplier")
     return (
         F.broadcast(top)

@@ -1,0 +1,92 @@
+"""Registry-wide physical-plan lint (SURVEY.md §7.3 scale invariants).
+
+Every registered query's plan is checked for the two shapes that
+silently stop scaling: unpartitioned windows (all rows through one
+task) and cartesian products. Allowlists name the queries where the
+shape is intentional and bounded, with the reason.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+# Queries allowed to plan an unpartitioned window: the window input is
+# bounded (pre-limited to k rows by a distributed TakeOrdered) — see
+# operators/similarity.py seed pick.
+GLOBAL_WINDOW_OK = {
+    "vec_ivf_knn",
+    "vec_kmeans_clusters",
+}
+
+# Queries allowed to plan CartesianProduct / unconditioned broadcast
+# product: either an intentional bounded demo, a broadcast of a one-row
+# aggregate (scalar subquery), or a broadcast of a small-by-construction
+# query/centroid side.
+CROSS_OK = {
+    "join_cross_blocked",       # 5×5 bounded demo of O36
+    "q11_important_parts",      # 1-row threshold aggregate broadcast
+    "q22_dormant_customers",    # 1-row avg-balance aggregate broadcast
+    "q15_top_supplier",         # 1-row max-revenue aggregate broadcast
+    "pipeline_domain_mixture",  # 1-row corpus-totals aggregate broadcast
+    "vec_knn_bruteforce",       # broadcast query side (small by construction)
+    "vec_knn_arrow",            # same, Arrow-scored twin
+    "vec_ivf_knn",              # broadcast cell/probe tables (k rows)
+    "vec_kmeans_clusters",      # broadcast centroids (k rows)
+    "pipeline_pack_sequences",  # broadcast per-source offsets (bounded)
+    "pipeline_contamination_check",  # broadcast benchmark shingles (bounded)
+}
+
+# windowspecdefinition(<first-arg>, ...): a partitioned window leads
+# with a bare partition column; an unpartitioned one leads with either
+# the frame itself or an ORDER BY column carrying a sort direction.
+_GLOBAL_WINDOW = re.compile(
+    r"windowspecdefinition\((?:specifiedwindowframe|[^,()]+ (?:ASC|DESC))"
+)
+
+
+def _all_plans(spark):
+    from process_spark.queries.registry import REGISTRY
+
+    plans = {}
+    for name, spec in REGISTRY.items():
+        plans[name] = (
+            spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+    return plans
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return _all_plans(spark)
+
+
+def test_no_unpartitioned_windows(plans):
+    bad = {
+        name
+        for name, plan in plans.items()
+        if _GLOBAL_WINDOW.search(plan) and name not in GLOBAL_WINDOW_OK
+    }
+    assert not bad, f"unpartitioned window (single-task at scale): {sorted(bad)}"
+
+
+def test_no_unexpected_cartesian_or_bnlj(plans):
+    bad = {
+        name
+        for name, plan in plans.items()
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+        and name not in CROSS_OK
+    }
+    assert not bad, f"unexpected cross/nested-loop join: {sorted(bad)}"
+
+
+def test_allowlists_not_stale(plans):
+    """Every allowlisted query must still exhibit (or at least still
+    exist for) the shape it is excused for — prune dead entries."""
+    from process_spark.queries.registry import REGISTRY
+
+    for name in GLOBAL_WINDOW_OK | CROSS_OK:
+        assert name in REGISTRY, f"allowlist references unknown query {name}"
