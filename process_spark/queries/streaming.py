@@ -244,6 +244,63 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, mode="update")
 
 
+@register("stream_transform_with_state", oracle=None)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O93 (Spark 4 surface): the same running per-user stats as
+    stream_stateful_user_stats, but through transformWithStateInPandas
+    — the StatefulProcessor API that replaces applyInPandasWithState
+    (typed value state, timers, Arrow-batched). Rows-only: emission
+    timing is batch-boundary-dependent.
+
+    Environment gate: the TWS runner needs a working google.protobuf
+    (its driver-side state server speaks protobuf). Where that import
+    is broken, fall back to the applyInPandasWithState twin so the
+    query still returns the same per-user stats."""
+    import pandas as pd  # noqa: PLC0415
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401,PLC0415
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+    except ImportError:
+        return stream_stateful_user_stats(spark, sf_dir)
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n BIGINT, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, vmax = self._state.get()
+            else:
+                n, vmax = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    vmax = max(vmax, float(vals.max()))
+            self._state.update((n, vmax))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = _stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    out = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain(out, mode="update")
+
+
 @register("stream_foreach_batch_export", oracle=None)
 def stream_foreach_batch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O95: foreachBatch sink — per-micro-batch custom export (the
