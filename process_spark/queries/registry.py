@@ -41,33 +41,34 @@ GRADED_WINDOW: tuple[str, ...] = (
     # scans / filter / cleaning / IO
     "q1_pricing_summary",            # O2 O12 O22 O38 O56
     "clean_clamp_outliers",          # O13
-    "io_csv_roundtrip",              # O3
-    "io_json_roundtrip",             # O4 O5
+    "io_roundtrip_suite",            # O3 O4 O5 O6
     # NMEA reference surface
     "nmea_parse_constructed",        # O1 O9 O10 O11
-    "nmea_time_assembly",            # O21
-    "nmea_coord_conversion",         # O14
+    "nmea_time_coord_suite",         # O14 O21
     "nmea_scalar_suite",             # O15 O16 O17 O18 O19 O20
+    "maneuver_detect_metrics",       # O54 O55
     # joins
     "join_fact_dims_chain",          # O29 O30
-    "join_left_outer",               # O31
-    "join_semi",                     # O32
-    "join_anti",                     # O33
+    "join_outer_suite",              # O31 (left + full + right)
+    "join_semi_anti_suite",          # O32 O33
     "join_interval_events_windows",  # O34
     "join_asof_purchase_before_click",  # O35
     "join_cross_blocked",            # O36
     # aggregation
-    "agg_count_distinct",            # O39
     "agg_grouping_sets",             # O40 O102
     "agg_median_percentile",         # O41
     "agg_moments_corr",              # O42
-    "agg_argmax_conditional",        # O43 O45
+    "agg_argmax_conditional",        # O39 O43 O45
     "agg_collect_sorted_list",       # O44
     "agg_histogram_having",          # O46 O47
     # windows
     "win_orders_suite",              # O48 O50
     "win_events_suite",              # O37 O49 O51 O52 O53
+    # UDF / Arrow surface
     "udf_scalar_python",             # O96
+    "udf_pandas_suite",              # O97 O98
+    "udf_arrow_suite",               # O99 O100
+    "udtf_split_sentences",          # O101
     # sort / top-k
     "topk_per_group",                # O57
     "sort_within_partitions",        # O58
@@ -76,30 +77,30 @@ GRADED_WINDOW: tuple[str, ...] = (
     "dedup_keep_latest",             # O62
     "text_jaccard_pairs_blocked",    # O63 (exact oracle anchor for LSH)
     # vectors / multimodal
-    "vec_near_dup",                  # O64
-    "vec_norms",                     # O65
+    "vec_norm_dup_suite",            # O64 O65
     "vec_knn_bruteforce",            # O66 O67
     "vec_centroids",                 # O69
     "mm_blob_metadata_stats",        # O70
     # text & strings
-    "string_core_fns",               # O71
-    "regex_extract_like",            # O72
+    "string_regex_suite",            # O71 O72
     "text_term_frequency",           # O73 O74 O82
     "text_ngram_shingles",           # O75
-    "udtf_split_sentences",          # O101
+    "text_lang_source_stats",        # O76
     "text_levenshtein",              # O77
     "text_lexicon_score",            # O78
-    # JSON / map / array / hash scalars
-    "json_map_suite",                # O79 O81 O86
-    "json_build_shape",              # O80
+    # JSON / map / array / hash / math scalars
+    "json_map_suite",                # O79 O80 O81 O86
     "array_hofs",                    # O83 O84
+    "math_fns",                      # O85
     # time series
     "ts_pivot_wide",                 # O23
     "ts_resample_grid",              # O24
     "ts_locf_suite",                 # O25 O26 O27
     "ts_ewma_fold",                  # O28
-    # streaming (batch-twin oracle)
-    "stream_tumbling_counts",        # O7 O8 O88
+    # streaming (batch-twin oracles)
+    "stream_windows_suite",          # O7 O8 O88 O89
+    "stream_session_window",         # O90
+    "stream_static_join",            # O94
 )
 
 

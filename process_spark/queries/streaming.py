@@ -397,3 +397,58 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         "purchase_ts",
     )
+
+
+@register(
+    "stream_windows_suite",
+    oracle="""
+    SELECT 'tumbling' AS kind, date_trunc('day', ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding', window_start, NULL, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM (
+      SELECT unnest([date_trunc('day', ts),
+                     date_trunc('day', ts) - INTERVAL 1 DAY]) AS window_start,
+             value
+      FROM events
+    )
+    GROUP BY 2
+    """,
+)
+def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7+O8+O88+O89 tagged union: tumbling 1-day windows per event
+    type and sliding (2-day, 1-day slide) windows — two availableNow
+    streams drained through memory sinks, each the same plan a live
+    source would run. The sliding oracle materializes each event's two
+    window contributions explicitly."""
+    tumb = _stream_events(spark, sf_dir).groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    t_out = _drain(tumb).select(
+        F.lit("tumbling").alias("kind"),
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    slid = _stream_events(spark, sf_dir).groupBy(
+        F.window("ts", "2 days", "1 day").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    s_out = _drain(slid).select(
+        F.lit("sliding").alias("kind"),
+        F.col("w.start").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        "sum_value",
+    )
+    return t_out.unionByName(s_out)

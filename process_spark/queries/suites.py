@@ -136,15 +136,17 @@ def nmea_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(value) AS max_value,
            COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(DISTINCT event_type) AS n_types,
            {o_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END",
                    'purchase_value')}
     FROM ranked GROUP BY user_id
     """,
 )
 def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O43+O45 per user in one hash aggregate: argmax/argmin via
-    max_by/min_by (tie-broken on (value, event_id)) plus count_if /
-    sum(when(...)) conditional aggregation."""
+    """O39+O43+O45 per user in one hash aggregate: argmax/argmin via
+    max_by/min_by (tie-broken on (value, event_id)), exact count
+    distinct of event types, plus count_if / sum(when(...))
+    conditional aggregation."""
     ord_key = F.struct(F.col("value"), F.col("event_id"))
     return (
         t(spark, sf_dir, "events")
@@ -156,6 +158,7 @@ def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
             F.count_if(F.col("event_type") == "click").alias("n_clicks"),
             F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+            F.countDistinct("event_type").alias("n_types"),
             dsum(
                 F.when(
                     F.col("event_type") == "purchase", F.col("value")
@@ -400,14 +403,18 @@ def setop_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            LEN(json_keys(props)) AS n_keys,
            md5(props) AS props_md5,
-           sha256(props) AS props_sha256
+           sha256(props) AS props_sha256,
+           to_json({'event_id': event_id,
+                    'k': json_extract_string(props, '$.k')}) AS doc
     FROM events
     """,
 )
 def json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O79+O81+O86 per event row: JSON path extraction, the map surface
-    (from_json → element_at / map_keys), and cryptographic content
-    hashes — same public algorithms both engines → same hex."""
+    """O79+O80+O81+O86 per event row: JSON path extraction, the map
+    surface (from_json → element_at / map_keys), cryptographic content
+    hashes (same public algorithms both engines → same hex), and JSON
+    document shaping back out (to_json with explicit null retention —
+    DuckDB always renders null fields)."""
     e = t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return e.select(
@@ -418,6 +425,13 @@ def json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.md5("props").alias("props_md5"),
         F.sha2("props", 256).alias("props_sha256"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.get_json_object("props", "$.k").alias("k"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("doc"),
     )
 
 
@@ -500,4 +514,572 @@ def ts_locf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_purchase_value",
         "interp_value",
         ma.alias("ma_1h"),
+    )
+
+
+# --- IO roundtrips: O3 + O4 + O5 + O6 ---------------------------------------
+
+@register(
+    "io_roundtrip_suite",
+    oracle="""
+    SELECT 'csv' AS fmt, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(LENGTH(c_name)) AS BIGINT) AS aux_sum
+    FROM customer
+    UNION ALL
+    SELECT 'json', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(EPOCH(o_orderdate) AS BIGINT)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'parquet', COUNT(*), CAST(SUM(event_id) AS BIGINT),
+           CAST(SUM(user_id) AS BIGINT)
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def io_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3+O4+O5+O6 as one tagged union of lossless roundtrips: customer
+    through the CSV sink/scan, orders through the JSON sink/scan
+    (timestamps survive via ISO-8601 + UTC session timezone), events
+    through a *partitioned* parquet sink read back with a partition
+    filter (the read prunes to the ``event_type=click`` directory —
+    the 100 TB layout). The oracle aggregates the ORIGINAL tables, so
+    any value lost or mangled in a sink/scan changes a sum."""
+    import os
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.schemas import TABLES
+    from process_spark.sources.io import (
+        read_csv,
+        read_json,
+        write_json_docs,
+        write_parquet,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    csv_path = os.path.join(_SCRATCH, "suite_customer_csv")
+    c.write.mode("overwrite").option("header", True).csv(csv_path)
+    csv_back = read_csv(spark, csv_path, schema=TABLES["customer"])
+    csv_sig = csv_back.agg(
+        F.lit("csv").alias("fmt"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.sum(F.length("c_name")).alias("aux_sum"),
+    )
+
+    o = t(spark, sf_dir, "orders")
+    json_path = os.path.join(_SCRATCH, "suite_orders_json")
+    write_json_docs(o, json_path)
+    json_back = read_json(spark, json_path, schema=TABLES["orders"])
+    json_sig = json_back.agg(
+        F.lit("json").alias("fmt"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.unix_timestamp("o_orderdate")).alias("aux_sum"),
+    )
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    pq_path = os.path.join(_SCRATCH, "suite_events_parquet")
+    write_parquet(e, pq_path, partition_by=["event_type"])
+    pq_back = spark.read.parquet(pq_path).filter(F.col("event_type") == "click")
+    pq_sig = pq_back.agg(
+        F.lit("parquet").alias("fmt"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("key_sum"),
+        F.sum("user_id").alias("aux_sum"),
+    )
+    return csv_sig.unionByName(json_sig).unionByName(pq_sig)
+
+
+# --- NMEA time assembly + coord conversion: O14 + O21 -----------------------
+
+@register(
+    "nmea_time_coord_suite",
+    oracle="""
+    SELECT event_id,
+           strptime(strftime(ts, '%d%m%y') || ' ' || strftime(ts, '%H%M%S'),
+                    '%d%m%y %H%M%S') AS fix_ts,
+           (FLOOR(value / 100) + FMOD(value, 100) / 60)
+             * (CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END) AS coord_deg
+    FROM events
+    """,
+)
+def nmea_time_coord_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21+O14 per event row: hhmmss+ddmmyy reassembly into the fix
+    timestamp (functions.nmea.nmea_timestamp) and ddmm.mmmm → signed
+    decimal degrees (functions.geo.nmea_coord_to_deg) with a synthetic
+    hemisphere off event_id parity — the same IEEE ops both engines."""
+    from process_spark.functions.nmea import nmea_timestamp
+
+    e = t(spark, sf_dir, "events")
+    hemi = F.when(F.col("event_id") % 2 == 0, F.lit("S")).otherwise(F.lit("N"))
+    return e.select(
+        "event_id",
+        nmea_timestamp(
+            F.date_format("ts", "HHmmss"), F.date_format("ts", "ddMMyy")
+        ).alias("fix_ts"),
+        geo.nmea_coord_to_deg(F.col("value"), hemi).alias("coord_deg"),
+    )
+
+
+# --- Strings + regex: O71 + O72 ---------------------------------------------
+
+@register(
+    "string_regex_suite",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_type) AS type_lower,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_name, 1, 10) AS name_prefix,
+           CONCAT(p_name, '#', p_brand) AS name_tagged,
+           TRIM(LPAD(CAST(p_partkey AS VARCHAR), 10, '0')) AS key_padded,
+           REPLACE(p_name, 'ol', '0L') AS name_replaced,
+           INSTR(p_name, 'an') AS an_pos,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           (p_type LIKE 'PROMO%') AS is_promo,
+           regexp_matches(p_name, '[0-9]') AS has_digit,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    """,
+)
+def string_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O71+O72 per part row: the core string battery (case, length,
+    substring, concat, pad/trim, literal replace, find) plus the regex
+    family (extract, LIKE, RLIKE, class replace) on the same grain."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.concat(F.col("p_name"), F.lit("#"), F.col("p_brand")).alias(
+            "name_tagged"
+        ),
+        F.trim(F.lpad(F.col("p_partkey").cast("string"), 10, "0")).alias(
+            "key_padded"
+        ),
+        F.regexp_replace("p_name", "ol", "0L").alias("name_replaced"),
+        F.instr(F.col("p_name"), "an").alias("an_pos"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.col("p_name").rlike("[0-9]").alias("has_digit"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+# --- Semi + anti joins: O32 + O33 -------------------------------------------
+
+@register(
+    "join_semi_anti_suite",
+    oracle="""
+    SELECT 'semi' AS op, c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi_anti_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O32+O33 tagged union: EXISTS → left semi, NOT EXISTS → left
+    anti, both against price-filtered orders so each branch is
+    discriminating (an unfiltered anti join is vacuously empty)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    semi = (
+        c.join(
+            o.filter(F.col("o_totalprice") > 100000),
+            c.c_custkey == o.o_custkey,
+            "left_semi",
+        )
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(
+            o.filter(F.col("o_totalprice") > 300000),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
+
+
+# --- Outer joins: O31 (left + right + full) ---------------------------------
+
+@register(
+    "join_outer_suite",
+    oracle="""
+    SELECT 'left' AS op, c_custkey AS key, COUNT(o_orderkey) AS n,
+           CAST(NULL AS DOUBLE) AS val, CAST(NULL AS VARCHAR) AS name
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    UNION ALL
+    SELECT 'full', COALESCE(s_nationkey, c_nationkey),
+           COALESCE(n_sup, 0), CAST(COALESCE(n_cust, 0) AS DOUBLE), NULL
+    FROM (SELECT s_nationkey, COUNT(*) AS n_sup FROM supplier GROUP BY 1) su
+    FULL OUTER JOIN
+         (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) cu
+      ON s_nationkey = c_nationkey
+    UNION ALL
+    SELECT 'right', o_orderkey, NULL, o_totalprice, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < -900
+    """,
+)
+def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31 complete — left, full, and right outer joins as one tagged
+    union conformed to (op, key, n, val, name): customers with zero
+    orders survive the left join, nations on either side survive the
+    full join of two grouped sides, and deeply-negative-balance
+    customers with no orders surface null order columns through the
+    right join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+
+    left = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+        .select(
+            F.lit("left").alias("op"),
+            F.col("c_custkey").alias("key"),
+            "n",
+            F.lit(None).cast("double").alias("val"),
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    su = s.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_sup"))
+    cu = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    full = (
+        su.join(cu, su.s_nationkey == cu.c_nationkey, "outer")
+        .select(
+            F.lit("full").alias("op"),
+            F.coalesce("s_nationkey", "c_nationkey").alias("key"),
+            F.coalesce("n_sup", F.lit(0)).alias("n"),
+            F.coalesce("n_cust", F.lit(0)).cast("double").alias("val"),
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    right = (
+        o.join(
+            c.filter(F.col("c_acctbal") < -900),
+            o.o_custkey == c.c_custkey,
+            "right",
+        )
+        .select(
+            F.lit("right").alias("op"),
+            F.col("o_orderkey").alias("key"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.col("o_totalprice").alias("val"),
+            F.col("c_name").alias("name"),
+        )
+    )
+    return left.unionByName(full).unionByName(right)
+
+
+# --- Vector norms + semantic near-dup: O64 + O65 ----------------------------
+
+@register(
+    "vec_norm_dup_suite",
+    oracle=f"""
+    SELECT 'norm' AS op, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           {{norm}} AS l2,
+           CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+           (CAST(embedding[1] AS DOUBLE) / {{norm}}) AS unit_first,
+           CAST(NULL AS DOUBLE) AS cosine_sim
+    FROM embeddings
+    UNION ALL
+    SELECT 'near_dup', a.vec_id, b.vec_id, NULL, NULL, NULL, NULL,
+           {{cos}}
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0 AND {{cos}} >= 0.2
+    """.format(
+        norm="sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(embedding, x -> x * x)), (a, x) -> a + x))",
+        cos="(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(range(1, len(a.embedding) + 1),"
+        " i -> a.embedding[CAST(i AS INT)] * b.embedding[CAST(i AS INT)])),"
+        " (a2, x) -> a2 + x)"
+        " / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(a.embedding, x -> x * x)), (a2, x) -> a2 + x))"
+        " * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(b.embedding, x -> x * x)), (a2, x) -> a2 + x))))",
+    ),
+)
+def vec_norm_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O65+O64 tagged union over embeddings: per-vector norm battery
+    (L2, min/max element, first unit component) and label-blocked
+    semantic near-dup pairs at cosine ≥ 0.2 — thresholding on
+    bit-identical scores keeps the row set hash-stable (see module
+    docstring of queries/vectors.py)."""
+    from process_spark.functions.vectorfn import l2_norm, l2_normalize
+    from process_spark.operators.similarity import near_dup_embeddings
+
+    e = t(spark, sf_dir, "embeddings")
+    norms = e.select(
+        F.lit("norm").alias("op"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        l2_norm("embedding").alias("l2"),
+        F.array_min("embedding").cast("double").alias("min_elem"),
+        F.array_max("embedding").cast("double").alias("max_elem"),
+        F.element_at(l2_normalize("embedding"), 1)
+        .cast("double")
+        .alias("unit_first"),
+        F.lit(None).cast("double").alias("cosine_sim"),
+    )
+    pairs = near_dup_embeddings(
+        e.filter(F.col("vec_id") % 4 == 0), threshold=0.2, block_col="label"
+    ).select(
+        F.lit("near_dup").alias("op"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.lit(None).cast("double").alias("l2"),
+        F.lit(None).cast("double").alias("min_elem"),
+        F.lit(None).cast("double").alias("max_elem"),
+        F.lit(None).cast("double").alias("unit_first"),
+        F.col("cosine_sim"),
+    )
+    return norms.unionByName(pairs)
+
+
+# --- Maneuver detection + per-maneuver metrics: O54 + O55 -------------------
+
+@register(
+    "maneuver_detect_metrics",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id, event_id, ts, value,
+             {o_pmod('value * 7', '360.0')} AS hdg
+      FROM events
+    ),
+    lagd AS (
+      SELECT *, lag(hdg, 3) OVER (PARTITION BY user_id ORDER BY ts) AS prev_hdg
+      FROM h
+    ),
+    d AS (
+      SELECT *, {o_pmod('(hdg - prev_hdg + 540.0)', '360.0')} - 180.0 AS delta
+      FROM lagd
+    ),
+    f AS (
+      SELECT *, CAST(ABS(delta) >= 150.0 AS INT) AS flag FROM d
+    ),
+    p AS (
+      SELECT *, lag(flag, 1, 0) OVER (PARTITION BY user_id ORDER BY ts)
+                  AS prev_flag
+      FROM f
+    ),
+    r AS (
+      SELECT *, CAST((flag = 1 AND prev_flag = 0) AS BIGINT) AS run_start
+      FROM p
+    ),
+    runs AS (
+      SELECT *, SUM(run_start) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM r
+    ),
+    flagged AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, run
+                 ORDER BY ABS(delta) DESC, ts DESC) AS rk
+      FROM runs WHERE flag = 1
+    ),
+    man AS (
+      SELECT user_id, run AS maneuver_id,
+             MIN(ts) AS maneuver_ts,
+             MAX(CASE WHEN rk = 1 THEN delta END) AS turn_deg,
+             COUNT(*) AS n_samples
+      FROM flagged GROUP BY user_id, run
+    ),
+    entry AS (
+      SELECT m.user_id, m.maneuver_id,
+             {o_davg('e.value', 'entry_avg')}
+      FROM man m JOIN events e ON e.user_id = m.user_id
+       AND e.ts >= m.maneuver_ts - INTERVAL 24 HOURS AND e.ts < m.maneuver_ts
+      GROUP BY m.user_id, m.maneuver_id
+    ),
+    ex AS (
+      SELECT m.user_id, m.maneuver_id,
+             {o_davg('e.value', 'exit_avg')}
+      FROM man m JOIN events e ON e.user_id = m.user_id
+       AND e.ts > m.maneuver_ts AND e.ts <= m.maneuver_ts + INTERVAL 24 HOURS
+      GROUP BY m.user_id, m.maneuver_id
+    )
+    SELECT m.user_id, m.maneuver_id, m.maneuver_ts, m.turn_deg, m.n_samples,
+           en.entry_avg, ex.exit_avg
+    FROM man m
+    LEFT JOIN entry en ON en.user_id = m.user_id
+                      AND en.maneuver_id = m.maneuver_id
+    LEFT JOIN ex ON ex.user_id = m.user_id AND ex.maneuver_id = m.maneuver_id
+    """,
+)
+def maneuver_detect_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O54+O55 on the grading stream: synthesize a per-user heading
+    track (pmod(value*7, 360) ordered by ts — unique per user), detect
+    sustained >=150° swings over a 3-sample lookback with
+    operators.series.detect_maneuvers (flag-run dedup, peak-turn
+    argmax), then join each maneuver back to the user's surrounding
+    events for entry/exit averages over ±24 h — the reference's
+    tack-analysis shape (SURVEY.md §3.1 steps 5-6). The oracle
+    re-derives the full flag/run pipeline in SQL, three-valued logic
+    and all. Joins are per-user equi-joins with residual time
+    predicates — no nested loop at scale."""
+    from process_spark.operators.series import detect_maneuvers
+    from process_spark.queries._util import davg
+
+    base = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value",
+        F.pmod(F.col("value") * 7, F.lit(360.0)).alias("hdg"),
+    )
+    man = detect_maneuvers(
+        base, hdg_col="hdg", ts_col="ts", partition_by=["user_id"],
+        lookback=3, threshold_deg=150.0,
+    )
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), "value"
+    )
+
+    def _window_avg(alias: str, before: bool) -> DataFrame:
+        j = man.join(ev, man.user_id == ev.e_user)
+        day = F.expr("INTERVAL 24 HOURS")
+        if before:
+            j = j.filter(
+                (F.col("e_ts") >= F.col("maneuver_ts") - day)
+                & (F.col("e_ts") < F.col("maneuver_ts"))
+            )
+        else:
+            j = j.filter(
+                (F.col("e_ts") > F.col("maneuver_ts"))
+                & (F.col("e_ts") <= F.col("maneuver_ts") + day)
+            )
+        return j.groupBy("user_id", "maneuver_id").agg(davg("value", alias))
+
+    entry = _window_avg("entry_avg", before=True)
+    exit_ = _window_avg("exit_avg", before=False)
+    return (
+        man.select("user_id", "maneuver_id", "maneuver_ts", "turn_deg", "n_samples")
+        .join(entry, ["user_id", "maneuver_id"], "left")
+        .join(exit_, ["user_id", "maneuver_id"], "left")
+    )
+
+
+# --- pandas_udf scalar + grouped aggregate: O97 + O98 -----------------------
+
+@register(
+    "udf_pandas_suite",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, value,
+             CAST(trunc(value * 100) AS BIGINT) // 7 AS bucket
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           SUM(bucket) AS bucket_sum,
+           ROUND(MEDIAN(value), 6) AS median_value,
+           COUNT(*) AS n_events
+    FROM b GROUP BY user_id
+    """,
+)
+def udf_pandas_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O97+O98: Arrow-vectorized scalar pandas_udf (integer bucketing —
+    exact math, so the oracle mirrors it bit-for-bit) feeding a grouped
+    aggregate pandas_udf (sum of int64 buckets — exact; median — both
+    engines interpolate the same two middle float64s, rounded 6 dp
+    against the interpolation-formula ULP; Spark disallows mixing
+    grouped-agg pandas UDFs with built-in aggregates, so the count is
+    a pandas UDF too)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _bucket(v):
+        return pd.Series((np.trunc(v.to_numpy() * 100) // 7).astype("int64"))
+
+    _bucket.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    bucket7 = pandas_udf(_bucket, "long")
+
+    def _bsum(b):
+        return int(b.sum())
+
+    _bsum.__annotations__ = {"b": pd.Series, "return": int}
+    bucket_sum = pandas_udf(_bsum, "long")
+
+    def _vmed(v):
+        return float(round(v.median(), 6))
+
+    _vmed.__annotations__ = {"v": pd.Series, "return": float}
+    med = pandas_udf(_vmed, "double")
+
+    def _n(v):
+        return len(v)
+
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_events = pandas_udf(_n, "long")
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        e.withColumn("bucket", bucket7("value"))
+        .groupBy("user_id")
+        .agg(
+            bucket_sum(F.col("bucket")).alias("bucket_sum"),
+            med(F.col("value")).alias("median_value"),
+            n_events(F.col("value")).alias("n_events"),
+        )
+    )
+
+
+# --- applyInPandas + mapInPandas: O99 + O100 --------------------------------
+
+@register(
+    "udf_arrow_suite",
+    oracle="""
+    SELECT user_id, event_id,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s,
+           ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000) // 60
+             AS gap_bucket
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def udf_arrow_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O99+O100 chained: applyInPandas per user computes inter-event
+    gaps in whole seconds via *integer* nanosecond arithmetic (int64
+    numpy diff — never float, so no precision cliff at epoch
+    magnitude), then a mapInPandas pass derives the minute bucket on
+    each Arrow batch. All integers → exact oracle twin via lag()."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def _gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ns = pdf["ts"].astype("int64").to_numpy()
+        gaps = np.diff(ns) // 1_000_000_000
+        gap_s = pd.array(np.concatenate([[0], gaps]), dtype="Int64")
+        if len(gap_s):
+            gap_s[0] = pd.NA
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "gap_s": gap_s,
+            }
+        )
+
+    def _buckets(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["gap_bucket"] = pdf["gap_s"] // 60
+            yield pdf
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    g = e.groupBy("user_id").applyInPandas(
+        _gaps, "user_id long, event_id long, gap_s long"
+    )
+    return g.mapInPandas(
+        _buckets, "user_id long, event_id long, gap_s long, gap_bucket long"
     )
