@@ -141,7 +141,12 @@ def _pipeline_wide(spark: SparkSession) -> DataFrame:
     columns + session ids. Shared by the summary/export queries."""
     log = split_capture_prefix(sail_log(spark))
     long = parse_long(log, keep=("capture_ts",))
-    ok = long.filter(F.col("valid"))
+    # Lineage cut: the four signal branches below and every downstream
+    # consumer (summary, maneuver join, export) would otherwise each
+    # re-run generate→checksum→parse from scratch (no cross-branch
+    # subplan reuse in Catalyst). At warehouse scale this cut is "the
+    # parsed log is a table"; locally localCheckpoint is the same.
+    ok = long.filter(F.col("valid")).localCheckpoint(eager=False)
     f = F.col("fields")
     sig = (
         ok.filter(F.col("sentence") == "VHW")
@@ -178,9 +183,13 @@ def _pipeline_wide(spark: SparkSession) -> DataFrame:
         .withColumn("twd", angles.true_wind_direction("twa", "hdg"))
         .withColumn("vmg", angles.vmg("speed", "twa"))
     )
+    # Second cut: consumers fan the wide series into 2-4 branches
+    # (maneuvers + stats; entry/exit interval joins), each of which
+    # would re-run pivot→LOCF→wind math without it. ~29k rows × 12
+    # cols — trivially sized for a checkpoint at any scale factor.
     return sessionize(
         derived, ts_col="capture_ts", gap="5 minutes", partition_by=["day"]
-    )
+    ).localCheckpoint(eager=False)
 
 
 @register("nmea_pipeline_sail_summary", oracle=None)
