@@ -56,8 +56,7 @@ GRADED_WINDOW: tuple[str, ...] = (
     "join_cross_blocked",            # O36
     # aggregation
     "agg_grouping_sets",             # O40 O102
-    "agg_median_percentile",         # O41
-    "agg_moments_corr",              # O42
+    "agg_stats_suite",               # O41 O42
     "agg_argmax_conditional",        # O39 O43 O45
     "agg_collect_sorted_list",       # O44
     "agg_histogram_having",          # O46 O47
@@ -65,13 +64,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     "win_orders_suite",              # O48 O50
     "win_events_suite",              # O37 O49 O51 O52 O53
     # UDF / Arrow surface
-    "udf_scalar_python",             # O96
+    "udf_python_udtf_suite",         # O96 O101
     "udf_pandas_suite",              # O97 O98
     "udf_arrow_suite",               # O99 O100
-    "udtf_split_sentences",          # O101
     # sort / top-k
-    "topk_per_group",                # O57
-    "sort_within_partitions",        # O58
+    "sort_topk_suite",               # O57 O58
+    # ids & deterministic sampling
+    "sample_hash_deterministic",     # O87
     # set ops & dedup
     "setop_suite",                   # O59 O60 O61
     "dedup_keep_latest",             # O62
@@ -79,6 +78,7 @@ GRADED_WINDOW: tuple[str, ...] = (
     # vectors / multimodal
     "vec_norm_dup_suite",            # O64 O65
     "vec_knn_bruteforce",            # O66 O67
+    "vec_ann_srp_bucketed",          # O68
     "vec_centroids",                 # O69
     "mm_blob_metadata_stats",        # O70
     # text & strings
@@ -97,10 +97,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     "ts_resample_grid",              # O24
     "ts_locf_suite",                 # O25 O26 O27
     "ts_ewma_fold",                  # O28
-    # streaming (batch-twin oracles)
+    # streaming (batch-twin / final-state oracles)
     "stream_windows_suite",          # O7 O8 O88 O89
     "stream_session_window",         # O90
-    "stream_static_join",            # O94
+    "stream_user_state_suite",       # O91 O92 O93 O94
+    "stream_foreach_batch_export",   # O95
 )
 
 

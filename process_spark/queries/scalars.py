@@ -319,6 +319,63 @@ def ids_and_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+    WITH keyed AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)) AS sample_key
+      FROM lineitem
+    )
+    SELECT 'uniform' AS op, l_orderkey, l_linenumber, sample_key
+    FROM keyed WHERE sample_key < '2'
+    UNION ALL
+    SELECT 'stratified' AS op, l_orderkey, l_linenumber, sample_key
+    FROM keyed
+    WHERE sample_key < (CASE l_returnflag WHEN 'R' THEN '4'
+                                          WHEN 'A' THEN '2'
+                                          ELSE '1' END)
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O87 (oracle-backed): content-keyed deterministic sampling — the
+    reproducible 100 TB path. ``md5(primary key)`` compared against a
+    hex-prefix threshold gives a uniform sample with NO PRNG state: the
+    same rows are selected on every run, on any engine, and rerunning a
+    failed partition cannot change the sample (seeded `sample()` cannot
+    promise that across engines — see ids_and_sampling). The hash
+    doubles as a stable surrogate id (O87's id half). Stratified rates
+    come from a per-stratum threshold (R=1/4, A=1/8, else 1/16) — the
+    same per-language-quota shape as sample_stratified_by. Pure
+    expression, no shuffle: the filter rides the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("sample_key"),
+    )
+    uniform = keyed.filter(F.col("sample_key") < "2").select(
+        F.lit("uniform").alias("op"), "l_orderkey", "l_linenumber", "sample_key"
+    )
+    threshold = (
+        F.when(F.col("l_returnflag") == "R", F.lit("4"))
+        .when(F.col("l_returnflag") == "A", F.lit("2"))
+        .otherwise(F.lit("1"))
+    )
+    stratified = keyed.filter(F.col("sample_key") < threshold).select(
+        F.lit("stratified").alias("op"), "l_orderkey", "l_linenumber", "sample_key"
+    )
+    return uniform.unionByName(stratified)
+
+
 @register("sample_stratified_by")  # rows-only: PRNG is engine-specific
 def sample_stratified_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O87 stratified: per-stratum Bernoulli sampling via sampleBy —

@@ -194,16 +194,26 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(joined, mode="append")
 
 
-@register("stream_dedup_watermark", oracle=None)
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type FROM events
+    """,
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O91/O92: watermarked exactly-once dedup on event_id — state is
-    dropped for ids older than the 1-day watermark (rows-only; the
-    watermark cut depends on micro-batch boundaries)."""
-    s = _stream_events(spark, sf_dir)
-    deduped = s.withWatermark("ts", "1 day").dropDuplicates(["event_id"])
-    return _drain(
-        deduped.select("event_id", "ts", "user_id", "event_type"), mode="append"
+    """O91/O92 (oracle-backed): watermarked exactly-once dedup on
+    event_id — state is dropped for ids older than the 1-day watermark.
+    The stream is duplicate-injected (self-union doubles every event),
+    so the oracle is discriminating: a dedup that leaks emits 2x rows,
+    a dedup that drops loses rows. Because injected duplicates are
+    byte-identical, WHICH occurrence survives a micro-batch boundary is
+    irrelevant — the surviving row set equals the distinct input, the
+    batch twin the oracle runs."""
+    s = _stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
     )
+    deduped = s.union(s).withWatermark("ts", "1 day").dropDuplicates(["event_id"])
+    return _drain(deduped, mode="append")
 
 
 @register("stream_stateful_user_stats", oracle=None)
@@ -301,31 +311,36 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, mode="update")
 
 
-@register("stream_foreach_batch_export", oracle=None)
+@register(
+    "stream_foreach_batch_export",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_foreach_batch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O95: foreachBatch sink — per-micro-batch custom export (the
-    reference's JSON-doc output as a stream, SURVEY.md O95). Each batch
-    aggregates per event_type and appends parquet partitioned by batch
-    id; the query returns the read-back union (rows-only: batch
-    boundaries are source-dependent)."""
+    """O95 (oracle-backed): foreachBatch sink — per-micro-batch custom
+    export (the reference's JSON-doc output as a stream, SURVEY.md
+    O95). Each batch appends its raw rows as parquet partitioned by
+    batch id; the query re-reads every exported batch and aggregates
+    per event type with an exact-decimal sum. Batch BOUNDARIES are
+    source-dependent, but the exported row UNION is the whole input —
+    so the read-back aggregate is batch-count-invariant and carries a
+    plain batch oracle (exactly-once: the checkpoint prevents an
+    interrupted run from double-appending a batch)."""
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".scratch", "stream_batches")
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
     s = _stream_events(spark, sf_dir)
     agg_src = s.select("event_type", "value")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(18,6)"))
-                .cast("double")
-                .alias("sum_value"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
+            batch_df.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("batch_id")
             .parquet(out_dir)
@@ -339,8 +354,15 @@ def stream_foreach_batch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
-    return spark.read.parquet(out_dir).select(
-        "batch_id", "event_type", "n", "sum_value"
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
     )
 
 
@@ -452,3 +474,108 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
     )
     return t_out.unionByName(s_out)
+
+
+@register(
+    "stream_user_state_suite",
+    oracle="""
+    WITH weights(event_type, weight) AS (VALUES
+      ('click', 1), ('view', 1), ('purchase', 10), ('signup', 5), ('error', -1))
+    SELECT e.user_id,
+           COUNT(*) AS n_dedup,
+           COUNT(*) AS n_events,
+           MAX(e.value) AS max_value,
+           CAST(SUM(CAST(e.value * w.weight AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_weighted
+    FROM events e JOIN weights w USING (event_type)
+    GROUP BY e.user_id
+    """,
+)
+def stream_user_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O91+O92+O93+O94 with one oracle: three streaming plans drained
+    availableNow, reduced to their per-user FINAL state (which is
+    batch-deterministic even though per-batch emission timing is not):
+
+    - watermarked exactly-once dedup (O91 watermark bounds the id
+      state, O92 dropDuplicates) fed a duplicate-injected stream — the
+      self-union doubles every event, so a dedup that leaks produces
+      2x counts and a red row;
+    - applyInPandasWithState running per-user stats (O93) in update
+      mode — the max over the update log IS the final state;
+    - stream x static broadcast join (O94) weighting each event, then
+      an exact-decimal per-user sum of the drained append log.
+
+    The three per-user frames join on user_id into one row per user.
+    Scale: all state is keyed and watermark-bounded; the static dim
+    broadcasts; each drain shuffles once on its key."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    # O91/O92 — duplicate-injected watermarked dedup, reduced per user.
+    s1 = _stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    deduped = s1.union(s1).withWatermark("ts", "1 day").dropDuplicates(["event_id"])
+    dedup_counts = (
+        _drain(deduped, mode="append")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_dedup"))
+    )
+
+    # O93 — running per-user stats via explicit GroupState; final
+    # state = max over the update-mode emission log.
+    s2 = _stream_events(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, vmax = state.get
+        else:
+            n, vmax = 0, float("-inf")
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    stats_log = s2.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    final_stats = (
+        _drain(stats_log, mode="update")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+    # O94 — stream x static broadcast join, exact-decimal reduced.
+    weights = spark.createDataFrame(
+        [("click", 1), ("view", 1), ("purchase", 10), ("signup", 5), ("error", -1)],
+        "event_type string, weight int",
+    )
+    s3 = _stream_events(spark, sf_dir).select("user_id", "event_type", "value")
+    weighted = s3.join(F.broadcast(weights), "event_type").select(
+        "user_id", (F.col("value") * F.col("weight")).alias("weighted_value")
+    )
+    weighted_sums = (
+        _drain(weighted, mode="append")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("weighted_value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_weighted")
+        )
+    )
+
+    return dedup_counts.join(final_stats, "user_id").join(weighted_sums, "user_id")

@@ -1083,3 +1083,140 @@ def udf_arrow_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.mapInPandas(
         _buckets, "user_id long, event_id long, gap_s long, gap_bucket long"
     )
+
+
+# --- Percentiles + moments: O41 + O42 ---------------------------------------
+
+@register(
+    "agg_stats_suite",
+    oracle="""
+    SELECT event_type,
+           MEDIAN(value) AS median_value,
+           QUANTILE_CONT(value, 0.9) AS p90_value,
+           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+           ROUND(VAR_SAMP(value), 4) AS var_value,
+           ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O41+O42 on one grain: exact median / interpolated p90 (Spark
+    percentile == DuckDB quantile_cont) plus stddev/var/corr per event
+    type. Moments have no exact-decimal form — rounded identically on
+    both sides (SURVEY.md §5.2); the percentile pair is IEEE-exact so
+    it stays unrounded. One hash-aggregate pass, shuffle on the
+    (tiny) group key only."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.median("value").alias("median_value"),
+            F.percentile("value", 0.9).alias("p90_value"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(
+                F.corr(F.col("value"), F.col("user_id").cast("double")), 6
+            ).alias("corr_value_user"),
+        )
+    )
+
+
+# --- sortWithinPartitions + top-k per group: O57 + O58 ----------------------
+
+@register(
+    "sort_topk_suite",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber)
+               AS rn
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def sort_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O57+O58 on one grain: repartition lineitem by order key and
+    sortWithinPartitions (write-time clustering — the layout that feeds
+    min/max-indexed parquet at 100 TB without a global sort), then
+    top-3 lines per order by price over the SAME partitioning — the
+    window reuses the repartition's hash exchange, so the whole suite
+    is one shuffle. Row SET is partition-independent; the oracle
+    checks exactly that."""
+    from process_spark.operators.relational import topk_per_group
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .repartition(F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+    return topk_per_group(
+        li,
+        partition_by=["l_orderkey"],
+        order_by=[F.col("l_extendedprice").desc(), F.col("l_linenumber")],
+        k=3,
+    )
+
+
+# --- Python scalar UDF + UDTF: O96 + O101 -----------------------------------
+
+@register(
+    "udf_python_udtf_suite",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'), s -> trim(s)),
+                         s -> len(s) > 0) AS ps
+      FROM documents
+    ), sentences AS (
+      SELECT doc_id,
+             CAST(unnest(range(len(ps))) AS INT) AS sent_idx,
+             unnest(ps) AS sentence
+      FROM parts
+    )
+    SELECT doc_id, sent_idx, sentence,
+           CAST(len(sentence) AS BIGINT) // 10 AS len_bucket
+    FROM sentences
+    """,
+)
+def udf_python_udtf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O96+O101 chained: a Python UDTF fans each document out to
+    (index, sentence) rows, then a row-at-a-time Python scalar UDF
+    buckets each sentence by length — the two row-level Python escape
+    hatches composed through the SQL surface (LATERAL + function call).
+    Deliberately integer math so the oracle mirrors it exactly; the
+    functions/* docstrings explain why 100 TB hot paths use expressions
+    or Arrow UDFs instead."""
+    from pyspark.sql.functions import udf, udtf  # noqa: PLC0415
+    from pyspark.sql.types import LongType  # noqa: PLC0415
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for part in text.split("."):
+                part = part.strip()
+                if part:
+                    yield idx, part
+                    idx += 1
+
+    d = t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_for_udtf_suite")
+    spark.udtf.register("split_sentences_suite", SplitSentences)
+    spark.udf.register(
+        "len_bucket_suite",
+        udf(lambda s: len(s) // 10 if s is not None else None, LongType()),
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence,
+               len_bucket_suite(s.sentence) AS len_bucket
+        FROM __docs_for_udtf_suite d,
+             LATERAL split_sentences_suite(d.text) s
+        """
+    )

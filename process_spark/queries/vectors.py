@@ -14,7 +14,7 @@ pair generation always rides a blocking key (label here, IVF cell at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from process_spark.functions.vectorfn import (
@@ -215,6 +215,86 @@ def vec_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(sig.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+#: SRP planes for the oracle-backed ANN query. The SAME constants are
+#: inlined into the DuckDB oracle as list literals: Python repr() emits
+#: shortest-roundtrip decimals, which DuckDB parses back to the exact
+#: same float64 bits that F.lit() ships to Spark — so both engines
+#: compute bit-identical projections and land every vector in the same
+#: bucket. 6 planes → 64 buckets: coarse enough that buckets hold real
+#: candidate sets at test SFs, the knob a deployment tunes upward.
+_ANN_PLANES = random_hyperplanes(dim=64, n_planes=6, seed=42)
+_ANN_PLANES_VALUES = ",\n      ".join(
+    "({}, [{}])".format(i, ", ".join(repr(w) for w in plane))
+    for i, plane in enumerate(_ANN_PLANES)
+)
+
+
+@register(
+    "vec_ann_srp_bucketed",
+    oracle=f"""
+    WITH planes(p_idx, w) AS (VALUES
+      {_ANN_PLANES_VALUES}
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {_o_dot('e.embedding', 'p.w')} > 0
+                      THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ),
+    q AS (
+      SELECT s.vec_id AS q_id, e.embedding AS q_emb, s.bucket
+      FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+      WHERE s.vec_id % 100 = 0
+    ),
+    cand AS (
+      SELECT q.q_id, s.vec_id,
+             {_o_cosine('e.embedding', 'q.q_emb')} AS score
+      FROM q JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.q_id
+      JOIN embeddings e ON e.vec_id = s.vec_id
+    )
+    SELECT q_id, vec_id, score, rank FROM (
+      SELECT q_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def vec_ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 (oracle-backed): approximate k-NN via signed-random-projection
+    bucketing. Every vector gets a 6-bit SRP signature; queries join
+    candidates on bucket EQUALITY (the equi-join that replaces the
+    cross join at 100 TB — only ~1/64th of the corpus is scored per
+    query), then exact cosine re-ranks the bucket, top-5 per query.
+
+    Deterministic end-to-end: fixed-seed planes inlined into both
+    engines, bit-identical HOF cosine fold, (score, vec_id) total
+    order — which is what lets an *approximate* index carry an exact
+    cross-engine oracle. Scale shape: signatures are one map-side pass;
+    queries broadcast; the bucket join shuffles only bucket-matched
+    candidates."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = srp_signature("embedding", _ANN_PLANES)
+    sigs = e.select("vec_id", "embedding", sig.alias("bucket"))
+    q = sigs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = sigs.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cands.select(
+        "q_id", "vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
     )
 
 
