@@ -92,7 +92,36 @@ NOTES = {
         "Query side broadcast (small by construction); corpus scored "
         "map-side; the only shuffle is the per-query top-k aggregate."
     ),
+    "vec_ann_srp_bucketed": (
+        "Approximate k-NN as a bucket EQUI-join: SRP signatures computed "
+        "map-side, broadcast query side keyed by bucket, so only "
+        "bucket-colliding candidates are scored (~1/2^planes of the "
+        "corpus per query). Partial WindowGroupLimit takes per-partition "
+        "top-5 BEFORE the q_id shuffle - the exchange carries k rows per "
+        "(query, partition), not the candidate set."
+    ),
+    "sort_topk_suite": (
+        "repartition(l_orderkey) + sortWithinPartitions + per-order "
+        "top-3: the window's ENSURE_REQUIREMENTS is satisfied by the "
+        "explicit repartition, so the whole suite runs in ONE exchange, "
+        "and WindowGroupLimit prunes to k rows per group before the "
+        "final window evaluation."
+    ),
+    "sample_hash_deterministic": (
+        "Content-keyed md5-threshold sampling: pure row-local "
+        "expressions, zero shuffles - both sample branches ride the "
+        "same scan and the filter evaluates inside whole-stage codegen. "
+        "Reproducible at any scale with no PRNG state."
+    ),
 }
+
+#: Non-headline queries whose plan shape is a scale showcase worth
+#: auditing alongside the bench set.
+EXTRA_AUDIT = [
+    "vec_ann_srp_bucketed",
+    "sort_topk_suite",
+    "sample_hash_deterministic",
+]
 
 
 def main() -> None:
@@ -114,7 +143,7 @@ def main() -> None:
     print("tests/test_plan_shapes.py enforce the load-bearing shapes.")
     print()
 
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA_AUDIT:
         df = REGISTRY[name].fn(spark, sf_dir)
         # Execute THIS plan (count() would plan a different query):
         # AQE finalizes and codegen ids appear only after execution.
