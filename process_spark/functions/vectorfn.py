@@ -45,6 +45,15 @@ def l2_normalize(a: Column | str) -> Column:
     return F.when(n > 0, F.transform(_c(a), lambda x: x / n))
 
 
+def unit_with(a: Column | str, norm: Column | str) -> Column:
+    """``a / norm`` elementwise, with the norm taken from a separately
+    projected column — so the O(d) norm fold runs once per VECTOR (in
+    the pre-join projection), not once per element or once per joined
+    pair. The normalize-once-score-many layout is the 100 TB shape for
+    cosine workloads: score = plain dot over unit vectors."""
+    return F.transform(_c(a), lambda x: x / _c(norm))
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity as a pure expression."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))

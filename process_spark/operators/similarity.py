@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from process_spark.functions.vectorfn import cosine, dot, l2_norm
+from process_spark.functions.vectorfn import dot, l2_norm, unit_with
 
 
 def brute_force_knn(
@@ -33,10 +33,19 @@ def brute_force_knn(
     the only shuffle is the per-query top-k, which is tiny. This is the
     right physical shape when |queries| ≪ |corpus| — the common case.
     """
-    score = {
-        "cosine": cosine(F.col(query_vec), F.col(corpus_vec)),
-        "dot": dot(F.col(query_vec), F.col(corpus_vec)),
-    }[metric]
+    if metric == "cosine":
+        # Normalize each side ONCE in its pre-join projection, then
+        # score with a plain dot: |Q|+|C| norm folds instead of |Q|·|C|
+        # (cosine(a,b) re-derives both norms per scored pair). Unit
+        # vectors are array<double> (2x the float32 bytes through the
+        # broadcast) — the standard trade for 3x fewer O(d) folds.
+        queries = queries.select(
+            query_id, l2_norm(query_vec).alias("__qn"), F.col(query_vec)
+        ).select(query_id, unit_with(query_vec, "__qn").alias(query_vec))
+        corpus = corpus.select(
+            corpus_id, l2_norm(corpus_vec).alias("__cn"), F.col(corpus_vec)
+        ).select(corpus_id, unit_with(corpus_vec, "__cn").alias(corpus_vec))
+    score = dot(F.col(query_vec), F.col(corpus_vec))
     # Fan the corpus out before scoring: a single-file local scan is one
     # partition, which would serialize |Q|·|C| score evaluations on one
     # core (explicit count — AQE would coalesce the small shuffle back).
@@ -134,11 +143,18 @@ def ivf_build(
 def _assign_cells(
     corpus: DataFrame, cells: DataFrame, corpus_id: str, vec_col: str
 ) -> DataFrame:
-    scored = corpus.join(F.broadcast(cells)).select(
+    # Nearest-cell RANKING for a fixed vector v is invariant to |v|, so
+    # score against unit centroids with a plain dot: n_cells norm folds
+    # total (in the broadcast) and one dot per (vector, cell) pair —
+    # cosine(v, c) would re-fold |v| n_cells times per corpus vector.
+    ucells = cells.select(
+        "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
+    ).select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
+    scored = corpus.join(F.broadcast(ucells)).select(
         corpus_id,
         vec_col,
         "cell_id",
-        cosine(F.col(vec_col), F.col("centroid")).alias("__sim"),
+        dot(F.col(vec_col), F.col("centroid")).alias("__sim"),
     )
     w = Window.partitionBy(corpus_id).orderBy(
         F.col("__sim").desc(), F.col("cell_id").asc()
@@ -164,13 +180,18 @@ def ivf_search(
     """O68 — probe the ``n_probe`` nearest cells per query, brute-force
     within them. Probed fraction ≈ n_probe/n_cells of the corpus —
     that's the speedup; the cell equi-join keeps it shuffle-shaped."""
+    # Same |v|-invariance as _assign_cells: probe ranking via dot
+    # against unit centroids.
+    ucells = cells.select(
+        "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
+    ).select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
     qcells = (
-        queries.join(F.broadcast(cells))
+        queries.join(F.broadcast(ucells))
         .select(
             query_id,
             query_vec,
             "cell_id",
-            cosine(F.col(query_vec), F.col("centroid")).alias("__sim"),
+            dot(F.col(query_vec), F.col("centroid")).alias("__sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -179,12 +200,22 @@ def ivf_search(
     probes = (
         qcells.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_probe)
-        .select(query_id, query_vec, "cell_id")
+        .select(
+            query_id, "cell_id", l2_norm(query_vec).alias("__qn"), F.col(query_vec)
+        )
+        .select(
+            query_id, "cell_id", unit_with(query_vec, "__qn").alias(query_vec)
+        )
     )
-    cand = assignments.join(F.broadcast(probes), on="cell_id").select(
+    # Final re-rank: normalize each side once (queries in the broadcast
+    # above, corpus per candidate row here), score with a plain dot.
+    ucand = assignments.select(
+        corpus_id, "cell_id", l2_norm(corpus_vec).alias("__cn"), F.col(corpus_vec)
+    ).select(corpus_id, "cell_id", unit_with(corpus_vec, "__cn").alias(corpus_vec))
+    cand = ucand.join(F.broadcast(probes), on="cell_id").select(
         query_id,
         corpus_id,
-        cosine(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        dot(F.col(query_vec), F.col(corpus_vec)).alias("score"),
     )
     w2 = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
@@ -203,16 +234,22 @@ def near_dup_embeddings(
     block_col: str | None = "label",
 ) -> DataFrame:
     """O64 — semantic dedup: pairs above a cosine threshold, blocked to
-    bound the pair count (block by label/IVF cell at scale)."""
+    bound the pair count (block by label/IVF cell at scale). Vectors
+    are normalized ONCE in the pre-join projection; the pair score is
+    then a plain dot — O(pairs) folds instead of 3x that (cosine(a,b)
+    re-derives both norms per pair)."""
     sel = [F.col(id_col), F.col(vec_col)]
     if block_col:
         sel.append(F.col(block_col))
-    base = emb.select(*sel)
+    base = emb.select(*sel, l2_norm(vec_col).alias("__n")).select(
+        *([F.col(id_col)] + ([F.col(block_col)] if block_col else [])),
+        unit_with(vec_col, "__n").alias(vec_col),
+    )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
         a.join(b, cond)
         .select(

@@ -63,12 +63,23 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle — the shape that scales: no pairwise comparison, and
     the benchmark side stays tiny relative to the corpus."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(word_ngrams(tokens(F.col("text")), 3))).alias(
-            "shingle"
-        ),
+    # Fan out before the CPU-bound tokenize/shingle stage (a single
+    # parquet file scans as one partition), and cut lineage after it:
+    # the benchmark and corpus branches below otherwise EACH re-run the
+    # full shingle pipeline (Catalyst has no cross-branch subplan
+    # reuse). At warehouse scale this cut is "the shingle table is
+    # materialized once"; locally localCheckpoint is the same.
+    n_part = spark.sparkContext.defaultParallelism
+    sh = (
+        d.repartition(n_part, F.col("doc_id"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col("text")), 3))
+            ).alias("shingle"),
+        )
+        .localCheckpoint(eager=False)
     )
     bench = (
         sh.filter(F.col("source") == "src0")

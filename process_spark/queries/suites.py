@@ -785,39 +785,41 @@ def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vec_norm_dup_suite",
-    oracle=f"""
+    oracle="""
+    WITH n AS (SELECT vec_id, label, embedding, {norm} AS nn
+               FROM embeddings WHERE vec_id % 4 = 0),
+    u AS (SELECT vec_id, label, list_transform(embedding, x -> x / nn) AS nemb
+          FROM n)
     SELECT 'norm' AS op, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
-           {{norm}} AS l2,
+           {norm} AS l2,
            CAST(list_min(embedding) AS DOUBLE) AS min_elem,
            CAST(list_max(embedding) AS DOUBLE) AS max_elem,
-           (CAST(embedding[1] AS DOUBLE) / {{norm}}) AS unit_first,
+           (CAST(embedding[1] AS DOUBLE) / {norm}) AS unit_first,
            CAST(NULL AS DOUBLE) AS cosine_sim
     FROM embeddings
     UNION ALL
     SELECT 'near_dup', a.vec_id, b.vec_id, NULL, NULL, NULL, NULL,
-           {{cos}}
-    FROM embeddings a JOIN embeddings b
+           {dot}
+    FROM u a JOIN u b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0 AND {{cos}} >= 0.2
+    WHERE {dot} >= 0.2
     """.format(
         norm="sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
         " list_transform(embedding, x -> x * x)), (a, x) -> a + x))",
-        cos="(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
-        " list_transform(range(1, len(a.embedding) + 1),"
-        " i -> a.embedding[CAST(i AS INT)] * b.embedding[CAST(i AS INT)])),"
-        " (a2, x) -> a2 + x)"
-        " / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
-        " list_transform(a.embedding, x -> x * x)), (a2, x) -> a2 + x))"
-        " * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
-        " list_transform(b.embedding, x -> x * x)), (a2, x) -> a2 + x))))",
+        dot="list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(range(1, len(a.nemb) + 1),"
+        " i -> a.nemb[CAST(i AS INT)] * b.nemb[CAST(i AS INT)])),"
+        " (a2, x) -> a2 + x)",
     ),
 )
 def vec_norm_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O65+O64 tagged union over embeddings: per-vector norm battery
     (L2, min/max element, first unit component) and label-blocked
-    semantic near-dup pairs at cosine ≥ 0.2 — thresholding on
-    bit-identical scores keeps the row set hash-stable (see module
-    docstring of queries/vectors.py)."""
+    semantic near-dup pairs at cosine ≥ 0.2, scored as
+    dot-of-unit-vectors (normalized once pre-join; the oracle mirrors
+    the exact op order) — thresholding on bit-identical scores keeps
+    the row set hash-stable (see module docstring of
+    queries/vectors.py)."""
     from process_spark.functions.vectorfn import l2_norm, l2_normalize
     from process_spark.operators.similarity import near_dup_embeddings
 

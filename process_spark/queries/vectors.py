@@ -60,6 +60,19 @@ def _o_cosine(a: str, b: str) -> str:
     return f"({_o_dot(a, b)} / ({_o_norm(a)} * {_o_norm(b)}))"
 
 
+def _o_unit_cte(source_sql: str, extra_cols: str = "") -> str:
+    """DuckDB twin of the normalize-once projection in
+    operators.similarity (l2_norm as its own column, then elementwise
+    x / norm): ``u(vec_id, {extra}, nemb)`` over ``source_sql``."""
+    cols = f"vec_id, {extra_cols}, " if extra_cols else "vec_id, "
+    return (
+        f"n AS (SELECT {cols}embedding, {_o_norm('embedding')} AS nn"
+        f" FROM ({source_sql})),"
+        f" u AS (SELECT {cols}list_transform(embedding, x -> x / nn) AS nemb"
+        f" FROM n)"
+    )
+
+
 @register(
     "vec_norms",
     oracle=f"""
@@ -112,12 +125,13 @@ def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vec_knn_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-               FROM embeddings WHERE vec_id % 100 = 0),
+    WITH {_o_unit_cte('SELECT * FROM embeddings')},
+    q AS (SELECT vec_id AS q_id, nemb AS q_emb
+          FROM u WHERE vec_id % 100 = 0),
     scored AS (
       SELECT q.q_id, e.vec_id,
-             {_o_cosine('q.q_emb', 'e.embedding')} AS score
-      FROM q CROSS JOIN embeddings e
+             {_o_dot('q.q_emb', 'e.nemb')} AS score
+      FROM q CROSS JOIN u e
     )
     SELECT q_id, vec_id, score,
            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
@@ -128,8 +142,9 @@ def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vec_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O67: exact top-5 cosine k-NN — broadcast queries, score the
-    corpus map-side, per-query top-k. Rank ties break on vec_id; scores
-    are bit-identical across engines (see module docstring)."""
+    corpus map-side as dot-of-unit-vectors (normalized once per side,
+    not per pair; oracle mirrors the op order), per-query top-k. Rank
+    ties break on vec_id; scores are bit-identical across engines."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -187,18 +202,19 @@ def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vec_near_dup",
     oracle=f"""
+    WITH {_o_unit_cte('SELECT * FROM embeddings WHERE vec_id % 4 = 0', 'label')}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_o_cosine('a.embedding', 'b.embedding')} AS cosine_sim
-    FROM embeddings a JOIN embeddings b
+           {_o_dot('a.nemb', 'b.nemb')} AS cosine_sim
+    FROM u a JOIN u b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
-      AND {_o_cosine('a.embedding', 'b.embedding')} >= 0.2
+    WHERE {_o_dot('a.nemb', 'b.nemb')} >= 0.2
     """,
 )
 def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O64: semantic near-dup pairs — cosine threshold within label
-    blocks. Thresholding on bit-identical scores keeps the row set
-    hash-stable."""
+    blocks, scored as dot-of-unit-vectors (normalized once pre-join;
+    the oracle mirrors the exact op order). Thresholding on
+    bit-identical scores keeps the row set hash-stable."""
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
     return near_dup_embeddings(e, threshold=0.2, block_col="label")
 

@@ -95,3 +95,55 @@ def test_nmea_coord_conversion(spark, coords):
     for (d, m, south), g in zip(coords, got):
         expect = (d + m / 60.0) * (-1 if south else 1)
         assert math.isclose(g, expect, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+            ),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_unit_dot_matches_cosine(spark, vectors):
+    """The normalize-once-then-dot scoring (operators.similarity) must
+    agree with the classic dot/(|a||b|) cosine to float64 tolerance —
+    the op-order change is a performance layout, not a semantic one."""
+    from process_spark.functions.vectorfn import cosine, dot, l2_norm, unit_with
+
+    rows = [(i, v) for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    normed = df.select(
+        "id", l2_norm("v").alias("__n"), F.col("v")
+    ).select("id", unit_with("v", "__n").alias("nv"))
+    a, b = normed.alias("a"), normed.alias("b")
+    via_unit = {
+        (r["ida"], r["idb"]): r["s"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            dot(F.col("a.nv"), F.col("b.nv")).alias("s"),
+        )
+        .collect()
+    }
+    a2, b2 = df.alias("a"), df.alias("b")
+    via_cosine = {
+        (r["ida"], r["idb"]): r["s"]
+        for r in a2.join(b2, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("s"),
+        )
+        .collect()
+    }
+    assert via_unit.keys() == via_cosine.keys()
+    for k, s in via_unit.items():
+        assert abs(s - via_cosine[k]) < 1e-9, (k, s, via_cosine[k])
