@@ -58,19 +58,36 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain(df: DataFrame, mode: str = "complete") -> DataFrame:
     """O8/O95 — run the streaming plan availableNow into a memory sink
-    and return the drained table (unique sink name per call)."""
+    and return the drained table (unique sink name per call).
+
+    Streaming state (aggregation stores, dedup key sets, GroupState)
+    is partitioned by ``spark.sql.shuffle.partitions`` AT QUERY START;
+    under a default 200-partition session each drain pays 200 state
+    stores + 200 Python workers for test-SF data. Scope the partition
+    count to the machine's parallelism for the duration of the drain
+    only — the stream runs synchronously (awaitTermination) and the
+    conf is restored in ``finally``, so unlike a lingering session
+    mutation nothing later observes the override. A real deployment
+    sizes this per stream workload instead."""
     global _MEM_SEQ
     _MEM_SEQ += 1
     name = f"__stream_sink_{_MEM_SEQ}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(spark.sparkContext.defaultParallelism))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old)
+    return spark.table(name)
 
 
 @register(
