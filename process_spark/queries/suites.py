@@ -1058,17 +1058,24 @@ def udf_arrow_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: PLC0415
 
     def _gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ns = pdf["ts"].astype("int64").to_numpy()
-        gaps = np.diff(ns) // 1_000_000_000
-        gap_s = pd.array(np.concatenate([[0], gaps]), dtype="Int64")
-        if len(gap_s):
-            gap_s[0] = pd.NA
+        # Pure-numpy body: this function runs once per GROUP, so pandas
+        # conveniences (sort_values, elementwise nullable assignment)
+        # would pay their overhead thousands of times per partition.
+        eid = pdf["event_id"].to_numpy()
+        ns = pdf["ts"].to_numpy("datetime64[ns]").view("int64")
+        order = np.lexsort((eid, ns))
+        ns = ns[order]
+        vals = np.zeros(len(ns), dtype="int64")
+        if len(ns) > 1:
+            vals[1:] = np.diff(ns) // 1_000_000_000
+        mask = np.zeros(len(ns), dtype=bool)
+        if len(ns):
+            mask[0] = True  # no predecessor -> NULL gap
         return pd.DataFrame(
             {
-                "user_id": pdf["user_id"].to_numpy(),
-                "event_id": pdf["event_id"].to_numpy(),
-                "gap_s": gap_s,
+                "user_id": pdf["user_id"].to_numpy()[order],
+                "event_id": eid[order],
+                "gap_s": pd.arrays.IntegerArray(vals, mask),
             }
         )
 
