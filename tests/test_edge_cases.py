@@ -1,0 +1,184 @@
+"""Edge-case pins for the hand-built operators (SURVEY.md §4.2): empty
+inputs, single rows, all-null value columns, duplicate timestamps.
+None of these shapes appear in the driver testdata, but all of them
+appear in a real 100 TB run (empty partitions after a selective
+filter, sensors that never report, repeated capture timestamps), so
+the operators must return — not throw — and return the pinned thing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = "ts double, user_id long, v double"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp, user_id long, v double"
+    )
+
+
+EMPTY = []
+SINGLE = [(_ts("2024-01-01T00:00:00"), 1, 2.0)]
+ALL_NULL_V = [
+    (_ts("2024-01-01T00:00:00"), 1, None),
+    (_ts("2024-01-01T00:01:00"), 1, None),
+]
+DUP_TS = [
+    (_ts("2024-01-01T00:00:00"), 1, 1.0),
+    (_ts("2024-01-01T00:00:00"), 1, 2.0),
+    (_ts("2024-01-01T00:05:00"), 1, None),
+]
+
+
+def test_forward_fill_edges(spark):
+    from process_spark.operators.series import forward_fill
+
+    assert forward_fill(_events(spark, EMPTY), ["v"], "ts", ["user_id"]).count() == 0
+    assert forward_fill(
+        _events(spark, SINGLE), ["v"], "ts", ["user_id"]
+    ).collect()[0]["v"] == 2.0
+    # all-null column stays all-null (nothing to carry)
+    out = forward_fill(_events(spark, ALL_NULL_V), ["v"], "ts", ["user_id"])
+    assert [r["v"] for r in out.collect()] == [None, None]
+    # duplicate ts: LOCF fills from the last row in (ts, order) — the
+    # null third row gets a non-null carried value
+    out = forward_fill(_events(spark, DUP_TS), ["v"], "ts", ["user_id"])
+    assert [r["v"] for r in out.orderBy("ts", "v").collect()][-1] is not None
+
+
+def test_linear_interpolate_edges(spark):
+    from process_spark.operators.series import linear_interpolate
+
+    assert (
+        linear_interpolate(_events(spark, EMPTY), ["v"], "ts", ["user_id"]).count()
+        == 0
+    )
+    # all-null column: no anchors on either side -> stays null
+    out = linear_interpolate(_events(spark, ALL_NULL_V), ["v"], "ts", ["user_id"])
+    assert [r["v"] for r in out.collect()] == [None, None]
+    # boundary null (before the first observation) takes the next value
+    rows = [
+        (_ts("2024-01-01T00:00:00"), 1, None),
+        (_ts("2024-01-01T00:01:00"), 1, 10.0),
+        (_ts("2024-01-01T00:03:00"), 1, None),
+        (_ts("2024-01-01T00:05:00"), 1, 20.0),
+    ]
+    out = linear_interpolate(_events(spark, rows), ["v"], "ts", ["user_id"])
+    got = [r["v"] for r in out.orderBy("ts").collect()]
+    assert got[0] == 10.0  # leading null -> next anchor
+    assert got[2] == pytest.approx(15.0)  # halfway between 10 and 20
+
+
+def test_resample_grid_edges(spark):
+    from process_spark.operators.series import resample_grid
+
+    assert (
+        resample_grid(_events(spark, EMPTY), "ts", "1 minute", ["user_id"]).count()
+        == 0
+    )
+    # single row -> single grid cell, value preserved
+    out = resample_grid(_events(spark, SINGLE), "ts", "1 minute", ["user_id"])
+    assert out.count() == 1 and out.collect()[0]["v"] == 2.0
+
+
+def test_sessionize_edges(spark):
+    from process_spark.operators.series import sessionize
+
+    assert (
+        sessionize(
+            _events(spark, EMPTY), ts_col="ts", gap="5 minutes",
+            partition_by=["user_id"],
+        ).count()
+        == 0
+    )
+    out = sessionize(
+        _events(spark, SINGLE), ts_col="ts", gap="5 minutes",
+        partition_by=["user_id"],
+    )
+    assert out.count() == 1
+    # duplicate-ts rows land in the same session
+    out = sessionize(
+        _events(spark, DUP_TS), ts_col="ts", gap="10 minutes",
+        partition_by=["user_id"],
+    )
+    assert out.select("session_id").distinct().count() == 1
+
+
+def test_asof_join_edges(spark):
+    from process_spark.operators.relational import asof_join
+
+    left = _events(spark, SINGLE).select("ts", "user_id")
+    right_empty = _events(spark, EMPTY).select(
+        "ts", "user_id", F.col("v").alias("rv")
+    )
+    out = asof_join(
+        left, right_empty, on_ts="ts", by=["user_id"], value_cols=["rv"]
+    )
+    rows = out.collect()
+    # left rows survive with null as-of values when the right side is empty
+    assert len(rows) == 1 and rows[0]["rv"] is None
+    # exact-timestamp match counts as "at or before"
+    right = _events(spark, SINGLE).select(
+        "ts", "user_id", F.col("v").alias("rv")
+    )
+    out = asof_join(left, right, on_ts="ts", by=["user_id"], value_cols=["rv"])
+    assert out.collect()[0]["rv"] == 2.0
+
+
+def test_interval_join_edges(spark):
+    from process_spark.operators.relational import interval_join
+
+    points = _events(spark, SINGLE).select("ts", "user_id")
+    iv_schema = "s timestamp, e timestamp, iv_id long"
+    empty_iv = spark.createDataFrame([], iv_schema)
+    assert (
+        interval_join(points, empty_iv, "ts", "s", "e").count() == 0
+    )
+    # zero-length interval [t, t) matches nothing (half-open)
+    t0 = _ts("2024-01-01T00:00:00")
+    zero_iv = spark.createDataFrame([(t0, t0, 1)], iv_schema)
+    assert interval_join(points, zero_iv, "ts", "s", "e").count() == 0
+    # bucket-spanning interval still matches (explode covers every bucket)
+    wide_iv = spark.createDataFrame(
+        [(_ts("2023-12-25T00:00:00"), _ts("2024-01-07T00:00:00"), 2)], iv_schema
+    )
+    assert interval_join(points, wide_iv, "ts", "s", "e").count() == 1
+
+
+def test_dedup_edges(spark):
+    from process_spark.operators.dedup import keep_latest, minhash_lsh_pairs
+
+    df = spark.createDataFrame([], "doc_id long, text string, ts long")
+    assert keep_latest(df, ["doc_id"], "ts").count() == 0
+    assert minhash_lsh_pairs(df, "doc_id", "text").count() == 0
+    # single doc: no pairs, no crash
+    one = spark.createDataFrame([(1, "alpha beta gamma delta", 0)],
+                                "doc_id long, text string, ts long")
+    assert minhash_lsh_pairs(one, "doc_id", "text").count() == 0
+
+
+def test_knn_edges(spark):
+    from process_spark.operators.similarity import brute_force_knn
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    empty_q = spark.createDataFrame([], "q_id long, q_emb array<double>")
+    assert brute_force_knn(empty_q, corpus, k=1).count() == 0
+    # k larger than the corpus returns the whole corpus, ranked
+    q = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "q_id long, q_emb array<double>"
+    )
+    out = brute_force_knn(q, corpus, k=10).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["score"] == pytest.approx(1.0)
