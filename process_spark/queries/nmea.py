@@ -139,7 +139,15 @@ def nmea_time_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pipeline_wide(spark: SparkSession) -> DataFrame:
     """Generated log → parsed → 1 Hz wide series with derived wind
     columns + session ids. Shared by the summary/export queries."""
-    log = split_capture_prefix(sail_log(spark))
+    return pipeline_from_log(split_capture_prefix(sail_log(spark)))
+
+
+def pipeline_from_log(log: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """The reference's merge stage over ANY raw day log (SURVEY.md
+    §3.1 entry point 1): logger-prefixed sentences → parse → 1 Hz wide
+    series → LOCF → true wind/VMG → gap sessionization. ``log`` has
+    (capture_ts, raw) — see split_capture_prefix. Also the engine
+    behind the ``python -m process_spark process`` CLI."""
     long = parse_long(log, keep=("capture_ts",))
     # Lineage cut: the four signal branches below and every downstream
     # consumer (summary, maneuver join, export) would otherwise each
@@ -188,18 +196,12 @@ def _pipeline_wide(spark: SparkSession) -> DataFrame:
     # would re-run pivot→LOCF→wind math without it. ~29k rows × 12
     # cols — trivially sized for a checkpoint at any scale factor.
     return sessionize(
-        derived, ts_col="capture_ts", gap="5 minutes", partition_by=["day"]
+        derived, ts_col="capture_ts", gap=gap, partition_by=["day"]
     ).localCheckpoint(eager=False)
 
 
-@register("nmea_pipeline_sail_summary", oracle=None)
-def nmea_pipeline_sail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY.md §3.1 end-to-end (rows-only; exact counts pinned in
-    tests/test_nmea.py): generated day log → parse (O9-O11) → 1 Hz
-    pivot (O23) → LOCF (O25) → true wind + VMG (O18/O19) → gap
-    sessionization (O53) → maneuver detection (O54) → per-race summary
-    (D4/D6). Two sessions and the scripted tack count come out."""
-    sess = _pipeline_wide(spark)
+def sail_summary_from(sess: DataFrame) -> DataFrame:
+    """Per-race summary (D4/D6) over a sessionized wide series."""
     man = detect_maneuvers(
         sess, hdg_col="hdg", ts_col="capture_ts",
         partition_by=["day", "session_id"], lookback=15, threshold_deg=45.0,
@@ -220,14 +222,20 @@ def nmea_pipeline_sail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("nmea_export_json_docs", oracle=None)
-def nmea_export_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O5 + O80 + O4 (rows-only): shape one nested JSON doc per race —
-    metadata + first track points — write with the JSON sink, read it
-    back (schema-on-read), and return the round-tripped docs. This is
-    the reference's output stage (SURVEY.md D6)."""
-    sess = _pipeline_wide(spark)
-    docs = (
+@register("nmea_pipeline_sail_summary", oracle=None)
+def nmea_pipeline_sail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §3.1 end-to-end (rows-only; exact counts pinned in
+    tests/test_nmea.py): generated day log → parse (O9-O11) → 1 Hz
+    pivot (O23) → LOCF (O25) → true wind + VMG (O18/O19) → gap
+    sessionization (O53) → maneuver detection (O54) → per-race summary
+    (D4/D6). Two sessions and the scripted tack count come out."""
+    return sail_summary_from(_pipeline_wide(spark))
+
+
+def race_docs_from(sess: DataFrame, track_head: int = 10) -> DataFrame:
+    """One nested doc per race — metadata + leading track points (the
+    reference's primary output shape, SURVEY.md D6)."""
+    return (
         sess.groupBy("day", "session_id")
         .agg(
             F.min("capture_ts").alias("start"),
@@ -240,11 +248,20 @@ def nmea_export_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 1,
-                10,
+                track_head,
             ).alias("track_head"),
         )
-        .select("session_id", "start", "end", "n_points", "track_head")
+        .select("day", "session_id", "start", "end", "n_points", "track_head")
     )
+
+
+@register("nmea_export_json_docs", oracle=None)
+def nmea_export_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 + O80 + O4 (rows-only): shape one nested JSON doc per race —
+    metadata + first track points — write with the JSON sink, read it
+    back (schema-on-read), and return the round-tripped docs. This is
+    the reference's output stage (SURVEY.md D6)."""
+    docs = race_docs_from(_pipeline_wide(spark)).drop("day")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".scratch", "nmea_json")
     write_json_docs(docs, out_dir)
@@ -252,15 +269,13 @@ def nmea_export_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(F.to_json(F.struct(*back.columns)).alias("doc"))
 
 
-@register("nmea_maneuver_metrics", oracle=None)
-def nmea_maneuver_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O55 (rows-only; counts pinned in tests/test_nmea.py): per-tack
-    entry/exit dynamics — join each detected maneuver back to the 1 Hz
-    series over [t−20 s, t−5 s] (entry) and [t+15 s, t+30 s] (exit)
-    windows and compare speed/VMG. The join is a time-bucketed interval
-    join: both sides key on a minute bucket first, so at scale it is an
-    equi-join with a residual range predicate, never a nested loop."""
-    sess = _pipeline_wide(spark)
+def maneuver_metrics_from(sess: DataFrame) -> DataFrame:
+    """O55: per-tack entry/exit dynamics — join each detected maneuver
+    back to the 1 Hz series over [t−20 s, t−5 s] (entry) and
+    [t+15 s, t+30 s] (exit) windows and compare speed/VMG. The join is
+    a time-bucketed interval join: both sides key on a minute bucket
+    first, so at scale it is an equi-join with a residual range
+    predicate, never a nested loop."""
     man = detect_maneuvers(
         sess, hdg_col="hdg", ts_col="capture_ts",
         partition_by=["day", "session_id"], lookback=15, threshold_deg=45.0,
@@ -289,3 +304,11 @@ def nmea_maneuver_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "session_id", "maneuver_id")
     )
+
+
+@register("nmea_maneuver_metrics", oracle=None)
+def nmea_maneuver_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O55 (rows-only; counts pinned in tests/test_nmea.py): per-tack
+    entry/exit dynamics over the generated day log — see
+    maneuver_metrics_from for the join shape."""
+    return maneuver_metrics_from(_pipeline_wide(spark))
