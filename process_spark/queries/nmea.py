@@ -222,13 +222,37 @@ def sail_summary_from(sess: DataFrame) -> DataFrame:
     )
 
 
-@register("nmea_pipeline_sail_summary", oracle=None)
+@register(
+    "nmea_pipeline_sail_summary",
+    # GOLDEN oracle: the day log is generated with integer-only
+    # expression math from fixed constants (sources/nmea_fixture.py —
+    # no RNG, no wall clock), so the end-to-end pipeline output is a
+    # deterministic constant; pin it literally. Unlike a derived SQL
+    # twin this does not independently re-derive the math (DuckDB
+    # cannot parse NMEA), but it hash-checks the WHOLE pipeline —
+    # parse → pivot → LOCF → wind → sessionize → maneuvers — against
+    # drift with the same strictness as any other oracle row.
+    oracle="""
+    SELECT day, session_id, session_start, session_end, n_seconds,
+           CAST(avg_speed AS DOUBLE) AS avg_speed,
+           CAST(avg_vmg AS DOUBLE) AS avg_vmg,
+           CAST(max_tws AS DOUBLE) AS max_tws,
+           n_maneuvers
+    FROM (VALUES
+      (TIMESTAMP '2024-06-01 00:00:00', 1, TIMESTAMP '2024-06-01 10:00:00',
+       TIMESTAMP '2024-06-01 10:59:59', 3600, 6.45, 2.656, 8.624, 5),
+      (TIMESTAMP '2024-06-01 00:00:00', 2, TIMESTAMP '2024-06-01 11:15:00',
+       TIMESTAMP '2024-06-01 11:59:59', 2700, 6.45, 2.656, 8.79, 4)
+    ) AS t(day, session_id, session_start, session_end, n_seconds,
+           avg_speed, avg_vmg, max_tws, n_maneuvers)
+    """,
+)
 def nmea_pipeline_sail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY.md §3.1 end-to-end (rows-only; exact counts pinned in
-    tests/test_nmea.py): generated day log → parse (O9-O11) → 1 Hz
-    pivot (O23) → LOCF (O25) → true wind + VMG (O18/O19) → gap
+    """SURVEY.md §3.1 end-to-end: generated day log → parse (O9-O11) →
+    1 Hz pivot (O23) → LOCF (O25) → true wind + VMG (O18/O19) → gap
     sessionization (O53) → maneuver detection (O54) → per-race summary
-    (D4/D6). Two sessions and the scripted tack count come out."""
+    (D4/D6). Two sessions and the scripted tack count come out;
+    golden-pinned by the oracle above and tests/test_nmea.py."""
     return sail_summary_from(_pipeline_wide(spark))
 
 
@@ -306,9 +330,34 @@ def maneuver_metrics_from(sess: DataFrame) -> DataFrame:
     )
 
 
-@register("nmea_maneuver_metrics", oracle=None)
+@register(
+    "nmea_maneuver_metrics",
+    # GOLDEN oracle — same rationale as nmea_pipeline_sail_summary:
+    # the fixture is a deterministic constant, so the 9 scripted tacks
+    # and their entry/exit dynamics are pinned literally.
+    oracle="""
+    SELECT day, session_id, maneuver_id, maneuver_ts,
+           CAST(turn_deg AS DOUBLE) AS turn_deg,
+           CAST(entry_speed AS DOUBLE) AS entry_speed,
+           CAST(entry_vmg AS DOUBLE) AS entry_vmg,
+           CAST(exit_speed AS DOUBLE) AS exit_speed,
+           CAST(exit_vmg AS DOUBLE) AS exit_vmg,
+           CAST(speed_loss AS DOUBLE) AS speed_loss
+    FROM (VALUES
+      (TIMESTAMP '2024-06-01 00:00:00', 1, 1, TIMESTAMP '2024-06-01 10:10:08',  90.0, 6.425, 2.635, 6.488, 2.636, -0.063),
+      (TIMESTAMP '2024-06-01 00:00:00', 1, 2, TIMESTAMP '2024-06-01 10:20:08', -90.0, 6.425, 2.662, 6.488, 2.654, -0.063),
+      (TIMESTAMP '2024-06-01 00:00:00', 1, 3, TIMESTAMP '2024-06-01 10:30:08',  90.0, 6.425, 2.652, 6.488, 2.643, -0.063),
+      (TIMESTAMP '2024-06-01 00:00:00', 1, 4, TIMESTAMP '2024-06-01 10:40:08', -90.0, 6.425, 2.642, 6.488, 2.6,   -0.063),
+      (TIMESTAMP '2024-06-01 00:00:00', 1, 5, TIMESTAMP '2024-06-01 10:50:08',  90.0, 6.425, 2.647, 6.488, 2.644, -0.063),
+      (TIMESTAMP '2024-06-01 00:00:00', 2, 1, TIMESTAMP '2024-06-01 11:20:08', -90.0, 6.425, 2.635, 6.488, 2.636, -0.063),
+      (TIMESTAMP '2024-06-01 00:00:00', 2, 2, TIMESTAMP '2024-06-01 11:30:08',  90.0, 6.425, 2.662, 6.488, 2.674, -0.063),
+      (TIMESTAMP '2024-06-01 00:00:00', 2, 3, TIMESTAMP '2024-06-01 11:40:08', -90.0, 6.425, 2.652, 6.488, 2.643, -0.063),
+      (TIMESTAMP '2024-06-01 00:00:00', 2, 4, TIMESTAMP '2024-06-01 11:50:08',  90.0, 6.425, 2.648, 6.488, 2.637, -0.063)
+    ) AS t(day, session_id, maneuver_id, maneuver_ts, turn_deg,
+           entry_speed, entry_vmg, exit_speed, exit_vmg, speed_loss)
+    """,
+)
 def nmea_maneuver_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O55 (rows-only; counts pinned in tests/test_nmea.py): per-tack
-    entry/exit dynamics over the generated day log — see
-    maneuver_metrics_from for the join shape."""
+    """O55: per-tack entry/exit dynamics over the generated day log —
+    see maneuver_metrics_from for the join shape; golden-pinned."""
     return maneuver_metrics_from(_pipeline_wide(spark))
