@@ -18,7 +18,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Spark's Python WORKERS inherit the driver's environment, not its
+# sys.path — a UDF/kernel closure that (directly or via cloudpickle's
+# by-reference function pickling) imports process_spark would fail in
+# the worker if the driver was launched outside the repo. Export the
+# repo on PYTHONPATH before any worker spawns.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

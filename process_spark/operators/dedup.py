@@ -15,7 +15,7 @@ from __future__ import annotations
 import random
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from process_spark.functions.textfn import simhash64, tokens, word_ngrams
@@ -74,6 +74,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document, as pure expressions.
 
@@ -108,9 +109,18 @@ def minhash_signatures(
         ).alias("__sh"),
     )
     a, b = _minhash_coefficients(num_hashes)
+    if base_hash == "md5":
+        # Cross-engine base hash: first 8 hex chars of md5 as a 32-bit
+        # int (DuckDB reproduces it byte-for-byte — the oracle path;
+        # xxhash64 is the cheaper default but has no SQL twin).
+        base = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast(
+            "long"
+        )
+    else:
+        base = F.xxhash64(F.col("__sh"))
     hashed = exploded.select(
         F.col(id_col),
-        F.pmod(F.xxhash64(F.col("__sh")), F.lit(_MINHASH_PRIME)).alias("__h"),
+        F.pmod(base, F.lit(_MINHASH_PRIME)).alias("__h"),
     )
     mins = hashed.groupBy(id_col).agg(
         *[
@@ -131,6 +141,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+    band_key: str = "hash",
 ) -> DataFrame:
     """O63 — candidate near-dup pairs via banded MinHash LSH.
 
@@ -149,26 +161,27 @@ def minhash_lsh_pairs(
     # At warehouse scale this is "write the signature table"; locally
     # localCheckpoint is the same cut.
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n
+        df, id_col, text_col, num_hashes, shingle_n, base_hash=base_hash
     ).localCheckpoint(eager=False)
+
+    def band_expr(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("minhash", b * r + j + 1).cast("string")
+                for j in range(r)
+            ],
+        )
+        # band_key="concat" keeps the raw string (has an exact SQL
+        # twin for the oracle variant); "hash" shrinks the shuffle key
+        # to 8 bytes — the default at scale.
+        return joined if band_key == "concat" else F.xxhash64(joined)
+
     banded = sigs.select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("minhash", b * r + j + 1).cast("string")
-                                for j in range(r)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[band_expr(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")

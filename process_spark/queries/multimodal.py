@@ -73,18 +73,62 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d, "duration_s", every_s=10)
 
 
-@register("mm_decode_image_meta", oracle=None)
+def _o_hexbyte(hex_expr: str, i: int) -> str:
+    """DuckDB: i-th byte (0-based) of a lowercase hex digest string."""
+    hv1 = f"(strpos('0123456789abcdef', substr({hex_expr}, {2 * i + 1}, 1)) - 1)"
+    hv2 = f"(strpos('0123456789abcdef', substr({hex_expr}, {2 * i + 2}, 1)) - 1)"
+    return f"({hv1} * 16 + {hv2})"
+
+
+@register(
+    "mm_decode_image_meta",
+    # The stub decode derives pseudo-dimensions from md5(payload)
+    # digest bytes (operators/multimodal._stub_dims), and the payload
+    # is the document's UTF-8 bytes — which DuckDB's md5() hashes
+    # identically, so the "decode" has an exact SQL twin.
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    SELECT doc_id,
+           CAST(64 + {_o_hexbyte('hx', 0)} * 4 AS INT) AS width,
+           CAST(64 + {_o_hexbyte('hx', 1)} * 4 AS INT) AS height,
+           CAST(1 + {_o_hexbyte('hx', 2)} % 4 AS INT) AS channels
+    FROM h
+    """,
+)
 def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O70/O100: Arrow-batched decode over mapInPandas (stubbed header
-    read — deterministic pseudo-dimensions; rows-only)."""
+    read — deterministic digest-derived pseudo-dimensions, which is
+    what lets the Python kernel carry an exact DuckDB oracle)."""
     return decode_image_meta(_blobs(spark, sf_dir))
 
 
-@register("mm_extract_features", oracle=None)
+@register(
+    "mm_extract_features",
+    # Stub features are sha256(payload) bytes / 255 rounded to float32;
+    # DuckDB reproduces each element (CAST(b/255.0 AS REAL)) and the
+    # norm mirrors the engine's left-to-right double fold exactly.
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'zh' THEN 'image/png' ELSE 'image/jpeg' END
+               AS mime,
+             sha256(text) AS hx
+      FROM documents
+    )
+    SELECT doc_id, mime,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), [{', '.join(
+               f"power(CAST(CAST({_o_hexbyte('hx', i)} / 255.0 AS REAL)"
+               f" AS DOUBLE), 2)"
+               for i in range(16)
+           )}]), (a, x) -> a + x)) AS feature_norm
+    FROM h
+    """,
+)
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O70: blob → dense feature vector via mapInPandas (stub model;
-    rows-only), joined back to the metadata for a per-mime feature
-    norm — the multimodal-embedding pipeline shape."""
+    """O70: blob → dense feature vector via mapInPandas (stub model),
+    joined back to the metadata for a per-mime feature norm — the
+    multimodal-embedding pipeline shape. Elements are cast to double
+    before squaring so both engines fold identical float64 values."""
     b = _blobs(spark, sf_dir)
     feats = extract_features(b)
     joined = feats.join(
@@ -92,7 +136,7 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l2 = F.sqrt(
         F.aggregate(
-            F.transform("feature", lambda x: x * x),
+            F.transform("feature", lambda x: F.pow(x.cast("double"), 2)),
             F.lit(0.0),
             lambda a, x: a + x,
         )

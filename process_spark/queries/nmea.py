@@ -258,17 +258,27 @@ def nmea_pipeline_sail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def race_docs_from(sess: DataFrame, track_head: int = 10) -> DataFrame:
     """One nested doc per race — metadata + leading track points (the
-    reference's primary output shape, SURVEY.md D6)."""
+    reference's primary output shape, SURVEY.md D6). Timestamps are
+    rendered as zone-free wall-clock strings: the capture prefix was
+    parsed without a zone, so formatting with the same session TZ
+    round-trips identically on any host — which keeps exported docs
+    (and their golden oracle) byte-stable."""
+    fmt = "yyyy-MM-dd HH:mm:ss"
     return (
         sess.groupBy("day", "session_id")
         .agg(
-            F.min("capture_ts").alias("start"),
-            F.max("capture_ts").alias("end"),
+            F.date_format(F.min("capture_ts"), fmt).alias("start"),
+            F.date_format(F.max("capture_ts"), fmt).alias("end"),
             F.count(F.lit(1)).alias("n_points"),
             F.slice(
                 F.array_sort(
                     F.collect_list(
-                        F.struct("capture_ts", "hdg", "speed", "vmg")
+                        F.struct(
+                            F.date_format("capture_ts", fmt).alias("t"),
+                            "hdg",
+                            "speed",
+                            "vmg",
+                        )
                     )
                 ),
                 1,
@@ -279,7 +289,19 @@ def race_docs_from(sess: DataFrame, track_head: int = 10) -> DataFrame:
     )
 
 
-@register("nmea_export_json_docs", oracle=None)
+@register(
+    "nmea_export_json_docs",
+    # GOLDEN oracle (same rationale as nmea_pipeline_sail_summary):
+    # the round-tripped docs are a deterministic constant; timestamps
+    # inside the docs are zone-free wall-clock strings so the literal
+    # is byte-stable on any host timezone.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('{"end":"2024-06-01 10:59:59","n_points":3600,"session_id":1,"start":"2024-06-01 10:00:00","track_head":[{"hdg":45.0,"speed":6.0,"t":"2024-06-01 10:00:00"},{"hdg":45.0,"speed":6.1,"t":"2024-06-01 10:00:01","vmg":2.808713163167057},{"hdg":45.0,"speed":6.2,"t":"2024-06-01 10:00:02","vmg":2.6947474004120697},{"hdg":45.0,"speed":6.3,"t":"2024-06-01 10:00:03","vmg":2.5757259568184367},{"hdg":45.0,"speed":6.4,"t":"2024-06-01 10:00:04","vmg":2.4519310227511797},{"hdg":45.0,"speed":6.5,"t":"2024-06-01 10:00:05","vmg":3.0058479334376953},{"hdg":45.0,"speed":6.6,"t":"2024-06-01 10:00:06","vmg":2.8812100453041776},{"hdg":45.0,"speed":6.7,"t":"2024-06-01 10:00:07","vmg":2.4845393985815347},{"hdg":45.0,"speed":6.8,"t":"2024-06-01 10:00:08","vmg":2.343533843602487},{"hdg":45.0,"speed":6.9,"t":"2024-06-01 10:00:09","vmg":2.1987885122289743}]}'),
+      ('{"end":"2024-06-01 11:59:59","n_points":2700,"session_id":2,"start":"2024-06-01 11:15:00","track_head":[{"hdg":135.0,"speed":6.0,"t":"2024-06-01 11:15:00","vmg":3.0791527770781277},{"hdg":135.0,"speed":6.1,"t":"2024-06-01 11:15:01","vmg":2.7780825755600005},{"hdg":135.0,"speed":6.2,"t":"2024-06-01 11:15:02","vmg":2.6630112003385786},{"hdg":135.0,"speed":6.3,"t":"2024-06-01 11:15:03","vmg":2.542948616467241},{"hdg":135.0,"speed":6.4,"t":"2024-06-01 11:15:04","vmg":2.418179936104158},{"hdg":135.0,"speed":6.5,"t":"2024-06-01 11:15:05","vmg":2.9725734205335526},{"hdg":135.0,"speed":6.6,"t":"2024-06-01 11:15:06","vmg":2.8468008339243225},{"hdg":135.0,"speed":6.7,"t":"2024-06-01 11:15:07","vmg":2.716164898784163},{"hdg":135.0,"speed":6.8,"t":"2024-06-01 11:15:08","vmg":2.3005866096319147},{"hdg":135.0,"speed":6.9,"t":"2024-06-01 11:15:09","vmg":2.154998243563813}]}')
+    ) AS t(doc)
+    """,
+)
 def nmea_export_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 + O80 + O4 (rows-only): shape one nested JSON doc per race —
     metadata + first track points — write with the JSON sink, read it

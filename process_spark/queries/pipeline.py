@@ -25,17 +25,8 @@ from process_spark.functions.textfn import tokens, word_ngrams
 from process_spark.operators.dedup import connected_components, jaccard_pairs
 from process_spark.queries._util import t
 from process_spark.queries.registry import register
-from process_spark.queries.text import _O_TOKS
+from process_spark.queries.text import _O_SHINGLES, _O_TOKS
 
-#: DuckDB twin of word_ngrams(tokens(text), 3) — keep in sync with
-#: queries.text's shingle oracle idiom.
-_O_SHINGLES = f"""(
-  SELECT CASE WHEN len(toks) >= 3 THEN
-           list_transform(range(1, len(toks) - 1),
-                          i -> array_to_string(toks[i:i+2], ' '))
-         ELSE [array_to_string(toks, ' ')] END
-  FROM (SELECT {_O_TOKS} AS toks)
-)"""
 
 
 @register(

@@ -29,6 +29,17 @@ from process_spark.queries.registry import register
 #: DuckDB twin of functions.textfn.tokens — keep in sync.
 _O_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
+#: DuckDB twin of functions.textfn.word_ngrams(tokens(text), 3) — a
+#: scalar subquery usable per documents row (shared with
+#: queries/pipeline.py).
+_O_SHINGLES = f"""(
+  SELECT CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [array_to_string(toks, ' ')] END
+  FROM (SELECT {_O_TOKS} AS toks)
+)"""
+
 
 @register(
     "text_tokenize_stats",
@@ -473,3 +484,83 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         vertices=d,
         id_col="doc_id",
     ).select(F.col("id").alias("doc_id"), "component")
+
+
+def _minhash_md5_oracle() -> str:
+    """Generate the DuckDB twin of minhash_lsh_pairs(base_hash='md5',
+    band_key='concat'): shingle → md5-derived 32-bit base hash →
+    64 universal-hash mins → 16 concat band keys → band equi-join.
+    Same (a_i, b_i) constants as the engine (fixed-seed PRNG)."""
+    from process_spark.operators.dedup import (
+        _MINHASH_PRIME as P,
+        _minhash_coefficients,
+    )
+
+    a, b = _minhash_coefficients(64)
+
+    def hexbyte(i: int) -> str:
+        h1 = f"(strpos('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1)"
+        h2 = f"(strpos('0123456789abcdef', substr(hx, {2 * i + 2}, 1)) - 1)"
+        return f"({h1} * 16 + {h2})"
+
+    base = " + ".join(
+        f"{hexbyte(i)} * {256 ** (3 - i)}" for i in range(4)
+    )
+    mins = ",\n             ".join(
+        f"MIN((h * {a[i]} + {b[i]}) % {P}) AS m{i}" for i in range(64)
+    )
+    band_keys = ", ".join(
+        "(" + " || ',' || ".join(
+            f"CAST(m{bd * 4 + j} AS VARCHAR)" for j in range(4)
+        ) + ")"
+        for bd in range(16)
+    )
+    band_idxs = ", ".join(str(i) for i in range(16))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_O_SHINGLES})) AS s
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    hashed AS (
+      SELECT doc_id, (({base}) % {P}) AS h
+      FROM (SELECT doc_id, md5(s) AS hx FROM sh)
+    ),
+    mins AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+             unnest([{band_idxs}]) AS band_idx,
+             unnest([{band_keys}]) AS band_key
+      FROM mins
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("text_minhash_lsh_md5_pairs", oracle=_minhash_md5_oracle())
+def text_minhash_lsh_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 (oracle-backed): the SAME banded MinHash LSH pipeline as
+    text_minhash_lsh_pairs, but with an md5-derived base hash and raw
+    concat band keys — both of which DuckDB reproduces byte-for-byte,
+    so the whole shingle → signature → band → candidate-pair chain is
+    hash-checked end to end. The xxhash64 flagship stays the scale
+    default (cheaper hash, 8-byte band keys); this variant is its
+    cross-engine correctness anchor."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        base_hash="md5",
+        band_key="concat",
+    )

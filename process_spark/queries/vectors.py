@@ -219,14 +219,41 @@ def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_embeddings(e, threshold=0.2, block_col="label")
 
 
-@register("vec_srp_lsh_buckets", oracle=None)
+#: 16-plane signature set for the bucket histogram (separate constants
+#: from the 6-plane ANN set: rng.randn(16, 64) != rng.randn(6, 64)).
+_SRP16_PLANES = random_hyperplanes(dim=64, n_planes=16, seed=42)
+_SRP16_PLANES_VALUES = ",\n      ".join(
+    "({}, [{}])".format(i, ", ".join(repr(w) for w in plane))
+    for i, plane in enumerate(_SRP16_PLANES)
+)
+
+
+@register(
+    "vec_srp_lsh_buckets",
+    oracle=f"""
+    WITH planes(p_idx, w) AS (VALUES
+      {_SRP16_PLANES_VALUES}
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN {_o_dot('e.embedding', 'p.w')} > 0
+                           THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM sig GROUP BY bucket
+    """,
+)
 def vec_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O68: signed-random-projection LSH bucket histogram (rows-only —
-    the plane constants have no SQL twin). Bucketing turns ANN into an
-    equi-join on signature bands at scale."""
+    """O68: signed-random-projection LSH bucket histogram. Bucketing
+    turns ANN into an equi-join on signature bands at scale; the
+    fixed-seed plane constants are inlined into the oracle (shortest-
+    roundtrip literals → bit-identical projections, same technique as
+    vec_ann_srp_bucketed)."""
     e = t(spark, sf_dir, "embeddings")
-    planes = random_hyperplanes(dim=64, n_planes=16, seed=42)
-    sig = srp_signature("embedding", planes)
+    sig = srp_signature("embedding", _SRP16_PLANES)
     return (
         e.select(sig.alias("bucket"))
         .groupBy("bucket")
