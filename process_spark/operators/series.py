@@ -153,15 +153,23 @@ def sessionize(
     gap: str = "30 minutes",
     partition_by: Sequence[str] = (),
     session_col: str = "session_id",
+    tie_break: Sequence[str] = (),
 ) -> DataFrame:
     """O53 — gap-based sessionization (the reference's race
     segmentation, SURVEY.md §3.1 step 1): two stacked windows —
-    lag → new-session flag → cumulative sum."""
-    w = _w(partition_by, ts_col)
+    lag → new-session flag → cumulative sum.
+
+    Pass ``tie_break`` (a unique column) whenever ``ts_col`` is not
+    unique per partition: with duplicate timestamps at a session
+    boundary, the cumulative sum's row order decides which of the tied
+    rows land in the new session, so an un-tie-broken ordering is
+    engine/partition-order-dependent."""
+    order = [F.col(ts_col), *[F.col(c) for c in tie_break]]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
     gap_s = F.expr(f"INTERVAL {gap}")
     prev = F.lag(F.col(ts_col)).over(w)
     is_new = (prev.isNull() | (F.col(ts_col) > prev + gap_s)).cast("bigint")
-    cum = Window.partitionBy(*partition_by).orderBy(ts_col).rowsBetween(
+    cum = Window.partitionBy(*partition_by).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return df.withColumn(session_col, F.sum(is_new).over(cum))

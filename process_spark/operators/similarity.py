@@ -33,6 +33,8 @@ def brute_force_knn(
     the only shuffle is the per-query top-k, which is tiny. This is the
     right physical shape when |queries| ≪ |corpus| — the common case.
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric {metric!r}: use 'cosine' or 'dot'")
     if metric == "cosine":
         # Normalize each side ONCE in its pre-join projection, then
         # score with a plain dot: |Q|+|C| norm folds instead of |Q|·|C|

@@ -76,7 +76,10 @@ def io_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_scalar_python",
     oracle="""
     SELECT event_id,
-           CAST(trunc(value * 100) AS BIGINT) // 7 AS bucket7
+           -- FLOOR(x/7), not integer //: Python's int() // floors
+           -- toward -inf while DuckDB's BIGINT // truncates toward
+           -- zero — they differ on negative values
+           CAST(FLOOR(trunc(value * 100) / 7) AS BIGINT) AS bucket7
     FROM events
     """,
 )

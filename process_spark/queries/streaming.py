@@ -23,36 +23,16 @@ _MEM_SEQ = 0
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O7 — replay the events table as a file-source stream (same
-    footer-sniffed µs/ns handling as sources.io.load)."""
+    """O7 — replay the events table as a file-source stream. The
+    footer-sniffed µs/ns handling lives in sources.io.read_events —
+    one copy shared with the batch scan, so a future layout drift is
+    fixed in one place."""
     import os
 
-    from pyspark.sql import types as T
+    from process_spark.sources.io import read_events
 
-    from process_spark.sources.io import _events_ts_layout
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    layout = _events_ts_layout(os.path.join(sf_dir, "events.parquet"))
-    # File stream sources take a directory; select the one table file
-    # with a glob (a real deployment streams a directory of files).
-    if layout == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ns_schema = T.StructType(
-            [
-                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-                for f in TABLES["events"].fields
-            ]
-        )
-        raw = (
-            spark.readStream.schema(ns_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return (
-        spark.readStream.schema(TABLES["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    return read_events(
+        spark, os.path.join(sf_dir, "events.parquet"), streaming=True
     )
 
 
@@ -147,16 +127,17 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts > COALESCE(lag(ts) OVER
-                    (PARTITION BY user_id ORDER BY ts) + INTERVAL 1 HOUR,
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    + INTERVAL 1 HOUR,
                     ts - INTERVAL 1 SECOND)
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ),
     runs AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sid
       FROM flagged
@@ -497,15 +478,29 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_user_state_suite",
     oracle="""
     WITH weights(event_type, weight) AS (VALUES
-      ('click', 1), ('view', 1), ('purchase', 10), ('signup', 5), ('error', -1))
-    SELECT e.user_id,
-           COUNT(*) AS n_dedup,
-           COUNT(*) AS n_events,
-           MAX(e.value) AS max_value,
-           CAST(SUM(CAST(e.value * w.weight AS DECIMAL(18,6))) AS DOUBLE)
-             AS sum_weighted
-    FROM events e JOIN weights w USING (event_type)
-    GROUP BY e.user_id
+      ('click', 1), ('view', 1), ('purchase', 10), ('signup', 5), ('error', -1)),
+    base AS (
+      -- count/max over ALL events, like the dedup and GroupState
+      -- streams — only the weighted sum rides the weights join (an
+      -- unknown event_type must drop from sum_weighted, not from the
+      -- counts; the suite's inner join then drops that user row on
+      -- both sides identically)
+      SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+      FROM events GROUP BY user_id
+    ),
+    wsum AS (
+      SELECT e.user_id,
+             CAST(SUM(CAST(e.value * w.weight AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_weighted
+      FROM events e JOIN weights w USING (event_type)
+      GROUP BY e.user_id
+    )
+    SELECT b.user_id,
+           b.n_events AS n_dedup,
+           b.n_events,
+           b.max_value,
+           s.sum_weighted
+    FROM base b JOIN wsum s ON b.user_id = s.user_id
     """,
 )
 def stream_user_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -257,7 +257,7 @@ def win_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    OR ts > LAG(ts) OVER wo + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM events
-      WINDOW wo AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id, ts,
            LAG(event_id) OVER wo AS prev_event,
@@ -271,7 +271,7 @@ def win_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTH_VALUE(event_id, 2) OVER wf AS second_event,
            ROUND(PERCENT_RANK() OVER wv, 9) AS pr,
            ROUND(CUME_DIST() OVER wv, 9) AS cd,
-           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_id
     FROM flagged
@@ -291,7 +291,10 @@ def win_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines order identically), and gap-based sessionization
     (operators.series.sessionize)."""
     base = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    s = sessionize(base, ts_col="ts", gap="30 minutes", partition_by=["user_id"])
+    s = sessionize(
+        base, ts_col="ts", gap="30 minutes", partition_by=["user_id"],
+        tie_break=["event_id"],
+    )
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     wv = Window.partitionBy("user_id").orderBy(
@@ -594,11 +597,11 @@ def io_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nmea_time_coord_suite",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            strptime(strftime(ts, '%d%m%y') || ' ' || strftime(ts, '%H%M%S'),
                     '%d%m%y %H%M%S') AS fix_ts,
-           (FLOOR(value / 100) + FMOD(value, 100) / 60)
+           (FLOOR(value / 100) + {o_pmod('value', '100')} / 60)
              * (CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END) AS coord_deg
     FROM events
     """,
@@ -977,7 +980,10 @@ def maneuver_detect_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT user_id, value,
-             CAST(trunc(value * 100) AS BIGINT) // 7 AS bucket
+             -- FLOOR(x/7), not integer //: numpy's float floor-divide
+             -- floors toward -inf while DuckDB's BIGINT // truncates
+             -- toward zero — they differ on negative values
+             CAST(FLOOR(trunc(value * 100) / 7) AS BIGINT) AS bucket
       FROM events WHERE value IS NOT NULL
     )
     SELECT user_id,

@@ -199,7 +199,8 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap flag → cumulative sum, partitioned by user."""
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     return sessionize(
-        e, ts_col="ts", gap="30 minutes", partition_by=["user_id"]
+        e, ts_col="ts", gap="30 minutes", partition_by=["user_id"],
+        tie_break=["event_id"],
     ).select("user_id", "event_id", "ts", "session_id")
 
 
@@ -207,7 +208,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_session_stats",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
                    OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
@@ -215,7 +216,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, value,
-             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS session_id
       FROM flagged
@@ -229,7 +230,10 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O53/D4: per-session summaries (session start/end/size)."""
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    s = sessionize(e, ts_col="ts", gap="30 minutes", partition_by=["user_id"])
+    s = sessionize(
+        e, ts_col="ts", gap="30 minutes", partition_by=["user_id"],
+        tie_break=["event_id"],
+    )
     return s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),

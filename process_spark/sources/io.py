@@ -59,6 +59,40 @@ def _events_ts_layout(path: str) -> str:
         return "unknown"
 
 
+def read_events(
+    spark: SparkSession, path: str, streaming: bool = False, **options
+) -> DataFrame:
+    """Layout-aware events read shared by the batch scan (O2) and the
+    file-stream source (O7) — ONE copy of the ns/µs branch, so the
+    next testdata-layout drift is handled in a single place.
+
+    Legacy nanos layout: Spark can't map TIMESTAMP(NANOS) to
+    TimestampType, so ts reads as long and truncates ns → µs exactly
+    as DuckDB does; the legacy conf is only touched on that branch.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if streaming:
+        # File stream sources take a directory; select the one table
+        # file with a glob (a real deployment streams a directory).
+        reader = spark.readStream
+        options = {**options, "pathGlobFilter": os.path.basename(path)}
+        read_path = os.path.dirname(path)
+    else:
+        reader = spark.read
+        read_path = path
+    if _events_ts_layout(path) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in TABLES["events"].fields
+            ]
+        )
+        df = reader.schema(ns_schema).options(**options).parquet(read_path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return reader.schema(TABLES["events"]).options(**options).parquet(read_path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """O2 — Parquet scan of one testdata table with its declared schema.
 
@@ -70,19 +104,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC keeps timestamp semantics aligned with the DuckDB oracle even
     # on a non-UTC host (SURVEY.md §7.3). Idempotent, runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events" and _events_ts_layout(path) == "ns":
-        # Legacy nanos layout: Spark can't map TIMESTAMP(NANOS) to
-        # TimestampType, so read ts as long and truncate ns → µs exactly
-        # as DuckDB does. The conf is only touched on this branch.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ns_schema = T.StructType(
-            [
-                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-                for f in TABLES["events"].fields
-            ]
-        )
-        df = spark.read.schema(ns_schema).parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        return read_events(spark, path)
     reader = spark.read
     if name in TABLES:
         reader = reader.schema(TABLES[name])

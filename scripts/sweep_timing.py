@@ -32,7 +32,11 @@ def main() -> None:
     rows: dict[str, int] = {}
     failures: dict[str, str] = {}
     for name in names:
-        spec = REGISTRY[name]
+        spec = REGISTRY.get(name)
+        if spec is None:
+            failures[name] = "unknown query (or mistyped sf_dir path)"
+            print(f"# {name}: SKIP unknown", flush=True)
+            continue
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
