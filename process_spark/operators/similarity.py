@@ -35,6 +35,15 @@ def brute_force_knn(
     """
     if metric not in ("cosine", "dot"):
         raise ValueError(f"unknown metric {metric!r}: use 'cosine' or 'dot'")
+    # Fan the corpus out BEFORE any per-row vector math: a single-file
+    # local scan is one partition, which would serialize both the O(|C|)
+    # normalization folds and the |Q|·|C| score evaluations on one core
+    # (explicit count — AQE would coalesce the small shuffle back).
+    # Order matters: HOF expressions (aggregate/transform/zip_with) are
+    # interpreted, not codegen'd, so the normalize projection is the
+    # expensive per-row stage and must sit downstream of the exchange.
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n_part, F.col(corpus_id))
     if metric == "cosine":
         # Normalize each side ONCE in its pre-join projection, then
         # score with a plain dot: |Q|+|C| norm folds instead of |Q|·|C|
@@ -48,11 +57,6 @@ def brute_force_knn(
             corpus_id, l2_norm(corpus_vec).alias("__cn"), F.col(corpus_vec)
         ).select(corpus_id, unit_with(corpus_vec, "__cn").alias(corpus_vec))
     score = dot(F.col(query_vec), F.col(corpus_vec))
-    # Fan the corpus out before scoring: a single-file local scan is one
-    # partition, which would serialize |Q|·|C| score evaluations on one
-    # core (explicit count — AQE would coalesce the small shuffle back).
-    n_part = corpus.sparkSession.sparkContext.defaultParallelism
-    corpus = corpus.repartition(n_part, F.col(corpus_id))
     scored = corpus.join(F.broadcast(queries)).select(
         F.col(query_id), F.col(corpus_id), score.alias("score")
     )
@@ -105,6 +109,14 @@ def ivf_build(
     always broadcastable; ``assignments`` adds a ``cell_id`` to every
     corpus row, ready to be written bucketed/partitioned by cell.
     """
+    # Fan out + pin the corpus once: it is scanned three times (seed
+    # pick, assign, refined assign), each with per-row interpreted-HOF
+    # scoring, so the exchange parallelizes the CPU-bound stages and the
+    # lazy localCheckpoint stops the rescan+reshuffle per reuse.
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n_part, F.col(corpus_id)).localCheckpoint(
+        eager=False
+    )
     # Deterministic sample of n_cells seeds (no Math.random — stable
     # runs). orderBy().limit() is a distributed TakeOrdered (per-
     # partition top-k, k-row merge on the driver) — never the
@@ -243,6 +255,14 @@ def near_dup_embeddings(
     sel = [F.col(id_col), F.col(vec_col)]
     if block_col:
         sel.append(F.col(block_col))
+    # Repartition on the JOIN key before normalizing: the interpreted
+    # HOF normalize then runs post-exchange across the cluster instead
+    # of inside a narrow (possibly single-file) scan stage. At scale the
+    # block-equi self-join plans as SMJ whose required hashpartitioning
+    # this exchange already satisfies — so it replaces, not adds to, the
+    # join's own shuffle; when a side is small enough to broadcast the
+    # extra exchange moves trivially little data.
+    emb = emb.repartition(F.col(block_col) if block_col else F.col(id_col))
     base = emb.select(*sel, l2_norm(vec_col).alias("__n")).select(
         *([F.col(id_col)] + ([F.col(block_col)] if block_col else [])),
         unit_with(vec_col, "__n").alias(vec_col),
@@ -285,6 +305,13 @@ def kmeans(
     Returns (centroids, assignments): centroids(cell_id, centroid),
     assignments(corpus_id, vec_col, cell_id).
     """
+    # Same fan-out + pin as ivf_build, amortized across the whole loop:
+    # n_iter+1 assignment passes each score every (vector, centroid)
+    # pair with interpreted HOF folds — parallelize once, rescan never.
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n_part, F.col(corpus_id)).localCheckpoint(
+        eager=False
+    )
     # Same distributed TakeOrdered seed pick as ivf_build: top-k first
     # (per-partition top-k + k-row merge), tiny-window row_number after.
     key = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod))
