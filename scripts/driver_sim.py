@@ -71,8 +71,8 @@ def main() -> int:
             continue
         dt = time.perf_counter() - t0
         if name not in osql:
-            status = "OK  " if len(sdf) >= 0 else "FAIL"
-            print(f"[{status}] {name}: rows-only {len(sdf)} ({dt:.2f}s)")
+            # Rows-only contract: the driver records just the row count.
+            print(f"[OK  ] {name}: rows-only {len(sdf)} ({dt:.2f}s)")
             n_ok += 1
             continue
         try:
