@@ -38,15 +38,24 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
 
 
 def word_ngrams(toks: Column | str, n: int = 3) -> Column:
-    """Word n-grams from a token array (O75)."""
+    """Word n-grams from a token array (O75). Shorter-than-window docs
+    yield their whole text as the single shingle; EMPTY token lists
+    yield an EMPTY shingle list (not ['']) — an empty document has no
+    content to fingerprint, and the ['' ] form diverges cross-engine
+    (DuckDB's array_to_string([]) is NULL while Spark's concat_ws is
+    '')."""
     a = _c(toks)
-    return F.when(
-        F.size(a) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(a) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(a, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", a)))
+    return (
+        F.when(
+            F.size(a) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(a, i, n)),
+            ),
+        )
+        .when(F.size(a) > 0, F.array(F.concat_ws(" ", a)))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def quality_signals(text: Column | str) -> dict[str, Column]:

@@ -50,13 +50,23 @@ def unit_with(a: Column | str, norm: Column | str) -> Column:
     projected column — so the O(d) norm fold runs once per VECTOR (in
     the pre-join projection), not once per element or once per joined
     pair. The normalize-once-score-many layout is the 100 TB shape for
-    cosine workloads: score = plain dot over unit vectors."""
-    return F.transform(_c(a), lambda x: x / _c(norm))
+    cosine workloads: score = plain dot over unit vectors.
+
+    Zero/underflow norms (e.g. ``[0.0, 1e-320]`` — squares underflow to
+    0) yield a NULL unit vector, same semantics as :func:`l2_normalize`.
+    A plain ``/`` would raise DIVIDE_BY_ZERO under Spark 4's default
+    ANSI mode — one degenerate embedding in a 100 TB corpus must not
+    abort the job. Callers exclude NULL unit vectors from scoring."""
+    return F.when(_c(norm) > 0, F.transform(_c(a), lambda x: x / _c(norm)))
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity as a pure expression."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity as a pure expression. NULL when either vector
+    has zero/underflow norm (ANSI-safe; matches :func:`unit_with`'s
+    NULL-unit-vector semantics, so the two scoring layouts agree on
+    degenerate inputs)."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def elementwise_avg(a: Column | str) -> Column:
@@ -92,7 +102,9 @@ def cosine_to_query_udf():
         den = np.linalg.norm(mat, axis=1) * np.linalg.norm(q, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.where(den > 0, num / den, np.nan)
-        return pd.Series(out)
+        # NaN → NULL (nullable Float64) so zero-norm vectors score NULL
+        # here exactly as in the expression-form cosine()/unit_with().
+        return pd.Series(pd.array(out, dtype="Float64"))
 
     return _cos
 

@@ -50,6 +50,14 @@ def brute_force_knn(
         # (cosine(a,b) re-derives both norms per scored pair). Unit
         # vectors are array<double> (2x the float32 bytes through the
         # broadcast) — the standard trade for 3x fewer O(d) folds.
+        # Zero/underflow-norm vectors get a NULL unit vector from
+        # unit_with (ANSI-safe — never DIVIDE_BY_ZERO) and therefore a
+        # NULL dot score; they are EXCLUDED by the score-isNotNull
+        # filter AFTER the window below. No pre-join filter on the norm
+        # or on isNotNull(unit vector): Catalyst pushes such predicates
+        # below the exchange / into the Filter, re-evaluating the
+        # interpreted-HOF norm fold per row a second time on the narrow
+        # scan stage (measured 1.4-2.3x on the bench).
         queries = queries.select(
             query_id, l2_norm(query_vec).alias("__qn"), F.col(query_vec)
         ).select(query_id, unit_with(query_vec, "__qn").alias(query_vec))
@@ -63,9 +71,14 @@ def brute_force_knn(
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
     )
+    # score IS NOT NULL drops degenerate vectors (NULL unit → NULL dot);
+    # the window is a pushdown barrier (score is not a partition key),
+    # so the predicate reads the materialized score column — it cannot
+    # migrate into the scoring projection. NULLs sort last under desc,
+    # so they never displace a real candidate from the top-k.
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & F.col("score").isNotNull())
     )
 
 
@@ -161,9 +174,13 @@ def _assign_cells(
     # score against unit centroids with a plain dot: n_cells norm folds
     # total (in the broadcast) and one dot per (vector, cell) pair —
     # cosine(v, c) would re-fold |v| n_cells times per corpus vector.
-    ucells = cells.select(
-        "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
-    ).select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
+    ucells = (
+        cells.select(
+            "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
+        )
+        .filter(F.col("__cn") > 0)  # degenerate cell → unprobeable
+        .select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
+    )
     scored = corpus.join(F.broadcast(ucells)).select(
         corpus_id,
         vec_col,
@@ -196,9 +213,13 @@ def ivf_search(
     that's the speedup; the cell equi-join keeps it shuffle-shaped."""
     # Same |v|-invariance as _assign_cells: probe ranking via dot
     # against unit centroids.
-    ucells = cells.select(
-        "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
-    ).select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
+    ucells = (
+        cells.select(
+            "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
+        )
+        .filter(F.col("__cn") > 0)
+        .select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
+    )
     qcells = (
         queries.join(F.broadcast(ucells))
         .select(
@@ -224,8 +245,13 @@ def ivf_search(
     # Final re-rank: normalize each side once (queries in the broadcast
     # above, corpus per candidate row here), score with a plain dot.
     ucand = assignments.select(
-        corpus_id, "cell_id", l2_norm(corpus_vec).alias("__cn"), F.col(corpus_vec)
-    ).select(corpus_id, "cell_id", unit_with(corpus_vec, "__cn").alias(corpus_vec))
+        corpus_id,
+        "cell_id",
+        l2_norm(corpus_vec).alias("__cn"),
+        F.col(corpus_vec),
+    ).select(
+        corpus_id, "cell_id", unit_with(corpus_vec, "__cn").alias(corpus_vec)
+    )
     cand = ucand.join(F.broadcast(probes), on="cell_id").select(
         query_id,
         corpus_id,
@@ -234,9 +260,12 @@ def ivf_search(
     w2 = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
     )
+    # Degenerate vectors (NULL unit → NULL score) drop here, after the
+    # window pushdown barrier — see brute_force_knn for why no earlier
+    # filter exists.
     return (
         cand.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & F.col("score").isNotNull())
     )
 
 
@@ -255,14 +284,23 @@ def near_dup_embeddings(
     sel = [F.col(id_col), F.col(vec_col)]
     if block_col:
         sel.append(F.col(block_col))
-    # Repartition on the JOIN key before normalizing: the interpreted
-    # HOF normalize then runs post-exchange across the cluster instead
-    # of inside a narrow (possibly single-file) scan stage. At scale the
-    # block-equi self-join plans as SMJ whose required hashpartitioning
-    # this exchange already satisfies — so it replaces, not adds to, the
-    # join's own shuffle; when a side is small enough to broadcast the
-    # extra exchange moves trivially little data.
-    emb = emb.repartition(F.col(block_col) if block_col else F.col(id_col))
+    # Repartition on (block, id) — NOT block alone — before normalizing:
+    # the interpreted-HOF normalize is the CPU-bound stage, and block
+    # keys can be few and hot (a handful of labels here; skewed IVF
+    # cells at scale), which would cap the fan-out at n_blocks cores and
+    # serialize the hot block. The id in the key spreads every block
+    # across the cluster; the self-join then performs its own exchange
+    # on the block key, computed once and reused for both sides
+    # (ReusedExchange — the normalize does not run twice). Net: one
+    # extra cheap exchange buys full-parallel normalization.
+    part_keys = (
+        [F.col(block_col), F.col(id_col)] if block_col else [F.col(id_col)]
+    )
+    emb = emb.repartition(*part_keys)
+    # Zero-norm vectors get a NULL unit vector (unit_with, ANSI-safe),
+    # hence a NULL pair dot, and the >= threshold predicate drops them —
+    # no explicit norm filter (Catalyst would push it down and run the
+    # norm fold twice per row; see brute_force_knn).
     base = emb.select(*sel, l2_norm(vec_col).alias("__n")).select(
         *([F.col(id_col)] + ([F.col(block_col)] if block_col else [])),
         unit_with(vec_col, "__n").alias(vec_col),

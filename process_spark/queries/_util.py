@@ -11,11 +11,26 @@ Policy (applied identically on BOTH sides):
   then ``CAST(... AS DOUBLE)`` lands both engines on the identical
   float64. Averages = exact decimal sum (as double) / count: one IEEE
   division of identical operands → identical bits.
-- **Statistical aggregates** (stddev/corr/...) have no exact form;
-  round to a few decimals and keep the magnitude of the rounding unit
-  far above the cross-engine numerical noise.
+- **Statistical aggregates** (stddev/corr/...) and transcendentals
+  (ln/exp/trig) have no exact form. Hashing a ``ROUND(x, n)`` double is
+  a cross-BUILD gamble: double-ROUND is itself an approximation whose
+  algorithm differs between engines and even between DuckDB builds
+  (scaled-multiply vs exact-decimal), so two engines can agree to 1e-12
+  yet stringify differently. Policy: **half-up-scaled integers** —
+  ``CAST(FLOOR(x * 10^s + 0.5) AS BIGINT)`` computed identically on
+  both sides (:func:`fscaled` / :func:`o_fscaled`). The output is an
+  exact integer (identical stringification by construction); the only
+  risk is a boundary flip, probability ≈ cross-engine noise /
+  granularity — pick the scale so that ratio is ≤ ~1e-8 per cell.
+  Half-up (not plain FLOOR): medians/percentiles/averages of
+  decimal-ish data land exactly ON integer multiples of the grid —
+  plain FLOOR puts its boundary right there and a ULP seam flips it
+  (measured: interpolated p90 of 2-dp values), while the +0.5 boundary
+  sits at half-grid points decimal-derived values never reach.
 - Raw column values passing through unaggregated are already identical
   bits (both engines read the same parquet) — no rounding needed.
+  Likewise single IEEE ops (+ - * / sqrt abs least/greatest) over
+  identical bits are correctly rounded, hence bit-identical.
 """
 
 from __future__ import annotations
@@ -25,7 +40,7 @@ from pyspark.sql import functions as F
 
 from process_spark.sources.io import load
 
-__all__ = ["load", "dsum", "davg", "o_dsum", "o_davg", "t"]
+__all__ = ["load", "dsum", "davg", "o_dsum", "o_davg", "fscaled", "o_fscaled", "t"]
 
 # Decimal(18, 6) holds ±1e12 at micro precision — covers every measure
 # in the testdata (prices ~1e5, quantities ~1e2) with room for 100 TB
@@ -59,6 +74,23 @@ def o_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL({_PREC},{_SCALE}))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+def fscaled(col: Column, alias: str, scale: int = 1_000_000) -> Column:
+    """Half-up-scaled integer projection of a noisy double —
+    representation-independent hashing (see module docstring).
+
+    ``scale`` sets the retained granularity (10^-k); choose it so
+    (cross-engine noise) / (1/scale) ≪ 1 — e.g. libm trig on values
+    ~1e2 has ~1e-14 abs noise → scale 1e4 leaves ~1e-10 flip risk."""
+    return (
+        F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long").alias(alias)
+    )
+
+
+def o_fscaled(expr: str, alias: str, scale: int = 1_000_000) -> str:
+    """DuckDB oracle twin of :func:`fscaled`."""
+    return f"CAST(FLOOR(({expr}) * {float(scale)!r} + 0.5) AS BIGINT) AS {alias}"
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

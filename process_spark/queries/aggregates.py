@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from process_spark.queries._util import davg, dsum, o_davg, o_dsum, t
+from process_spark.queries._util import davg, dsum, fscaled, o_davg, o_dsum, t
 from process_spark.queries.registry import register
 
 
@@ -140,21 +140,24 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median_percentile",
     oracle="""
     SELECT l_returnflag,
-           MEDIAN(l_extendedprice) AS median_price,
-           QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price
+           CAST(FLOOR(MEDIAN(l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)
+             AS median_micro,
+           CAST(FLOOR(QUANTILE_CONT(l_extendedprice, 0.9) * 1000000.0
+                     + 0.5) AS BIGINT) AS p90_micro
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O41: exact median + interpolated percentile (Spark
-    percentile == DuckDB quantile_cont, both exact/interpolated;
-    approx variants stay rows-only per SURVEY.md §7.3)."""
+    """O41: median + interpolated percentile, hashed as floor-scaled
+    micro-units — the even-n/interpolation formula is an engine seam,
+    so raw doubles are a latent mismatch (`_util` float policy; approx
+    variants stay rows-only per SURVEY.md §7.3)."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.median("l_extendedprice").alias("median_price"),
-            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+            fscaled(F.median("l_extendedprice"), "median_micro"),
+            fscaled(F.percentile("l_extendedprice", 0.9), "p90_micro"),
         )
     )
 
@@ -163,24 +166,26 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_moments_corr",
     oracle="""
     SELECT event_type,
-           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
-           ROUND(VAR_SAMP(value), 4) AS var_value,
-           ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+           CAST(FLOOR(STDDEV_SAMP(value) * 10000.0 + 0.5) AS BIGINT) AS sd_e4,
+           CAST(FLOOR(VAR_SAMP(value) * 10000.0 + 0.5) AS BIGINT) AS var_e4,
+           CAST(FLOOR(CORR(value, CAST(user_id AS DOUBLE)) * 1000000.0
+                     + 0.5) AS BIGINT) AS corr_e6
     FROM events GROUP BY event_type
     """,
 )
 def agg_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O42: stddev/variance/correlation. No exact-decimal form exists —
-    rounded identically on both sides (SURVEY.md §5.2)."""
+    hashed as floor-scaled integers with granularity far above the
+    distributed-vs-serial summation noise (`_util` float policy)."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-            F.round(F.var_samp("value"), 4).alias("var_value"),
-            F.round(
-                F.corr(F.col("value"), F.col("user_id").cast("double")), 6
-            ).alias("corr_value_user"),
+            fscaled(F.stddev_samp("value"), "sd_e4", 10000),
+            fscaled(F.var_samp("value"), "var_e4", 10000),
+            fscaled(
+                F.corr(F.col("value"), F.col("user_id").cast("double")), "corr_e6"
+            ),
         )
     )
 

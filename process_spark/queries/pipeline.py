@@ -182,7 +182,8 @@ def pipeline_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(CASE WHEN len(toks) >= 2 THEN
                       list_transform(range(1, len(toks)),
                                      i -> array_to_string(toks[i:i+1], ' '))
-                    ELSE [array_to_string(toks, ' ')] END) AS gram
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
       FROM tk
     ),
     gr_cnt AS (

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from process_spark.functions import angles, geo
-from process_spark.queries._util import o_pmod, t
+from process_spark.queries._util import fscaled, o_fscaled, o_pmod, t
 from process_spark.queries.registry import register
 
 
@@ -122,40 +122,47 @@ def regex_extract_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "math_fns",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice, 1) AS price_rounded,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6)), 1) * 10
+                AS BIGINT) AS price_dimes,
            ABS(l_discount - 0.05) AS disc_dev,
            SQRT(l_quantity) AS qty_sqrt,
-           POW(l_quantity, 2) AS qty_sq,
-           ROUND(LN(l_extendedprice), 9) AS price_ln,
-           ROUND(EXP(l_discount), 9) AS disc_exp,
+           l_quantity * l_quantity AS qty_sq,
+           {o_fscaled('LN(l_extendedprice)', 'price_ln_milli', 1000)},
+           {o_fscaled('EXP(l_discount)', 'disc_exp_scaled', 100000)},
            LEAST(l_quantity, 25.0) AS qty_capped,
            GREATEST(l_tax, l_discount) AS max_rate,
-           SIGN(l_quantity - 25) AS qty_side,
-           FLOOR(l_quantity / 5) * 5 AS qty_bin,
-           CEIL(l_discount * 100) AS disc_pct_ceil
+           CAST(SIGN(l_quantity - 25) AS BIGINT) AS qty_side,
+           CAST(FLOOR(l_quantity / 5) * 5 AS BIGINT) AS qty_bin,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil
     FROM lineitem
     """,
 )
 def math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O85: math function battery. All deterministic IEEE ops on
-    identical inputs — bit-equal across engines, no rounding games."""
+    """O85: math function battery, hashed representation-independently
+    (`_util` module docstring): exact IEEE ops (abs/sqrt/x*x/least/
+    greatest over identical parquet bits) pass through raw; ROUND runs
+    in exact DECIMAL arithmetic then lands on an integer (dimes); the
+    transcendentals (ln/exp — libm, never bit-guaranteed cross-engine)
+    emit floor-scaled integers so no engine's double-ROUND formatting
+    participates in the hash."""
     li = t(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,6)")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_rounded"),
+        (F.round(price_dec, 1) * 10).cast("long").alias("price_dimes"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.pow("l_quantity", 2).alias("qty_sq"),
-        F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
-        F.round(F.exp("l_discount"), 9).alias("disc_exp"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        fscaled(F.log("l_extendedprice"), "price_ln_milli", 1000),
+        fscaled(F.exp("l_discount"), "disc_exp_scaled", 100000),
         F.least("l_quantity", F.lit(25.0)).alias("qty_capped"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
-        F.signum(F.col("l_quantity") - 25).alias("qty_side"),
-        (F.floor(F.col("l_quantity") / 5) * 5).alias("qty_bin"),
-        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.signum(F.col("l_quantity") - 25).cast("long").alias("qty_side"),
+        (F.floor(F.col("l_quantity") / 5) * 5).cast("long").alias("qty_bin"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
     )
 
 
@@ -200,7 +207,7 @@ def timestamp_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey,
            LEN(prices) AS n,
-           array_to_string(list_transform(prices, x -> CAST(ROUND(x * 1.1, 4) AS VARCHAR)), ',') AS taxed,
+           array_to_string(list_transform(prices, x -> CAST(CAST(FLOOR(x * 1.1 * 10000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS taxed_e4,
            array_to_string(list_transform(list_filter(prices, x -> x > 50000), x -> CAST(x AS VARCHAR)), ',') AS big,
            CAST(list_sum(list_transform(prices, x -> CAST(x AS DECIMAL(38,6)))) AS DOUBLE) AS total,
            array_to_string(list_transform(list_sort(prices), x -> CAST(x AS VARCHAR)), ',') AS sorted_prices,
@@ -231,9 +238,14 @@ def array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "o_custkey",
         F.size("prices").alias("n"),
-        joined(F.transform("prices", lambda x: F.round(x * 1.1, 4))).alias(
-            "taxed"
-        ),
+        # x*1.1 is one IEEE multiply over identical parquet bits →
+        # identical product both engines; floor-scaled int (not ROUND —
+        # cross-build double-ROUND rendering differs, `_util` docstring).
+        joined(
+            F.transform(
+                "prices", lambda x: F.floor(x * 1.1 * 10000.0 + 0.5).cast("long")
+            )
+        ).alias("taxed_e4"),
         joined(F.filter("prices", lambda x: x > 50000)).alias("big"),
         F.aggregate(
             "prices",
@@ -456,17 +468,17 @@ def angle_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM obs
     )
     SELECT event_id,
-           ROUND(tws, 6) AS tws,
-           ROUND(twa, 6) AS twa,
-           ROUND(bs * COS(RADIANS(twa)), 6) AS vmg
+           {o_fscaled('tws', 'tws_e4', 10000)},
+           {o_fscaled('twa', 'twa_e4', 10000)},
+           {o_fscaled('bs * COS(RADIANS(twa))', 'vmg_e4', 10000)}
     FROM tw
     """,
 )
 def true_wind_vmg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O18+O19: true wind + VMG (functions.angles) — the reference's
     core sailing math, driven over synthetic apparent-wind columns.
-    Trig outputs rounded to 6 dp on both sides: JVM and libm
-    transcendentals differ by a ULP on some inputs."""
+    Trig outputs (JVM vs libm: ULP noise) hashed as floor-scaled
+    integers per the `_util` float policy."""
     e = t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") > 0)
     )
@@ -476,9 +488,9 @@ def true_wind_vmg(spark: SparkSession, sf_dir: str) -> DataFrame:
     twa = angles.true_wind_angle(aws, awa, bs)
     return e.select(
         "event_id",
-        F.round(angles.true_wind_speed(aws, awa, bs), 6).alias("tws"),
-        F.round(twa, 6).alias("twa"),
-        F.round(angles.vmg(bs, twa), 6).alias("vmg"),
+        fscaled(angles.true_wind_speed(aws, awa, bs), "tws_e4", 10000),
+        fscaled(twa, "twa_e4", 10000),
+        fscaled(angles.vmg(bs, twa), "vmg_e4", 10000),
     )
 
 
@@ -492,30 +504,32 @@ def true_wind_vmg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL
     )
     SELECT event_id,
-           ROUND(2 * 6371000.0 * ASIN(SQRT(
+           CAST(FLOOR(2 * 6371000.0 * ASIN(SQRT(
              POW(SIN((RADIANS(lat2) - RADIANS(lat1)) / 2), 2)
              + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
                * POW(SIN((RADIANS(lon2) - RADIANS(lon1)) / 2), 2)
-           )), 6) AS dist_m
+           )) + 0.5) AS BIGINT) AS dist_m_floor
     FROM fixes
     """,
 )
 def haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O20: haversine (functions.geo) over synthetic fixes; rounded to
-    6 dp (≈1 µm) on both sides — transcendental ULP noise."""
+    """O20: haversine (functions.geo) over synthetic fixes; hashed as
+    whole-meter floors — the ~1e7 m magnitude makes finer grids
+    boundary-risky against transcendental ULP noise (`_util`)."""
     e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = F.col("value")
     return e.select(
         "event_id",
-        F.round(
+        fscaled(
             geo.haversine_m(
                 F.lit(37.0) + v / 100,
                 F.lit(-122.0) - v / 200,
                 F.lit(37.0) + v / 90,
                 F.lit(-122.0) - v / 210,
             ),
-            6,
-        ).alias("dist_m"),
+            "dist_m_floor",
+            1,
+        ),
     )
 
 
@@ -572,15 +586,17 @@ def mag_true_heading(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL AND value > 0
     ), tw AS (
       SELECT bs,
-             ROUND(SQRT(aws*aws + bs*bs - 2*aws*bs*COS(RADIANS(awa))), 6) AS tws,
-             ROUND(ABS(DEGREES(ATAN2(aws * SIN(RADIANS(awa)),
-                                     aws * COS(RADIANS(awa)) - bs))), 6) AS twa
+             CAST(FLOOR(SQRT(aws*aws + bs*bs - 2*aws*bs*COS(RADIANS(awa)))
+                        * 10000.0 + 0.5) AS BIGINT) AS tws_e4,
+             CAST(FLOOR(ABS(DEGREES(ATAN2(aws * SIN(RADIANS(awa)),
+                                          aws * COS(RADIANS(awa)) - bs)))
+                        * 10000.0 + 0.5) AS BIGINT) AS twa_e4
       FROM obs
     )
-    SELECT CAST(FLOOR(tws / 2) * 2 AS INT) AS tws_bin,
-           CAST(FLOOR(twa / 10) * 10 AS INT) AS twa_bin,
+    SELECT CAST((tws_e4 // 20000) * 2 AS INT) AS tws_bin,
+           CAST((twa_e4 // 100000) * 10 AS INT) AS twa_bin,
            COUNT(*) AS n_obs,
-           ROUND(QUANTILE_CONT(bs, 0.9), 6) AS p90_speed
+           {o_fscaled('QUANTILE_CONT(bs, 0.9)', 'p90_micro')}
     FROM tw
     GROUP BY 1, 2
     """,
@@ -589,27 +605,30 @@ def nmea_polar_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's polar performance table (SURVEY.md O41/O46):
     target boat speed = 90th percentile of observed speed per
     (2-kn TWS bin × 10° |TWA| bin), over the same synthetic
-    apparent-wind series as true_wind_vmg. TWS/TWA are rounded to 6 dp
-    BEFORE binning on both sides so transcendental ULP noise can't
-    flip a bin edge; percentile is the exact interpolated form in both
-    engines."""
+    apparent-wind series as true_wind_vmg. TWS/TWA are floor-scaled to
+    integers BEFORE binning, so the bin edge comparison is integer
+    division — transcendental ULP noise can only flip at the 1e-4
+    floor grid, never at a ROUND tie; percentile hashed as micro-units
+    (`_util` float policy)."""
     e = t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") > 0)
     )
     bs = F.col("value")
     awa = angles.norm_360(bs * 13) % 180
     aws = bs * 1.5 + 4
-    tws = F.round(angles.true_wind_speed(aws, awa, bs), 6)
-    twa = F.round(F.abs(angles.true_wind_angle(aws, awa, bs)), 6)
+    tws_e4 = F.floor(angles.true_wind_speed(aws, awa, bs) * 10000.0 + 0.5)
+    twa_e4 = F.floor(F.abs(angles.true_wind_angle(aws, awa, bs)) * 10000.0 + 0.5)
     return (
         e.select(
-            (F.floor(tws / 2) * 2).cast("int").alias("tws_bin"),
-            (F.floor(twa / 10) * 10).cast("int").alias("twa_bin"),
+            # tws_e4/20000 is an exact-int double division well below
+            # 2^53 — floor of it equals DuckDB's BIGINT // (positives).
+            (F.floor(tws_e4 / 20000) * 2).cast("int").alias("tws_bin"),
+            (F.floor(twa_e4 / 100000) * 10).cast("int").alias("twa_bin"),
             bs.alias("bs"),
         )
         .groupBy("tws_bin", "twa_bin")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.round(F.percentile("bs", 0.9), 6).alias("p90_speed"),
+            fscaled(F.percentile("bs", 0.9), "p90_micro"),
         )
     )

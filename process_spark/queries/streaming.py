@@ -195,7 +195,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_watermark",
     oracle="""
-    SELECT event_id, ts, user_id, event_type FROM events
+    -- GROUP BY event_id (not a bare SELECT): the batch twin of
+    -- dropDuplicates must itself be duplicate-proof in case a testdata
+    -- regeneration ever ships duplicate event_ids — byte-identical
+    -- duplicates collapse to the same row via MIN on every column.
+    SELECT event_id, MIN(ts) AS ts, MIN(user_id) AS user_id,
+           MIN(event_type) AS event_type
+    FROM events GROUP BY event_id
     """,
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,8 +490,12 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- streams — only the weighted sum rides the weights join (an
       -- unknown event_type must drop from sum_weighted, not from the
       -- counts; the suite's inner join then drops that user row on
-      -- both sides identically)
-      SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+      -- both sides identically). n_dedup = COUNT(DISTINCT event_id),
+      -- not COUNT(*): the dedup twin must stay correct even if a
+      -- testdata regeneration ships duplicate event_ids.
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(DISTINCT event_id) AS n_dedup_ids,
+             MAX(value) AS max_value
       FROM events GROUP BY user_id
     ),
     wsum AS (
@@ -496,7 +506,7 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.user_id
     )
     SELECT b.user_id,
-           b.n_events AS n_dedup,
+           b.n_dedup_ids AS n_dedup,
            b.n_events,
            b.max_value,
            s.sum_weighted

@@ -25,7 +25,15 @@ from process_spark.operators.series import (
     linear_interpolate,
     sessionize,
 )
-from process_spark.queries._util import dsum, o_dsum, o_davg, o_pmod, t
+from process_spark.queries._util import (
+    dsum,
+    fscaled,
+    o_dsum,
+    o_davg,
+    o_fscaled,
+    o_pmod,
+    t,
+)
 from process_spark.queries.registry import register
 
 
@@ -61,14 +69,18 @@ from process_spark.queries.registry import register
            {o_pmod('value * 7', '360')} AS norm360,
            {o_pmod('(value * 7 + 180)', '360')} - 180 AS norm180,
            {o_pmod('((value * 7 - value * 3) + 180)', '360')} - 180 AS delta,
-           CASE WHEN value > 0 THEN ROUND(tws_raw, 6) END AS tws,
-           CASE WHEN value > 0 THEN ROUND(twa_raw, 6) END AS twa,
-           CASE WHEN value > 0 THEN ROUND(bs * COS(RADIANS(twa_raw)), 6) END AS vmg,
-           ROUND(2 * 6371000.0 * ASIN(SQRT(
+           CASE WHEN value > 0
+                THEN CAST(FLOOR(tws_raw * 10000.0 + 0.5) AS BIGINT) END AS tws_e4,
+           CASE WHEN value > 0
+                THEN CAST(FLOOR(twa_raw * 10000.0 + 0.5) AS BIGINT) END AS twa_e4,
+           CASE WHEN value > 0
+                THEN CAST(FLOOR(bs * COS(RADIANS(twa_raw)) * 10000.0 + 0.5) AS BIGINT)
+                END AS vmg_e4,
+           CAST(FLOOR(2 * 6371000.0 * ASIN(SQRT(
              POW(SIN((RADIANS(lat2) - RADIANS(lat1)) / 2), 2)
              + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
                * POW(SIN((RADIANS(lon2) - RADIANS(lon1)) / 2), 2)
-           )), 6) AS hav_m
+           )) + 0.5) AS BIGINT) AS hav_m_floor
     FROM tw
     """,
 )
@@ -78,7 +90,9 @@ def nmea_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     VMG, and haversine — the reference's full per-sample scalar math
     (functions.angles / functions.geo), every column a codegen'd
     expression. Wind columns are NULL for non-positive speeds; trig
-    outputs rounded to 6 dp on both sides (ULP noise)."""
+    outputs hashed as floor-scaled integers (4 dp; haversine whole
+    meters — its ~1e7 m magnitude needs coarser granularity over the
+    same abs libm noise), never ROUND-ed doubles (`_util` docstring)."""
     e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = F.col("value")
     bs = v
@@ -97,20 +111,24 @@ def nmea_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         angles.norm_360(v * 7).alias("norm360"),
         angles.norm_180(v * 7).alias("norm180"),
         angles.angle_diff(v * 7, v * 3).alias("delta"),
-        F.when(wind_ok, F.round(angles.true_wind_speed(aws, awa, bs), 6)).alias(
-            "tws"
-        ),
-        F.when(wind_ok, F.round(twa_raw, 6)).alias("twa"),
-        F.when(wind_ok, F.round(angles.vmg(bs, twa_raw), 6)).alias("vmg"),
-        F.round(
+        F.when(
+            wind_ok,
+            F.floor(angles.true_wind_speed(aws, awa, bs) * 10000.0 + 0.5).cast("long"),
+        ).alias("tws_e4"),
+        F.when(wind_ok, F.floor(twa_raw * 10000.0 + 0.5).cast("long")).alias("twa_e4"),
+        F.when(
+            wind_ok, F.floor(angles.vmg(bs, twa_raw) * 10000.0 + 0.5).cast("long")
+        ).alias("vmg_e4"),
+        fscaled(
             geo.haversine_m(
                 F.lit(37.0) + v / 100,
                 F.lit(-122.0) - v / 200,
                 F.lit(37.0) + v / 90,
                 F.lit(-122.0) - v / 210,
             ),
-            6,
-        ).alias("hav_m"),
+            "hav_m_floor",
+            1,
+        ),
     )
 
 
@@ -269,8 +287,8 @@ def win_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(event_id) OVER wo AS first_event,
            LAST_VALUE(event_id) OVER wf AS last_event,
            NTH_VALUE(event_id, 2) OVER wf AS second_event,
-           ROUND(PERCENT_RANK() OVER wv, 9) AS pr,
-           ROUND(CUME_DIST() OVER wv, 9) AS cd,
+           CAST(FLOOR(PERCENT_RANK() OVER wv * 1000000000.0 + 0.5) AS BIGINT) AS pr_e9,
+           CAST(FLOOR(CUME_DIST() OVER wv * 1000000000.0 + 0.5) AS BIGINT) AS cd_e9,
            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_id
@@ -323,8 +341,14 @@ def win_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(wo).alias("first_event"),
         F.last("event_id").over(wf).alias("last_event"),
         F.nth_value("event_id", 2).over(wf).alias("second_event"),
-        F.round(F.percent_rank().over(wv), 9).alias("pr"),
-        F.round(F.cume_dist().over(wv), 9).alias("cd"),
+        # (rank-1)/(n-1) and rank/n are single IEEE divisions of exact
+        # ints — identical bits both engines — so the 1e-9 floor scale
+        # is boundary-risk-free (vs ROUND(x,9): a cross-build format
+        # gamble, `_util` docstring).
+        F.floor(F.percent_rank().over(wv) * 1000000000.0 + 0.5).cast("long").alias(
+            "pr_e9"
+        ),
+        F.floor(F.cume_dist().over(wv) * 1000000000.0 + 0.5).cast("long").alias("cd_e9"),
         "session_id",
     )
 
@@ -792,12 +816,13 @@ def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT vec_id, label, embedding, {norm} AS nn
                FROM embeddings WHERE vec_id % 4 = 0),
     u AS (SELECT vec_id, label, list_transform(embedding, x -> x / nn) AS nemb
-          FROM n)
+          FROM n WHERE nn > 0)
     SELECT 'norm' AS op, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
            {norm} AS l2,
            CAST(list_min(embedding) AS DOUBLE) AS min_elem,
            CAST(list_max(embedding) AS DOUBLE) AS max_elem,
-           (CAST(embedding[1] AS DOUBLE) / {norm}) AS unit_first,
+           (CASE WHEN {norm} > 0
+                 THEN CAST(embedding[1] AS DOUBLE) / {norm} END) AS unit_first,
            CAST(NULL AS DOUBLE) AS cosine_sim
     FROM embeddings
     UNION ALL
@@ -985,22 +1010,29 @@ def maneuver_detect_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- toward zero — they differ on negative values
              CAST(FLOOR(trunc(value * 100) / 7) AS BIGINT) AS bucket
       FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT user_id, value, bucket,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM b
     )
     SELECT user_id,
            SUM(bucket) AS bucket_sum,
-           ROUND(MEDIAN(value), 6) AS median_value,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_lo,
            COUNT(*) AS n_events
-    FROM b GROUP BY user_id
+    FROM r GROUP BY user_id
     """,
 )
 def udf_pandas_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O97+O98: Arrow-vectorized scalar pandas_udf (integer bucketing —
     exact math, so the oracle mirrors it bit-for-bit) feeding a grouped
-    aggregate pandas_udf (sum of int64 buckets — exact; median — both
-    engines interpolate the same two middle float64s, rounded 6 dp
-    against the interpolation-formula ULP; Spark disallows mixing
-    grouped-agg pandas UDFs with built-in aggregates, so the count is
-    a pandas UDF too)."""
+    aggregate pandas_udf (sum of int64 buckets — exact; median as the
+    LOWER-MIDDLE ELEMENT — pure selection from the sorted multiset, so
+    the hashed value is a raw parquet float64 with identical bits on
+    both sides; interpolated+rounded medians hash-differ across DuckDB
+    builds (`_util` docstring). Spark disallows mixing grouped-agg
+    pandas UDFs with built-in aggregates, so the count is a pandas UDF
+    too)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
@@ -1018,7 +1050,10 @@ def udf_pandas_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_sum = pandas_udf(_bsum, "long")
 
     def _vmed(v):
-        return float(round(v.median(), 6))
+        # Lower-middle element, 0-based index (n-1)//2 of the ascending
+        # sort — matches the oracle's rn = (n+1)//2 (1-based) exactly.
+        arr = np.sort(v.to_numpy())
+        return float(arr[(len(arr) - 1) // 2])
 
     _vmed.__annotations__ = {"v": pd.Series, "return": float}
     med = pandas_udf(_vmed, "double")
@@ -1035,7 +1070,7 @@ def udf_pandas_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             bucket_sum(F.col("bucket")).alias("bucket_sum"),
-            med(F.col("value")).alias("median_value"),
+            med(F.col("value")).alias("median_lo"),
             n_events(F.col("value")).alias("n_events"),
         )
     )
@@ -1104,34 +1139,35 @@ def udf_arrow_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_suite",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           MEDIAN(value) AS median_value,
-           QUANTILE_CONT(value, 0.9) AS p90_value,
-           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
-           ROUND(VAR_SAMP(value), 4) AS var_value,
-           ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+           {o_fscaled('MEDIAN(value)', 'median_micro')},
+           {o_fscaled('QUANTILE_CONT(value, 0.9)', 'p90_micro')},
+           {o_fscaled('STDDEV_SAMP(value)', 'sd_e4', 10000)},
+           {o_fscaled('VAR_SAMP(value)', 'var_e4', 10000)},
+           {o_fscaled('CORR(value, CAST(user_id AS DOUBLE))', 'corr_e6')}
     FROM events GROUP BY event_type
     """,
 )
 def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O41+O42 on one grain: exact median / interpolated p90 (Spark
-    percentile == DuckDB quantile_cont) plus stddev/var/corr per event
-    type. Moments have no exact-decimal form — rounded identically on
-    both sides (SURVEY.md §5.2); the percentile pair is IEEE-exact so
-    it stays unrounded. One hash-aggregate pass, shuffle on the
-    (tiny) group key only."""
+    """O41+O42 on one grain: median / interpolated p90 plus stddev/var/
+    corr per event type. Moments are order-dependent (distributed vs
+    serial summation) and the percentile interpolation formula is an
+    engine seam — all hashed as floor-scaled integers (`_util` module
+    docstring) with granularity ≫ the cross-engine noise, never as
+    ROUND-ed doubles. One hash-aggregate pass, shuffle on the (tiny)
+    group key only."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.median("value").alias("median_value"),
-            F.percentile("value", 0.9).alias("p90_value"),
-            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-            F.round(F.var_samp("value"), 4).alias("var_value"),
-            F.round(
-                F.corr(F.col("value"), F.col("user_id").cast("double")), 6
-            ).alias("corr_value_user"),
+            fscaled(F.median("value"), "median_micro"),
+            fscaled(F.percentile("value", 0.9), "p90_micro"),
+            fscaled(F.stddev_samp("value"), "sd_e4", 10000),
+            fscaled(F.var_samp("value"), "var_e4", 10000),
+            fscaled(
+                F.corr(F.col("value"), F.col("user_id").cast("double")), "corr_e6"
+            ),
         )
     )
 

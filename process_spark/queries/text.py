@@ -23,7 +23,7 @@ from process_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_dedup_candidates,
 )
-from process_spark.queries._util import davg, o_davg, t
+from process_spark.queries._util import davg, fscaled, o_davg, o_fscaled, t
 from process_spark.queries.registry import register
 
 #: DuckDB twin of functions.textfn.tokens — keep in sync.
@@ -36,7 +36,8 @@ _O_SHINGLES = f"""(
   SELECT CASE WHEN len(toks) >= 3 THEN
            list_transform(range(1, len(toks) - 1),
                           i -> array_to_string(toks[i:i+2], ' '))
-         ELSE [array_to_string(toks, ' ')] END
+         WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+         ELSE CAST([] AS VARCHAR[]) END
   FROM (SELECT {_O_TOKS} AS toks)
 )"""
 
@@ -97,7 +98,8 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tk GROUP BY tok),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
     SELECT tf.doc_id, tf.tok, tf.tf,
-           ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+           CAST(FLOOR(tf.tf * ln(n.n_docs / df.df) * 10000.0 + 0.5) AS BIGINT)
+             AS tfidf_e4
     FROM tf JOIN df USING (tok) CROSS JOIN n
     WHERE tf.tf >= 3
     """,
@@ -105,7 +107,8 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O74: TF-IDF — tf per (doc, term) joined to corpus doc-frequency.
     The df table is tiny relative to the exploded tokens, so Spark
-    broadcasts it; rounded because ln() is libm-dependent."""
+    broadcasts it; floor-scaled integer output because ln() is
+    libm-dependent (`_util` float policy)."""
     d = t(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     tf = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -117,9 +120,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "tok",
             "tf",
-            F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-            ).alias("tfidf"),
+            F.floor(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 10000.0 + 0.5
+            )
+            .cast("long")
+            .alias("tfidf_e4"),
         )
         .filter(F.col("tf") >= 3)
     )
@@ -134,7 +139,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN len(toks) >= 3 THEN
                list_transform(range(1, len(toks) - 1),
                               i -> array_to_string(toks[i:i+2], ' '))
-             ELSE [array_to_string(toks, ' ')] END AS shingles
+             WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+             ELSE CAST([] AS VARCHAR[]) END AS shingles
       FROM tk
     )
     SELECT doc_id, len(shingles) AS n_shingles,

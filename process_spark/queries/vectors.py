@@ -57,19 +57,25 @@ def _o_norm(a: str) -> str:
 
 
 def _o_cosine(a: str, b: str) -> str:
-    return f"({_o_dot(a, b)} / ({_o_norm(a)} * {_o_norm(b)}))"
+    """NULL when either norm is zero — DuckDB's raw ``/`` would yield
+    inf/nan where Spark's guarded cosine() yields NULL; the CASE keeps
+    both engines on the same degenerate-input semantics."""
+    den = f"({_o_norm(a)} * {_o_norm(b)})"
+    return f"(CASE WHEN {den} > 0 THEN {_o_dot(a, b)} / {den} END)"
 
 
 def _o_unit_cte(source_sql: str, extra_cols: str = "") -> str:
     """DuckDB twin of the normalize-once projection in
     operators.similarity (l2_norm as its own column, then elementwise
-    x / norm): ``u(vec_id, {extra}, nemb)`` over ``source_sql``."""
+    x / norm): ``u(vec_id, {extra}, nemb)`` over ``source_sql``.
+    ``WHERE nn > 0`` mirrors the operator's exclude-NULL-unit-vectors
+    rule (unit_with → NULL → filtered) for zero/underflow norms."""
     cols = f"vec_id, {extra_cols}, " if extra_cols else "vec_id, "
     return (
         f"n AS (SELECT {cols}embedding, {_o_norm('embedding')} AS nn"
         f" FROM ({source_sql})),"
         f" u AS (SELECT {cols}list_transform(embedding, x -> x / nn) AS nemb"
-        f" FROM n)"
+        f" FROM n WHERE nn > 0)"
     )
 
 
@@ -80,7 +86,9 @@ def _o_unit_cte(source_sql: str, extra_cols: str = "") -> str:
            {_o_norm('embedding')} AS l2,
            CAST(list_min(embedding) AS DOUBLE) AS min_elem,
            CAST(list_max(embedding) AS DOUBLE) AS max_elem,
-           (CAST(embedding[1] AS DOUBLE) / {_o_norm('embedding')}) AS unit_first
+           (CASE WHEN {_o_norm('embedding')} > 0
+                 THEN CAST(embedding[1] AS DOUBLE) / {_o_norm('embedding')}
+            END) AS unit_first
     FROM embeddings
     """,
 )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from process_spark.operators.relational import topk_per_group
 from process_spark.operators.series import sessionize
-from process_spark.queries._util import t
+from process_spark.queries._util import fscaled, t
 from process_spark.queries.registry import register
 
 
@@ -148,8 +148,8 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
            NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id), 9) AS pr,
-           ROUND(CUME_DIST() OVER (PARTITION BY user_id ORDER BY value, event_id), 9) AS cd
+           CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id) * 1000000000.0 + 0.5) AS BIGINT) AS pr_e9,
+           CAST(FLOOR(CUME_DIST() OVER (PARTITION BY user_id ORDER BY value, event_id) * 1000000000.0 + 0.5) AS BIGINT) AS cd_e9
     FROM events
     WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -169,8 +169,14 @@ def win_analytic_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("event_id").over(w).alias("first_event"),
             F.last("event_id").over(w_full).alias("last_event"),
             F.nth_value("event_id", 2).over(w_full).alias("second_event"),
-            F.round(F.percent_rank().over(w_val), 9).alias("pr"),
-            F.round(F.cume_dist().over(w_val), 9).alias("cd"),
+            # Exact-int ratios → identical bits → the 1e-9 floor grid
+            # is boundary-risk-free (`_util` float policy).
+            F.floor(F.percent_rank().over(w_val) * 1000000000.0 + 0.5)
+            .cast("long")
+            .alias("pr_e9"),
+            F.floor(F.cume_dist().over(w_val) * 1000000000.0 + 0.5)
+            .cast("long")
+            .alias("cd_e9"),
         )
     )
 

@@ -35,6 +35,44 @@ QUERIES = [
     "agg_stats_suite",         # moments/percentiles over negatives
 ]
 
+# Vector queries over the degenerate-embeddings table: a zero vector
+# and an underflow vector ([0, ..., 1e-320]: squares underflow, norm
+# is exactly 0 despite a nonzero element) must be EXCLUDED from cosine
+# scoring by both engines — not crash the job (ANSI DIVIDE_BY_ZERO,
+# round-3 regression on unit_with) and not score inf/nan in DuckDB.
+VEC_QUERIES = [
+    "vec_norms",
+    "vec_cosine_pairs",
+    "vec_knn_bruteforce",
+    "vec_near_dup",
+    "vec_norm_dup_suite",
+    "vec_ann_srp_bucketed",
+    "vec_srp_lsh_buckets",
+    "vec_centroids",
+    "vec_ivf_knn",        # rows-only: must complete, not crash
+    "vec_knn_arrow",      # rows-only: NaN→NULL kernel path
+    "vec_kmeans_clusters",  # rows-only: assignment over zero vectors
+]
+
+# Text queries over the degenerate-documents table: empty text,
+# whitespace-only text, and single-token docs (shorter than the
+# 3-gram shingle window).
+TEXT_QUERIES = [
+    "text_tokenize_stats",
+    "text_term_frequency",
+    "text_tfidf",
+    "text_ngram_shingles",
+    "text_jaccard_pairs_blocked",
+    "text_minhash_lsh_md5_pairs",
+    "text_simhash_candidates",
+    "text_exact_content_dedup",
+    "text_fingerprint_rolling",
+    "text_quality_signals",
+    "text_language_guess",
+    "text_lang_source_stats",
+    "text_lexicon_score",
+]
+
 
 @pytest.fixture(scope="module")
 def adversarial_dir():
@@ -46,6 +84,59 @@ def adversarial_dir():
     for name in os.listdir(SRC):
         if name.endswith(".parquet") and name != "events.parquet":
             shutil.copyfile(os.path.join(SRC, name), os.path.join(DST, name))
+
+    # --- embeddings: append degenerate vectors ------------------------
+    etbl = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    edf = etbl.to_pandas()
+    dim = len(edf["embedding"].iloc[0])
+    max_id = int(edf["vec_id"].max())
+    import numpy as np
+
+    degenerates = [
+        # exact zero vector
+        np.zeros(dim, dtype="float32"),
+        # nonzero f32 element whose f64 SQUARE underflows to 0 during
+        # the norm fold (1e-170² = 1e-340 → 0): passes any-nonzero
+        # filters yet has norm exactly 0 — the round-3 crash repro.
+        np.array([0.0] * (dim - 1) + [1e-170], "float32"),
+        # tiny-but-valid norm (≈8e-23): must normalize, not drop
+        np.full(dim, 1e-23, dtype="float32"),
+    ]
+    edf2 = type(edf)(
+        {
+            "vec_id": list(edf["vec_id"])
+            + [max_id + 1 + i for i in range(len(degenerates))],
+            "embedding": list(edf["embedding"]) + degenerates,
+            "label": list(edf["label"]) + list(edf["label"][: len(degenerates)]),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(edf2, schema=etbl.schema, preserve_index=False),
+        os.path.join(DST, "embeddings.parquet"),
+    )
+
+    # --- documents: append degenerate texts ---------------------------
+    dtbl = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    ddf = dtbl.to_pandas()
+    dmax = int(ddf["doc_id"].max())
+    extras = [
+        ("", "en", "srcX"),            # empty
+        ("   \t  \n ", "en", "srcX"),  # whitespace-only
+        ("solo", "en", "srcX"),        # single token < shingle window
+        ("two tokens", "de", "srcX"),  # below 3-gram window
+    ]
+    drows = {
+        "doc_id": list(ddf["doc_id"]) + [dmax + 1 + i for i in range(len(extras))],
+        "text": list(ddf["text"]) + [e[0] for e in extras],
+        "lang": list(ddf["lang"]) + [e[1] for e in extras],
+        "source": list(ddf["source"]) + [e[2] for e in extras],
+        "n_chars": list(ddf["n_chars"]) + [len(e[0]) for e in extras],
+    }
+    pq.write_table(
+        pa.Table.from_pandas(type(ddf)(drows), schema=dtbl.schema,
+                             preserve_index=False),
+        os.path.join(DST, "documents.parquet"),
+    )
 
     tbl = pq.read_table(os.path.join(SRC, "events.parquet"))
     df = tbl.to_pandas()
@@ -70,6 +161,22 @@ def adversarial_dir():
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_parity_on_adversarial_events(spark, adversarial_dir, name):
+    from process_spark.oracle import compare_query
+
+    res = compare_query(spark, name, sf_dir=adversarial_dir)
+    assert res.ok, str(res)
+
+
+@pytest.mark.parametrize("name", VEC_QUERIES)
+def test_parity_on_degenerate_embeddings(spark, adversarial_dir, name):
+    from process_spark.oracle import compare_query
+
+    res = compare_query(spark, name, sf_dir=adversarial_dir)
+    assert res.ok, str(res)
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_parity_on_degenerate_documents(spark, adversarial_dir, name):
     from process_spark.oracle import compare_query
 
     res = compare_query(spark, name, sf_dir=adversarial_dir)

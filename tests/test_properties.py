@@ -146,4 +146,10 @@ def test_unit_dot_matches_cosine(spark, vectors):
     }
     assert via_unit.keys() == via_cosine.keys()
     for k, s in via_unit.items():
-        assert abs(s - via_cosine[k]) < 1e-9, (k, s, via_cosine[k])
+        c = via_cosine[k]
+        if s is None or c is None:
+            # Zero/underflow norm (e.g. [0.0, 1e-320]: squares underflow
+            # to 0) — BOTH layouts must agree on the NULL semantics.
+            assert s is None and c is None, (k, s, c)
+        else:
+            assert abs(s - c) < 1e-9, (k, s, c)
