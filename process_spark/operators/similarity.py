@@ -82,6 +82,89 @@ def brute_force_knn(
     )
 
 
+def brute_force_knn_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "q_emb",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """O67/O97 — the Arrow/numpy throughput scorer for exact cosine
+    k-NN. Same contract as :func:`brute_force_knn` (queries ≪ corpus),
+    different physical shape for when SCORING dominates:
+
+    - Phase 1: ``mapInPandas`` over the corpus. Each Arrow batch is one
+      ``(batch × dim) @ (dim × n_queries)`` unit-cosine matmul against
+      the broadcast query matrix (BLAS — the per-pair HOF fold and even
+      the per-pair numpy kernel redo O(d) work per scored pair), then
+      an ``argpartition`` keeps that batch's per-query top-k only.
+    - Phase 2: one tiny shuffle (≤ k·|Q| rows per batch) reduces the
+      batch candidates to the global top-k per query.
+
+    The corpus never shuffles; the driver materializes only the query
+    side — the SAME boundedness contract ``F.broadcast(queries)``
+    already imposes on the expression path, just made explicit as a
+    numpy matrix. Zero/underflow-norm vectors are excluded on both
+    sides (NULL-semantics twin of the expression path). Tie-breaking
+    inside a batch is by argpartition order, so exact score ties at
+    the k-boundary may pick a different (equally-scored) id than the
+    expression path — registered rows-only for that reason.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    qpdf = queries.select(query_id, query_vec).toPandas()
+    qids = qpdf[query_id].to_numpy()
+    if len(qids):
+        qmat = np.stack(qpdf[query_vec].to_numpy()).astype("float64")
+        qn = np.linalg.norm(qmat, axis=1)
+        keep = qn > 0
+        qids = qids[keep]
+        qunit = qmat[keep] / qn[keep, None]
+    else:
+        qunit = np.zeros((0, 1))
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qunit))
+
+    def score_batches(batches):
+        ids_q, qu = bq.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if not len(pdf) or nq == 0:
+                continue
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+            cn = np.linalg.norm(mat, axis=1)
+            valid = cn > 0
+            if not valid.any():
+                continue
+            unit = mat[valid] / cn[valid, None]
+            vids = pdf[corpus_id].to_numpy()[valid]
+            scores = unit @ qu.T  # (batch, nq)
+            m = min(k, scores.shape[0])
+            idx = np.argpartition(-scores, m - 1, axis=0)[:m]  # (m, nq)
+            rows = idx.ravel(order="F")
+            cols = np.repeat(np.arange(nq), m)
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(ids_q, m),
+                    corpus_id: vids[rows],
+                    "score": scores[rows, cols],
+                }
+            )
+
+    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score_batches, schema=f"{query_id} long, {corpus_id} long, score double"
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def centroids(
     emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -153,3 +153,29 @@ def test_unit_dot_matches_cosine(spark, vectors):
             assert s is None and c is None, (k, s, c)
         else:
             assert abs(s - c) < 1e-9, (k, s, c)
+
+
+def test_knn_arrow_matmul_matches_hof(spark):
+    """The Arrow/BLAS matmul scorer (brute_force_knn_arrow) must return
+    the same per-query top-k ID SETS as the oracle-checked HOF
+    expression path — the matmul is a physical layout, not a semantic
+    change. Scores may differ in the last ULPs (numpy pairwise
+    summation vs sequential fold), so ids, not scores, are compared."""
+    from process_spark.operators.similarity import (
+        brute_force_knn,
+        brute_force_knn_arrow,
+    )
+    from process_spark.sources.io import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    hof = {
+        (r["q_id"], r["vec_id"]) for r in brute_force_knn(q, e, k=5).collect()
+    }
+    arrow = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_knn_arrow(q, e, k=5).collect()
+    }
+    assert hof == arrow
