@@ -352,6 +352,120 @@ def ivf_search(
     )
 
 
+def ivf_search_arrow(
+    queries: DataFrame,
+    cells: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """O68 — IVF search with the Arrow/BLAS re-rank (the matmul twin of
+    :func:`ivf_search`, same probe semantics).
+
+    Probe selection stays on the expression path (|Q| x n_cells dots —
+    cheap). The re-rank then avoids shuffling the corpus at all:
+    the probe table (≤ |Q|·n_probe rows — bounded by the same contract
+    that lets ivf_search broadcast it) is collected into a
+    cell_id → unit-query-matrix dict and broadcast; one ``mapInPandas``
+    pass over the cell-filtered assignments scores each Arrow batch
+    with one matmul per (cell, batch) and keeps the per-batch top-k.
+    One tiny candidate shuffle then reduces to the global top-k.
+
+    The ``cell_id IS IN probed`` filter reaches the assignments scan as
+    a pushed predicate — with assignments written partitioned/bucketed
+    by cell (the layout ivf_build recommends), that is real partition
+    pruning: only n_probe/n_cells of the corpus is even read.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    ucells = (
+        cells.select(
+            "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
+        )
+        .filter(F.col("__cn") > 0)
+        .select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
+    )
+    qcells = queries.join(F.broadcast(ucells)).select(
+        query_id,
+        query_vec,
+        "cell_id",
+        dot(F.col(query_vec), F.col("centroid")).alias("__sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__sim").desc(), F.col("cell_id").asc()
+    )
+    probes_pdf = (
+        qcells.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id, "cell_id", query_vec)
+        .toPandas()
+    )
+    per_cell: dict = {}
+    for cell, sub in probes_pdf.groupby("cell_id"):
+        qmat = np.stack(sub[query_vec].to_numpy()).astype("float64")
+        qn = np.linalg.norm(qmat, axis=1)
+        keep = qn > 0  # zero-norm query: no neighbors (NULL-unit twin)
+        if not keep.any():
+            continue
+        per_cell[int(cell)] = (
+            sub[query_id].to_numpy()[keep],
+            qmat[keep] / qn[keep, None],
+        )
+    bq = assignments.sparkSession.sparkContext.broadcast(per_cell)
+
+    def score_batches(batches):
+        probes = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cell, sub in pdf.groupby("cell_id"):
+                entry = probes.get(int(cell))
+                if entry is None:
+                    continue
+                ids_q, qu = entry
+                mat = np.stack(sub[corpus_vec].to_numpy()).astype("float64")
+                cn = np.linalg.norm(mat, axis=1)
+                valid = cn > 0  # zero-norm corpus vector: excluded
+                if not valid.any():
+                    continue
+                unit = mat[valid] / cn[valid, None]
+                vids = sub[corpus_id].to_numpy()[valid]
+                scores = unit @ qu.T
+                m = min(k, scores.shape[0])
+                idx = np.argpartition(-scores, m - 1, axis=0)[:m]
+                rows = idx.ravel(order="F")
+                cols = np.repeat(np.arange(len(ids_q)), m)
+                yield pd.DataFrame(
+                    {
+                        query_id: np.repeat(ids_q, m),
+                        corpus_id: vids[rows],
+                        "score": scores[rows, cols],
+                    }
+                )
+
+    probed = sorted(per_cell)
+    cand = (
+        assignments.select(corpus_id, "cell_id", corpus_vec)
+        .filter(F.col("cell_id").isin(probed) if probed else F.lit(False))
+        .mapInPandas(
+            score_batches,
+            schema=f"{query_id} long, {corpus_id} long, score double",
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def near_dup_embeddings(
     emb: DataFrame,
     threshold: float = 0.98,

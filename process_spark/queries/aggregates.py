@@ -148,7 +148,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O41: median + interpolated percentile, hashed as floor-scaled
+    """O41: median + interpolated percentile, hashed as half-up-scaled
     micro-units — the even-n/interpolation formula is an engine seam,
     so raw doubles are a latent mismatch (`_util` float policy; approx
     variants stay rows-only per SURVEY.md §7.3)."""
@@ -175,7 +175,7 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O42: stddev/variance/correlation. No exact-decimal form exists —
-    hashed as floor-scaled integers with granularity far above the
+    hashed as half-up-scaled integers with granularity far above the
     distributed-vs-serial summation noise (`_util` float policy)."""
     return (
         t(spark, sf_dir, "events")

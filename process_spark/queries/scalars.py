@@ -145,7 +145,7 @@ def math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     greatest over identical parquet bits) pass through raw; ROUND runs
     in exact DECIMAL arithmetic then lands on an integer (dimes); the
     transcendentals (ln/exp — libm, never bit-guaranteed cross-engine)
-    emit floor-scaled integers so no engine's double-ROUND formatting
+    emit half-up-scaled integers so no engine's double-ROUND formatting
     participates in the hash."""
     li = t(spark, sf_dir, "lineitem")
     price_dec = F.col("l_extendedprice").cast("decimal(18,6)")
@@ -239,7 +239,7 @@ def array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.size("prices").alias("n"),
         # x*1.1 is one IEEE multiply over identical parquet bits →
-        # identical product both engines; floor-scaled int (not ROUND —
+        # identical product both engines; half-up-scaled int (not ROUND —
         # cross-build double-ROUND rendering differs, `_util` docstring).
         joined(
             F.transform(
@@ -477,7 +477,7 @@ def angle_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def true_wind_vmg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O18+O19: true wind + VMG (functions.angles) — the reference's
     core sailing math, driven over synthetic apparent-wind columns.
-    Trig outputs (JVM vs libm: ULP noise) hashed as floor-scaled
+    Trig outputs (JVM vs libm: ULP noise) hashed as half-up-scaled
     integers per the `_util` float policy."""
     e = t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") > 0)
@@ -605,7 +605,7 @@ def nmea_polar_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's polar performance table (SURVEY.md O41/O46):
     target boat speed = 90th percentile of observed speed per
     (2-kn TWS bin × 10° |TWA| bin), over the same synthetic
-    apparent-wind series as true_wind_vmg. TWS/TWA are floor-scaled to
+    apparent-wind series as true_wind_vmg. TWS/TWA are half-up-scaled to
     integers BEFORE binning, so the bin edge comparison is integer
     division — transcendental ULP noise can only flip at the 1e-4
     floor grid, never at a ROUND tie; percentile hashed as micro-units

@@ -90,7 +90,7 @@ def nmea_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     VMG, and haversine — the reference's full per-sample scalar math
     (functions.angles / functions.geo), every column a codegen'd
     expression. Wind columns are NULL for non-positive speeds; trig
-    outputs hashed as floor-scaled integers (4 dp; haversine whole
+    outputs hashed as half-up-scaled integers (4 dp; haversine whole
     meters — its ~1e7 m magnitude needs coarser granularity over the
     same abs libm noise), never ROUND-ed doubles (`_util` docstring)."""
     e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -1153,7 +1153,7 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O41+O42 on one grain: median / interpolated p90 plus stddev/var/
     corr per event type. Moments are order-dependent (distributed vs
     serial summation) and the percentile interpolation formula is an
-    engine seam — all hashed as floor-scaled integers (`_util` module
+    engine seam — all hashed as half-up-scaled integers (`_util` module
     docstring) with granularity ≫ the cross-engine noise, never as
     ROUND-ed doubles. One hash-aggregate pass, shuffle on the (tiny)
     group key only."""

@@ -107,7 +107,7 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O74: TF-IDF — tf per (doc, term) joined to corpus doc-frequency.
     The df table is tiny relative to the exploded tokens, so Spark
-    broadcasts it; floor-scaled integer output because ln() is
+    broadcasts it; half-up-scaled integer output because ln() is
     libm-dependent (`_util` float policy)."""
     d = t(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.explode(tokens("text")).alias("tok"))

@@ -361,6 +361,25 @@ def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(q, cells, assignments, k=5, n_probe=2)
 
 
+@register("vec_ivf_knn_arrow", oracle=None)
+def vec_ivf_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68: IVF approximate k-NN with the Arrow/BLAS re-rank
+    (operators.similarity.ivf_search_arrow) — same probes as
+    vec_ivf_knn, but the corpus is never shuffled: the probe table
+    broadcasts as a cell→query-matrix dict and a single mapInPandas
+    pass matmul-scores only the probed cells (the cell_id filter is a
+    pushed predicate → partition pruning when assignments are laid out
+    by cell). Rows-only: BLAS summation order has no SQL twin."""
+    from process_spark.operators.similarity import ivf_search_arrow
+
+    e = t(spark, sf_dir, "embeddings")
+    cells, assignments = ivf_build(e, n_cells=8)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_search_arrow(q, cells, assignments, k=5, n_probe=2)
+
+
 @register("vec_knn_arrow", oracle=None)
 def vec_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O97: the Arrow/numpy throughput scorer — same top-k as

@@ -50,7 +50,8 @@ VEC_QUERIES = [
     "vec_srp_lsh_buckets",
     "vec_centroids",
     "vec_ivf_knn",        # rows-only: must complete, not crash
-    "vec_knn_arrow",      # rows-only: NaN→NULL kernel path
+    "vec_ivf_knn_arrow",  # rows-only: broadcast-probe matmul path
+    "vec_knn_arrow",      # rows-only: batch matmul kernel path
     "vec_kmeans_clusters",  # rows-only: assignment over zero vectors
 ]
 

@@ -19,6 +19,7 @@ SF = "/root/testdata/sf0.01"
 # operators/similarity.py seed pick.
 GLOBAL_WINDOW_OK = {
     "vec_ivf_knn",
+    "vec_ivf_knn_arrow",   # same ivf_build seed window (n_cells rows)
     "vec_kmeans_clusters",
 }
 
@@ -35,6 +36,7 @@ CROSS_OK = {
     "vec_knn_bruteforce",       # broadcast query side (small by construction)
     "vec_knn_arrow",            # same, Arrow-scored twin
     "vec_ivf_knn",              # broadcast cell/probe tables (k rows)
+    "vec_ivf_knn_arrow",        # same probe-selection broadcast (k rows)
     "vec_kmeans_clusters",      # broadcast centroids (k rows)
     "pipeline_pack_sequences",  # broadcast per-source offsets (bounded)
     "pipeline_contamination_check",  # broadcast benchmark shingles (bounded)

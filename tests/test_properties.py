@@ -179,3 +179,32 @@ def test_knn_arrow_matmul_matches_hof(spark):
         for r in brute_force_knn_arrow(q, e, k=5).collect()
     }
     assert hof == arrow
+
+
+def test_ivf_arrow_matches_expression_path(spark):
+    """ivf_search_arrow (broadcast probe dict + mapInPandas matmul)
+    must return the same per-query top-k ID SETS as ivf_search (cell
+    equi-join + HOF dot) for the same index — same probes, same
+    candidates, different scoring layout."""
+    from process_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        ivf_search_arrow,
+    )
+    from process_spark.sources.io import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cells, assignments = ivf_build(e, n_cells=4)
+    assignments = assignments.localCheckpoint()  # same index for both paths
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    expr = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_search(q, cells, assignments, k=5, n_probe=2).collect()
+    }
+    arrow = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_search_arrow(q, cells, assignments, k=5, n_probe=2).collect()
+    }
+    assert expr == arrow
