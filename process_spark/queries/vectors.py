@@ -361,6 +361,20 @@ def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(q, cells, assignments, k=5, n_probe=2)
 
 
+@register("vec_near_dup_arrow", oracle=None)
+def vec_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64: the Arrow/BLAS twin of vec_near_dup — per-block chunked
+    matmul inside applyInPandas instead of one interpreted fold per
+    pair (operators.similarity.near_dup_embeddings_arrow). Measured
+    21x the expression path on a x10 probe (SCALE.md); pair id-sets
+    identical (tests/test_properties.py). Rows-only: BLAS summation
+    has no SQL twin."""
+    from process_spark.operators.similarity import near_dup_embeddings_arrow
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    return near_dup_embeddings_arrow(e, threshold=0.2, block_col="label")
+
+
 @register("vec_ivf_knn_arrow", oracle=None)
 def vec_ivf_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O68: IVF approximate k-NN with the Arrow/BLAS re-rank

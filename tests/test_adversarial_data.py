@@ -49,6 +49,7 @@ VEC_QUERIES = [
     "vec_ann_srp_bucketed",
     "vec_srp_lsh_buckets",
     "vec_centroids",
+    "vec_near_dup_arrow",  # rows-only: per-block matmul kernel
     "vec_ivf_knn",        # rows-only: must complete, not crash
     "vec_ivf_knn_arrow",  # rows-only: broadcast-probe matmul path
     "vec_knn_arrow",      # rows-only: batch matmul kernel path

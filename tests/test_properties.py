@@ -208,3 +208,43 @@ def test_ivf_arrow_matches_expression_path(spark):
         for r in ivf_search_arrow(q, cells, assignments, k=5, n_probe=2).collect()
     }
     assert expr == arrow
+
+
+def test_near_dup_arrow_matches_expression_path(spark):
+    """near_dup_embeddings_arrow (per-block chunked matmul) must find
+    the same pair ID SETS as the blocked self-join expression path at
+    the same threshold."""
+    from process_spark.operators.similarity import (
+        near_dup_embeddings,
+        near_dup_embeddings_arrow,
+    )
+    from process_spark.sources.io import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    expr = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_embeddings(e, threshold=0.2, block_col="label").collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_embeddings_arrow(
+            e, threshold=0.2, block_col="label", chunk=64
+        ).collect()
+    }
+    assert expr == arrow
+    assert len(expr) > 0  # discriminating: the threshold must bite
+
+
+def test_kmeans_arrow_assignment_matches_expression_path(spark):
+    """kmeans(scorer="arrow") must produce the same cluster MEMBERSHIP
+    as the expression path — same seeded init, same tie rule (lowest
+    cell_id on equal scores), different scoring layout."""
+    from process_spark.operators.similarity import kmeans
+    from process_spark.sources.io import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    expr_cents, expr_assign = kmeans(e, k=4, n_iter=2)
+    arw_cents, arw_assign = kmeans(e, k=4, n_iter=2, scorer="arrow")
+    ex = {(r["vec_id"], r["cell_id"]) for r in expr_assign.collect()}
+    ar = {(r["vec_id"], r["cell_id"]) for r in arw_assign.collect()}
+    assert ex == ar
