@@ -920,7 +920,7 @@ def vec_norm_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM runs WHERE flag = 1
     ),
     man AS (
-      SELECT user_id, run AS maneuver_id,
+      SELECT user_id, CAST(run AS BIGINT) AS maneuver_id,
              MIN(ts) AS maneuver_ts,
              MAX(CASE WHEN rk = 1 THEN delta END) AS turn_deg,
              COUNT(*) AS n_samples
@@ -1017,7 +1017,7 @@ def maneuver_detect_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b
     )
     SELECT user_id,
-           SUM(bucket) AS bucket_sum,
+           CAST(SUM(bucket) AS BIGINT) AS bucket_sum,
            MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_lo,
            COUNT(*) AS n_events
     FROM r GROUP BY user_id
