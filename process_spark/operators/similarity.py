@@ -235,16 +235,82 @@ def ivf_build(
         (F.row_number().over(w) - 1).alias("cell_id"),
         F.col(vec_col).alias("centroid"),
     )
-    assign = assign_fn(corpus, seeds, corpus_id, vec_col)
     # One refinement pass: recompute cell means, reassign.
-    refined = (
-        assign.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
-        .groupBy("cell_id", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cell_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p")
+    if scorer == "arrow":
+        refined = _refine_cells_arrow(corpus, seeds, vec_col)
+    else:
+        assign = assign_fn(corpus, seeds, corpus_id, vec_col)
+        refined = (
+            assign.select(
+                "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p")
+            )
+            .select(
+                "cell_id",
+                F.transform("__p", lambda p: p.getField("m").cast("float")).alias(
+                    "centroid"
+                ),
+            )
         )
+    assignments = assign_fn(corpus, refined, corpus_id, vec_col)
+    return refined, assignments
+
+
+def _refine_cells_arrow(
+    corpus: DataFrame, cells: DataFrame, vec_col: str
+) -> DataFrame:
+    """Fused assign-and-recompute for the Arrow k-means path: ONE
+    mapInPandas pass per iteration matmul-assigns each batch to its
+    nearest broadcast centroid and immediately reduces it to PARTIAL
+    (sum-vector, count) rows per (batch, cell). Only those tiny
+    partials (n_batches · k rows) are shuffled; assignment rows are
+    never materialized mid-loop. The expression path posexplodes the
+    whole corpus x dim into its hash aggregate each iteration — at
+    scale that shuffle is dim x corpus, here it is k x n_batches.
+    Means are sum/count of partials (float summation order differs
+    from the expression path by ULPs — the arrow path's contract)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    cpdf = cells.toPandas().sort_values("cell_id")
+    cmat = np.stack(cpdf["centroid"].to_numpy()).astype("float64")
+    cn = np.linalg.norm(cmat, axis=1)
+    keep = cn > 0
+    cell_ids = cpdf["cell_id"].to_numpy()[keep]
+    cunit = cmat[keep] / cn[keep, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((cell_ids, cunit))
+
+    def assign_reduce(batches):
+        ids_c, cu = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(ids_c):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            best = np.argmax(mat @ cu.T, axis=1)
+            out_c, out_n, out_s = [], [], []
+            for b in np.unique(best):
+                sel = mat[best == b]
+                out_c.append(int(ids_c[b]))
+                out_n.append(sel.shape[0])
+                out_s.append(sel.sum(axis=0))
+            yield pd.DataFrame({"cell_id": out_c, "n": out_n, "s": out_s})
+
+    parts = corpus.select(vec_col).mapInPandas(
+        assign_reduce, schema="cell_id int, n long, s array<double>"
+    )
+    per_dim = (
+        parts.select("cell_id", "n", F.posexplode("s").alias("pos", "v"))
+        .groupBy("cell_id", "pos")
+        .agg((F.sum("v") / F.sum("n")).alias("m"))
+    )
+    return (
+        per_dim.groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p"))
         .select(
             "cell_id",
             F.transform("__p", lambda p: p.getField("m").cast("float")).alias(
@@ -252,8 +318,6 @@ def ivf_build(
             ),
         )
     )
-    assignments = assign_fn(corpus, refined, corpus_id, vec_col)
-    return refined, assignments
 
 
 def _pick_assigner(scorer: str):
@@ -688,22 +752,33 @@ def kmeans(
         F.col(vec_col).alias("centroid"),
     )
     assign_fn = _pick_assigner(scorer)
-    assign = None
     for _ in range(n_iter):
-        assign = assign_fn(corpus, cents, corpus_id, vec_col)
-        cents = (
-            assign.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
-            .groupBy("cell_id", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p"))
-            .select(
-                "cell_id",
-                F.transform("__p", lambda p: p.getField("m").cast("float")).alias(
-                    "centroid"
-                ),
+        if scorer == "arrow":
+            # Fused pass: assignment rows never materialize mid-loop.
+            cents = _refine_cells_arrow(corpus, cents, vec_col).localCheckpoint(
+                eager=False
             )
-            .localCheckpoint(eager=False)
-        )
+        else:
+            assign = assign_fn(corpus, cents, corpus_id, vec_col)
+            cents = (
+                assign.select(
+                    "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+                )
+                .groupBy("cell_id", "pos")
+                .agg(F.avg("v").alias("m"))
+                .groupBy("cell_id")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))).alias(
+                        "__p"
+                    )
+                )
+                .select(
+                    "cell_id",
+                    F.transform(
+                        "__p", lambda p: p.getField("m").cast("float")
+                    ).alias("centroid"),
+                )
+                .localCheckpoint(eager=False)
+            )
     assignments = assign_fn(corpus, cents, corpus_id, vec_col)
     return cents, assignments
