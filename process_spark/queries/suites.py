@@ -1218,8 +1218,15 @@ def sort_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_python_udtf_suite",
     oracle="""
     WITH parts AS (
+      -- trim with an EXPLICIT whitespace set (space, tab, LF, CR, VT, FF):
+      -- DuckDB's bare trim() strips spaces only while Python's strip()
+      -- strips all whitespace — a whitespace-only sentence would
+      -- survive on one side and not the other.
       SELECT doc_id,
-             list_filter(list_transform(string_split(text, '.'), s -> trim(s)),
+             list_filter(list_transform(string_split(text, '.'),
+                                        s -> trim(s, ' ' || chr(9) || chr(10)
+                                                  || chr(13) || chr(11)
+                                                  || chr(12))),
                          s -> len(s) > 0) AS ps
       FROM documents
     ), sentences AS (
@@ -1251,7 +1258,10 @@ def udf_python_udtf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             idx = 0
             for part in text.split("."):
-                part = part.strip()
+                # Explicit ASCII whitespace set — bare str.strip() also
+                # strips UNICODE whitespace, which the SQL twin cannot
+                # mirror portably.
+                part = part.strip(" \t\n\r\x0b\x0c")
                 if part:
                     yield idx, part
                     idx += 1

@@ -183,3 +183,23 @@ def test_parity_on_degenerate_documents(spark, adversarial_dir, name):
 
     res = compare_query(spark, name, sf_dir=adversarial_dir)
     assert res.ok, str(res)
+
+
+def _window_rest():
+    from process_spark.queries.registry import GRADED_WINDOW
+
+    covered = set(QUERIES) | set(VEC_QUERIES) | set(TEXT_QUERIES)
+    return [n for n in GRADED_WINDOW if n not in covered]
+
+
+@pytest.mark.parametrize("name", _window_rest())
+def test_graded_window_parity_on_adversarial(spark, adversarial_dir, name):
+    """EVERY graded-window query must stay oracle-correct on the
+    adversarial tables — the driver regenerates testdata between
+    rounds, and a query whose parity depends on a data property the
+    schema doesn't guarantee is a latent red row (this sweep caught
+    the bare-trim whitespace mismatch in udf_python_udtf_suite)."""
+    from process_spark.oracle import compare_query
+
+    res = compare_query(spark, name, sf_dir=adversarial_dir)
+    assert res.ok, str(res)
