@@ -124,8 +124,13 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_split_sentences",
     oracle="""
     WITH parts AS (
+      -- explicit whitespace set (space, tab, LF, CR, VT, FF): bare
+      -- trim() strips spaces only, Python strip() strips them all
       SELECT doc_id,
-             list_filter(list_transform(string_split(text, '.'), s -> trim(s)),
+             list_filter(list_transform(string_split(text, '.'),
+                                        s -> trim(s, ' ' || chr(9) || chr(10)
+                                                  || chr(13) || chr(11)
+                                                  || chr(12))),
                          s -> len(s) > 0) AS ps
       FROM documents
     )
@@ -149,7 +154,10 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             idx = 0
             for part in text.split("."):
-                part = part.strip()
+                # Explicit ASCII whitespace set — bare strip() also
+                # strips unicode whitespace the SQL twin can't mirror.
+                part = part.strip(" " + chr(9) + chr(10) + chr(13)
+                                  + chr(11) + chr(12))
                 if part:
                     yield idx, part
                     idx += 1

@@ -299,33 +299,40 @@ def ts_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_change_points",
     oracle="""
     WITH d AS (
-      SELECT user_id, ts, value,
+      -- (ts, event_id) ordering everywhere: bare ORDER BY ts is
+      -- nondeterministic under duplicate timestamps (the adversarial
+      -- fixture ships them)
+      SELECT user_id, ts, event_id, value,
              value - lag(value, 3) OVER
-               (PARTITION BY user_id ORDER BY ts) AS delta
+               (PARTITION BY user_id ORDER BY ts, event_id) AS delta
       FROM events
     ),
     f AS (
-      SELECT user_id, ts, delta,
+      SELECT user_id, ts, event_id, delta,
              CASE WHEN abs(delta) >= 200.0 THEN 1 ELSE 0 END AS flag,
              CASE WHEN abs(delta) >= 200.0
                   AND COALESCE(abs(lag(delta) OVER
-                        (PARTITION BY user_id ORDER BY ts)) >= 200.0, false)
+                        (PARTITION BY user_id ORDER BY ts, event_id)) >= 200.0,
+                        false)
                       = false
                   THEN 1 ELSE 0 END AS run_start
       FROM d
     ),
     r AS (
-      SELECT user_id, ts, delta, flag,
-             CAST(SUM(run_start) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, ts, event_id, delta, flag,
+             CAST(SUM(run_start) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS run_id
       FROM f
     )
     SELECT user_id, run_id AS change_id,
            MIN(ts) AS change_ts,
-           arg_min(delta, ts) AS entry_delta,
+           MAX(CASE WHEN rn = 1 THEN delta END) AS entry_delta,
            COUNT(*) AS n_samples
-    FROM r WHERE flag = 1
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, run_id
+                                       ORDER BY ts, event_id) AS rn
+          FROM r WHERE flag = 1)
     GROUP BY user_id, run_id
     """,
 )
@@ -334,9 +341,11 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|Δ over 3 rows| ≥ 200) deduped to one event per flag run — the
     lag → flag → run-id → group pattern of maneuver detection."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) everywhere — duplicate timestamps make a bare ts
+    # ordering (and a bare min_by ts) nondeterministic.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     delta = F.col("value") - F.lag("value", 3).over(w)
-    d = e.select("user_id", "ts", "value").withColumn("delta", delta)
+    d = e.select("user_id", "ts", "event_id", "value").withColumn("delta", delta)
     flag = (F.abs(F.col("delta")) >= 200.0).cast("int")
     f = d.withColumn("flag", flag)
     prev_flag = F.coalesce(F.lag("flag").over(w), F.lit(0))
@@ -348,7 +357,7 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.col("run_id").alias("change_id"))
         .agg(
             F.min("ts").alias("change_ts"),
-            F.min_by("delta", "ts").alias("entry_delta"),
+            F.min_by("delta", F.struct("ts", "event_id")).alias("entry_delta"),
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
