@@ -113,9 +113,16 @@ def filter_in_null_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def clean_clamp_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O13: data cleaning — mandatory-field drop + outlier clamping."""
+    """O13: data cleaning — mandatory-field drop + outlier clamping.
+    NULL measurements stay NULL: Spark's greatest/least SKIP nulls
+    (greatest(NULL, 0) = 0), which would silently fabricate a 0.0
+    reading for a missing value — the isNotNull guard keeps the clamp
+    honest and matches the oracle's CASE."""
     e = t(spark, sf_dir, "events").dropna(subset=["user_id", "event_type"])
-    clamped = F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0))
+    clamped = F.when(
+        F.col("value").isNotNull(),
+        F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0)),
+    )
     return e.select("event_id", "user_id", clamped.alias("value_clamped"))
 
 

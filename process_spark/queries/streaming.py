@@ -241,11 +241,21 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             n, vmax = 0, float("-inf")
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                vmax = max(vmax, float(pdf["value"].max()))
+            # dropna: a NULL measurement must not poison (or fabricate)
+            # the max — a user with ONLY nulls keeps the -inf sentinel
+            # and emits NULL, matching MAX(value) over all-null input.
+            v = pdf["value"].dropna()
+            if len(v):
+                vmax = max(vmax, float(v.max()))
         state.update((n, vmax))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": pd.array(
+                    [vmax if vmax != float("-inf") else None], dtype="Float64"
+                ),
+            }
         )
 
     out = s.groupBy("user_id").applyInPandasWithState(
@@ -299,7 +309,15 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     vmax = max(vmax, float(vals.max()))
             self._state.update((n, vmax))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    # all-null user: emit NULL, not the -inf sentinel
+                    "max_value": pd.array(
+                        [vmax if vmax != float("-inf") else None],
+                        dtype="Float64",
+                    ),
+                }
             )
 
         def close(self) -> None:
@@ -558,11 +576,21 @@ def stream_user_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             n, vmax = 0, float("-inf")
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                vmax = max(vmax, float(pdf["value"].max()))
+            # dropna: a NULL measurement must not poison (or fabricate)
+            # the max — a user with ONLY nulls keeps the -inf sentinel
+            # and emits NULL, matching MAX(value) over all-null input.
+            v = pdf["value"].dropna()
+            if len(v):
+                vmax = max(vmax, float(v.max()))
         state.update((n, vmax))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": pd.array(
+                    [vmax if vmax != float("-inf") else None], dtype="Float64"
+                ),
+            }
         )
 
     stats_log = s2.groupBy("user_id").applyInPandasWithState(

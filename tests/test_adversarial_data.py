@@ -149,9 +149,22 @@ def adversarial_dir():
     dup["event_id"] = dup["event_id"] + 1_000_000
     # unknown event type on a slice of the clones
     dup.loc[dup.index % 2 == 0, "event_type"] = "mystery"
-    out = (
-        type(df)
-        .from_records(list(df.to_records(index=False)) + list(dup.to_records(index=False)))
+    # a user with ALL-NULL values (conditional aggs / LOCF must not
+    # assume every user has data) and a single-event user (windows,
+    # sessionization, lag-3 deltas degenerate to one row)
+    extremes = df.iloc[:8].copy()
+    max_uid = int(df["user_id"].max())
+    extremes["event_id"] = extremes["event_id"] + 2_000_000
+    extremes["user_id"] = max_uid + 1
+    extremes["value"] = None
+    solo = df.iloc[8:9].copy()
+    solo["event_id"] = solo["event_id"] + 3_000_000
+    solo["user_id"] = max_uid + 2
+    out = type(df).from_records(
+        list(df.to_records(index=False))
+        + list(dup.to_records(index=False))
+        + list(extremes.to_records(index=False))
+        + list(solo.to_records(index=False))
     )
     out.columns = df.columns
     pq.write_table(
