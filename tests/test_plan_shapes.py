@@ -179,3 +179,52 @@ def test_ivf_seed_pick_is_take_ordered(spark):
     seeds, _ = ivf_build(corpus, n_cells=8)
     plan = seeds._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_partitioned_layout_prunes_probed_cells(spark, tmp_path):
+    """The IVF-at-scale story: assignments written partitionBy(cell_id)
+    must give probe reads REAL partition pruning — the scan's
+    PartitionFilters must carry the cell predicate, and the search over
+    the pruned layout must return the same neighbors as over the
+    in-memory assignments."""
+    from process_spark.operators.similarity import (
+        ivf_build,
+        ivf_search_arrow,
+    )
+    from process_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF, "embeddings")
+    cells, assignments = ivf_build(e, n_cells=8)
+    out = str(tmp_path / "ivf_assignments")
+    assignments.write.mode("overwrite").partitionBy("cell_id").parquet(out)
+    stored = spark.read.parquet(out)
+
+    # 1) the cell filter reaches the scan as a partition filter
+    probe = stored.filter(F.col("cell_id").isin([0, 3]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # 2) pruning is effective: only the probed cells' rows are read
+    per_cell = dict(
+        (r["cell_id"], r["n"])
+        for r in assignments.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    assert probe.count() == per_cell.get(0, 0) + per_cell.get(3, 0)
+
+    # 3) same search result over the partitioned layout
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    mem = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_search_arrow(q, cells, assignments, k=5).collect()
+    }
+    disk = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_search_arrow(q, cells, stored, k=5).collect()
+    }
+    assert mem == disk
