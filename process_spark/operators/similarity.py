@@ -68,17 +68,30 @@ def brute_force_knn(
     scored = corpus.join(F.broadcast(queries)).select(
         F.col(query_id), F.col(corpus_id), score.alias("score")
     )
+    # Order by a NaN-nulled copy of the score: Spark sorts NaN ABOVE
+    # every real value, so a NaN-element vector would otherwise occupy
+    # a top-k slot (displacing a real candidate) before the post-window
+    # filter removes it. The CASE reads the materialized score column —
+    # no re-evaluation of the dot fold.
     w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col(corpus_id).asc()
+        F.when(~F.isnan("score"), F.col("score")).desc(), F.col(corpus_id).asc()
     )
     # score IS NOT NULL drops degenerate vectors (NULL unit → NULL dot);
     # the window is a pushdown barrier (score is not a partition key),
     # so the predicate reads the materialized score column — it cannot
     # migrate into the scoring projection. NULLs sort last under desc,
-    # so they never displace a real candidate from the top-k.
+    # so they never displace a real candidate from the top-k. NOT NaN:
+    # Spark orders NaN ABOVE every real number, so a NaN-element vector
+    # would otherwise squat in the top-k — the Arrow twin excludes such
+    # vectors (NaN norm fails its cn > 0 check) and the twins must agree
+    # on degenerate inputs.
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") <= k) & F.col("score").isNotNull())
+        .filter(
+            (F.col("rank") <= k)
+            & F.col("score").isNotNull()
+            & ~F.isnan("score")
+        )
     )
 
 
@@ -115,12 +128,16 @@ def brute_force_knn_arrow(
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
+    # NULL-vector rows degrade to a NULL (excluded) score on the
+    # expression path; mirror that by dropping them before np.stack
+    # (which would otherwise raise on a None element).
     qpdf = queries.select(query_id, query_vec).toPandas()
+    qpdf = qpdf[qpdf[query_vec].notna()]
     qids = qpdf[query_id].to_numpy()
     if len(qids):
         qmat = np.stack(qpdf[query_vec].to_numpy()).astype("float64")
         qn = np.linalg.norm(qmat, axis=1)
-        keep = qn > 0
+        keep = qn > 0  # zero-norm AND NaN-element vectors (NaN norm) drop
         qids = qids[keep]
         qunit = qmat[keep] / qn[keep, None]
     else:
@@ -131,6 +148,7 @@ def brute_force_knn_arrow(
         ids_q, qu = bq.value
         nq = len(ids_q)
         for pdf in batches:
+            pdf = pdf[pdf[corpus_vec].notna()]  # NULL vector → no score
             if not len(pdf) or nq == 0:
                 continue
             mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
@@ -153,8 +171,14 @@ def brute_force_knn_arrow(
                 }
             )
 
+    # Output id types follow the INPUT id columns (the expression twin
+    # is generic over id type; hardcoding `long` would mistype e.g.
+    # string or int ids).
+    q_id_t = queries.schema[query_id].dataType.simpleString()
+    c_id_t = corpus.schema[corpus_id].dataType.simpleString()
     cand = corpus.select(corpus_id, corpus_vec).mapInPandas(
-        score_batches, schema=f"{query_id} long, {corpus_id} long, score double"
+        score_batches,
+        schema=f"{query_id} {q_id_t}, {corpus_id} {c_id_t}, score double",
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
@@ -288,6 +312,7 @@ def _refine_cells_arrow(
     def assign_reduce(batches):
         ids_c, cu = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vector → unassigned
             if not len(pdf) or not len(ids_c):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
@@ -381,6 +406,7 @@ def _assign_cells_arrow(
     def assign(batches):
         ids_c, cu = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vector → unassigned
             if not len(pdf) or not len(ids_c):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
@@ -389,9 +415,14 @@ def _assign_cells_arrow(
             out["cell_id"] = ids_c[best]
             yield out
 
+    # Mirror the input's actual id/vector types (the expression twin is
+    # type-generic; `long`/`array<float>` literals would mistype other
+    # id types or double vectors).
+    id_t = corpus.schema[corpus_id].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
     return corpus.select(corpus_id, vec_col).mapInPandas(
         assign,
-        schema=f"{corpus_id} long, {vec_col} array<float>, cell_id int",
+        schema=f"{corpus_id} {id_t}, {vec_col} {vec_t}, cell_id int",
     )
 
 
@@ -455,15 +486,22 @@ def ivf_search(
         corpus_id,
         dot(F.col(query_vec), F.col(corpus_vec)).alias("score"),
     )
+    # NaN-nulled ordering + post-window NaN filter: same degenerate-
+    # input rule as brute_force_knn (NaN would sort above every real
+    # score and displace a candidate; the Arrow twin excludes it).
     w2 = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col(corpus_id).asc()
+        F.when(~F.isnan("score"), F.col("score")).desc(), F.col(corpus_id).asc()
     )
     # Degenerate vectors (NULL unit → NULL score) drop here, after the
     # window pushdown barrier — see brute_force_knn for why no earlier
     # filter exists.
     return (
         cand.withColumn("rank", F.row_number().over(w2))
-        .filter((F.col("rank") <= k) & F.col("score").isNotNull())
+        .filter(
+            (F.col("rank") <= k)
+            & F.col("score").isNotNull()
+            & ~F.isnan("score")
+        )
     )
 
 
@@ -520,6 +558,9 @@ def ivf_search_arrow(
         .select(query_id, "cell_id", query_vec)
         .toPandas()
     )
+    # NULL query vectors score NULL (excluded) on the expression path;
+    # drop them before np.stack.
+    probes_pdf = probes_pdf[probes_pdf[query_vec].notna()]
     per_cell: dict = {}
     for cell, sub in probes_pdf.groupby("cell_id"):
         qmat = np.stack(sub[query_vec].to_numpy()).astype("float64")
@@ -543,6 +584,9 @@ def ivf_search_arrow(
                 if entry is None:
                     continue
                 ids_q, qu = entry
+                sub = sub[sub[corpus_vec].notna()]  # NULL vector → no score
+                if not len(sub):
+                    continue
                 mat = np.stack(sub[corpus_vec].to_numpy()).astype("float64")
                 cn = np.linalg.norm(mat, axis=1)
                 valid = cn > 0  # zero-norm corpus vector: excluded
@@ -564,12 +608,14 @@ def ivf_search_arrow(
                 )
 
     probed = sorted(per_cell)
+    q_id_t = queries.schema[query_id].dataType.simpleString()
+    c_id_t = assignments.schema[corpus_id].dataType.simpleString()
     cand = (
         assignments.select(corpus_id, "cell_id", corpus_vec)
         .filter(F.col("cell_id").isin(probed) if probed else F.lit(False))
         .mapInPandas(
             score_batches,
-            schema=f"{query_id} long, {corpus_id} long, score double",
+            schema=f"{query_id} {q_id_t}, {corpus_id} {c_id_t}, score double",
         )
     )
     w2 = Window.partitionBy(query_id).orderBy(
@@ -629,7 +675,10 @@ def near_dup_embeddings(
             F.col(f"b.{id_col}").alias("id_b"),
             sim.alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= threshold)
+        # ~isnan: Spark evaluates NaN >= threshold as TRUE (NaN compares
+        # greater than any value), so a NaN-element vector would emit
+        # NaN pairs the Arrow twin excludes (NaN norm fails cn > 0).
+        .filter((F.col("cosine_sim") >= threshold) & ~F.isnan("cosine_sim"))
     )
 
 
@@ -660,12 +709,13 @@ def near_dup_embeddings_arrow(
     def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
             {
-                "block": pd.Series(dtype="int64"),
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
+                "block": pd.Series(dtype="object"),
+                "id_a": pd.Series(dtype="object"),
+                "id_b": pd.Series(dtype="object"),
                 "cosine_sim": pd.Series(dtype="float64"),
             }
         )
+        pdf = pdf[pdf[vec_col].notna()]  # NULL vector → no pairs (twin rule)
         if len(pdf) < 2:
             return empty
         mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
@@ -673,7 +723,7 @@ def near_dup_embeddings_arrow(
         valid = nrm > 0
         if valid.sum() < 2:
             return empty
-        # Sort by id so the i<j upper triangle IS the id_a<id_b rule.
+        # Sort by id so the upper triangle aligns with the id_a<id_b rule.
         ids = pdf[id_col].to_numpy()[valid]
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
@@ -684,7 +734,10 @@ def near_dup_embeddings_arrow(
             hi = min(lo + chunk, n)
             scores = unit[lo:hi] @ unit.T  # (hi-lo, n)
             rows, cols = np.nonzero(scores >= thr)
-            keep = cols > rows + lo  # strict upper triangle (id_a < id_b)
+            # Strict inequality on id VALUES, not positions: duplicate
+            # ids within a block would otherwise emit id_a == id_b
+            # pairs the expression twin's `<` join never produces.
+            keep = ids[cols] > ids[rows + lo]
             out_a.append(ids[rows[keep] + lo])
             out_b.append(ids[cols[keep]])
             out_s.append(scores[rows[keep], cols[keep]])
@@ -699,11 +752,19 @@ def near_dup_embeddings_arrow(
             }
         )
 
+    # Mirror the input's actual block/id types, and drop NULL-block
+    # rows BEFORE the groupBy — the expression twin's equi-join drops
+    # NULL blocks (NULL = NULL is never true); applyInPandas would
+    # otherwise keep a NULL-label group and pair its members.
+    blk_t = emb.schema[block_col].dataType.simpleString()
+    id_t = emb.schema[id_col].dataType.simpleString()
     return (
         emb.select(id_col, vec_col, block_col)
+        .filter(F.col(block_col).isNotNull())
         .groupBy(block_col)
         .applyInPandas(
-            pairs, schema="block long, id_a long, id_b long, cosine_sim double"
+            pairs,
+            schema=f"block {blk_t}, id_a {id_t}, id_b {id_t}, cosine_sim double",
         )
     )
 

@@ -82,9 +82,18 @@ def fscaled(col: Column, alias: str, scale: int = 1_000_000) -> Column:
 
     ``scale`` sets the retained granularity (10^-k); choose it so
     (cross-engine noise) / (1/scale) ≪ 1 — e.g. libm trig on values
-    ~1e2 has ~1e-14 abs noise → scale 1e4 leaves ~1e-10 flip risk."""
+    ~1e2 has ~1e-14 abs noise → scale 1e4 leaves ~1e-10 flip risk.
+
+    NaN guard: Spark's FLOOR(NaN) casts to 0 while DuckDB's stays NULL
+    — e.g. CORR over a zero-variance group is NaN in Spark, NULL in
+    DuckDB. Mapping NaN → NULL makes both engines hash the same cell
+    (NULL input already yields NULL through the when's missing
+    otherwise)."""
     return (
-        F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long").alias(alias)
+        F.when(
+            ~F.isnan(col),
+            F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+        ).alias(alias)
     )
 
 

@@ -195,13 +195,17 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_watermark",
     oracle="""
-    -- GROUP BY event_id (not a bare SELECT): the batch twin of
-    -- dropDuplicates must itself be duplicate-proof in case a testdata
-    -- regeneration ever ships duplicate event_ids — byte-identical
-    -- duplicates collapse to the same row via MIN on every column.
-    SELECT event_id, MIN(ts) AS ts, MIN(user_id) AS user_id,
-           MIN(event_type) AS event_type
-    FROM events GROUP BY event_id
+    -- One REAL row per event_id (not per-column MIN, which could
+    -- fabricate a row mixing fields from different source rows if a
+    -- testdata regeneration ever ships non-identical duplicate ids):
+    -- arg-min of the whole row by the full column tuple, the
+    -- duplicate-proof twin of dropDuplicates(["event_id"]).
+    SELECT event_id, ts, user_id, event_type FROM (
+      SELECT event_id, ts, user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY ts, user_id, event_type) AS rn
+      FROM events
+    ) WHERE rn = 1
     """,
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:

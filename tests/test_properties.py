@@ -235,6 +235,67 @@ def test_near_dup_arrow_matches_expression_path(spark):
     assert len(expr) > 0  # discriminating: the threshold must bite
 
 
+def test_twins_agree_on_degenerate_vectors(spark):
+    """Expression and Arrow twins must agree on every degenerate-input
+    class a hostile corpus can ship: NaN-element vectors (Spark orders
+    NaN above all reals and evaluates NaN >= t as TRUE — both paths
+    must EXCLUDE them), NULL vectors, NULL block labels, and duplicate
+    ids within a block (no id_a == id_b pairs)."""
+    from process_spark.operators.similarity import (
+        brute_force_knn,
+        brute_force_knn_arrow,
+        near_dup_embeddings,
+        near_dup_embeddings_arrow,
+    )
+
+    rows = []
+    # 6 well-formed near-parallel vectors per block, 2 blocks
+    for i in range(6):
+        rows.append((i, [1.0, 0.001 * i, 0.5], 0))
+        rows.append((10 + i, [0.2, 1.0, 0.01 * i], 1))
+    rows += [
+        (100, [float("nan"), 1.0, 0.0], 0),  # NaN element
+        (101, None, 0),                       # NULL vector
+        (102, [0.0, 0.0, 0.0], 0),            # zero norm
+        (103, [1.0, 0.0011, 0.5], None),      # NULL block
+        (3, [1.0, 0.003, 0.5], 0),            # duplicate id within block
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    expr = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_embeddings(
+            e, threshold=0.9, block_col="label"
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_embeddings_arrow(
+            e, threshold=0.9, block_col="label", chunk=4
+        ).collect()
+    }
+    assert expr == arrow
+    assert len(expr) > 0
+    assert all(a != b for a, b in expr)
+    assert not any(100 in p or 101 in p or 102 in p or 103 in p for p in expr)
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.5]), (1, [float("nan"), 1.0, 0.0]), (2, None)],
+        "q_id long, q_emb array<float>",
+    )
+    hof = {
+        (r["q_id"], r["vec_id"]) for r in brute_force_knn(q, e, k=3).collect()
+    }
+    arw = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_knn_arrow(q, e, k=3).collect()
+    }
+    assert hof == arw
+    assert {p[0] for p in hof} == {0}  # NaN/NULL queries yield nothing
+    assert not any(v in (100, 101, 102) for _, v in hof)
+
+
 def test_kmeans_arrow_assignment_matches_expression_path(spark):
     """kmeans(scorer="arrow") must produce the same cluster MEMBERSHIP
     as the expression path — same seeded init, same tie rule (lowest
