@@ -177,6 +177,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     base_hash: str = "xxhash64",
     band_key: str = "hash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """O63 — candidate near-dup pairs via banded MinHash LSH.
 
@@ -185,6 +186,19 @@ def minhash_lsh_pairs(
     bucket join is an equi-join on (band_idx, band_hash) — shuffle
     partitioned, no cross join anywhere, which is what makes this the
     100 TB path. Returns (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    ``max_bucket_size`` is the hot-bucket guard: a boilerplate-heavy
+    corpus (shared headers/footers, templated pages) collapses many
+    docs into ONE band bucket, and the bucket's pair output is
+    O(|bucket|²) — a single reduce task that OOMs a worker at 100 TB.
+    When set, buckets larger than the cap are EXCLUDED from pair
+    generation and the result carries an ``n_skipped_buckets`` column
+    (constant per run — no silent truncation; a pipeline routes the
+    skipped buckets' members to the next tier, e.g. exact Jaccard over
+    a per-bucket sample or a re-band with more bands). The bucket-size
+    window partitions by the SAME key the self-join shuffles on, so
+    the guard adds no extra exchange shape — and it bounds every
+    join task at ≤ max_bucket_size² intermediate rows by construction.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -218,9 +232,26 @@ def minhash_lsh_pairs(
             "band_idx", "band_hash"
         ),
     )
+    extra_cols: list[Column] = []
+    if max_bucket_size is not None:
+        # One count-over-window partitioned by the join key: Catalyst
+        # plans a single exchange on (band_idx, band_hash) that the
+        # self-join's own hash partitioning then reuses. Buckets over
+        # the cap are cut BEFORE the join, so no task ever materializes
+        # a hot bucket's quadratic pair set.
+        wb = Window.partitionBy("band_idx", "band_hash")
+        sized = banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+        banded = sized.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+        skipped = (
+            sized.filter(F.col("__bn") > max_bucket_size)
+            .select("band_idx", "band_hash")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_skipped_buckets"))
+        )
+        extra_cols = [F.col("n_skipped_buckets")]
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -231,6 +262,61 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    if max_bucket_size is None:
+        return pairs
+    # 1-row broadcast cross join: every pair row carries the skipped-
+    # bucket count, so truncation is visible in the OUTPUT, not a log.
+    return pairs.join(F.broadcast(skipped)).select(
+        "id_a", "id_b", "n_shared_bands", *extra_cols
+    )
+
+
+def lsh_band_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+    band_key: str = "hash",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Companion introspection for the hot-bucket guard: per band,
+    bucket-population stats — how many buckets, the largest one, and
+    how many exceed ``max_bucket_size`` (0 when unset). This is the
+    view an operator reads BEFORE picking the cap, and the non-silent
+    record of what :func:`minhash_lsh_pairs` skipped. Same plan prefix
+    as the pair join (shingle→signature→band), one aggregate on the
+    bucket key, one tiny per-band rollup."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    mins = _minhash_mins(df, id_col, text_col, num_hashes, shingle_n, base_hash)
+
+    def band_expr(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col(f"__m{b * r + j}").cast("string") for j in range(r)]
+        )
+        return joined if band_key == "concat" else F.xxhash64(joined)
+
+    banded = mins.select(
+        id_col,
+        F.posexplode(
+            F.array(*[band_expr(b).alias(f"__b{b}") for b in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+    cap = F.lit(max_bucket_size if max_bucket_size is not None else None)
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("__n").alias("max_bucket_size"),
+        F.sum(
+            F.when(F.col("__n") > cap, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_over_cap"),
     )
 
 

@@ -492,11 +492,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "component")
 
 
-def _minhash_md5_oracle() -> str:
+def _minhash_md5_oracle(max_bucket_size: int | None = None) -> str:
     """Generate the DuckDB twin of minhash_lsh_pairs(base_hash='md5',
     band_key='concat'): shingle → md5-derived 32-bit base hash →
     64 universal-hash mins → 16 concat band keys → band equi-join.
-    Same (a_i, b_i) constants as the engine (fixed-seed PRNG)."""
+    Same (a_i, b_i) constants as the engine (fixed-seed PRNG).
+    With ``max_bucket_size``, adds the hot-bucket guard: buckets over
+    the cap are excluded from the pair join and the skipped-bucket
+    count rides every output row."""
     from process_spark.operators.dedup import (
         _MINHASH_PRIME as P,
         _minhash_coefficients,
@@ -522,7 +525,7 @@ def _minhash_md5_oracle() -> str:
         for bd in range(16)
     )
     band_idxs = ", ".join(str(i) for i in range(16))
-    return f"""
+    prefix = f"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct({_O_SHINGLES})) AS s
       FROM documents WHERE doc_id % 2 = 0
@@ -541,13 +544,39 @@ def _minhash_md5_oracle() -> str:
              unnest([{band_idxs}]) AS band_idx,
              unnest([{band_keys}]) AS band_key
       FROM mins
-    )
+    )"""
+    if max_bucket_size is None:
+        return f"""{prefix}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_bands
     FROM banded a JOIN banded b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     GROUP BY 1, 2
+    """
+    return f"""{prefix},
+    sized AS (
+      SELECT doc_id, band_idx, band_key,
+             COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bn
+      FROM banded
+    ),
+    kept AS (
+      SELECT doc_id, band_idx, band_key FROM sized
+      WHERE bn <= {max_bucket_size}
+    ),
+    skip AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_skipped_buckets
+      FROM (SELECT DISTINCT band_idx, band_key FROM sized
+            WHERE bn > {max_bucket_size})
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+           s.n_skipped_buckets
+    FROM kept a JOIN kept b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    CROSS JOIN skip s
+    GROUP BY 1, 2, 4
     """
 
 
@@ -569,4 +598,27 @@ def text_minhash_lsh_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         base_hash="md5",
         band_key="concat",
+    )
+
+
+@register("text_lsh_hot_bucket_guard", oracle=_minhash_md5_oracle(max_bucket_size=3))
+def text_lsh_hot_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 (oracle-backed): the hot-bucket-guarded LSH pair join — the
+    100 TB safety valve. Band buckets holding more than 3 docs (a
+    boilerplate signature shared corpus-wide would otherwise make one
+    O(n²) reduce task) are excluded from pair generation; the count of
+    skipped buckets rides every output row, so truncation is part of
+    the RESULT the oracle hash-checks, never a silent drop. Same
+    md5/concat chain as text_minhash_lsh_md5_pairs so DuckDB replays
+    the guard end to end (windowed bucket census included)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        base_hash="md5",
+        band_key="concat",
+        max_bucket_size=3,
     )

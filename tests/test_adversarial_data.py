@@ -216,3 +216,52 @@ def test_graded_window_parity_on_adversarial(spark, adversarial_dir, name):
 
     res = compare_query(spark, name, sf_dir=adversarial_dir)
     assert res.ok, str(res)
+
+
+def test_lsh_hot_bucket_guard_bounds_pair_blowup(spark):
+    """A boilerplate corpus (10k byte-identical docs → one huge band
+    bucket) must NOT produce O(n²) candidate pairs when the guard is
+    on: hot buckets are cut before the self-join, so no task ever holds
+    the quadratic set; the skipped-bucket count rides the output, and a
+    small (under-cap) duplicate group still pairs normally."""
+    from process_spark.operators.dedup import (
+        lsh_band_bucket_stats,
+        minhash_lsh_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(10_000)]
+    rows += [(20_000 + j, "a small genuine near dup group body text") for j in range(3)]
+    rows += [
+        (30_000 + j, f"unique filler document number {j} token {j * 7} {j * 13}")
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = minhash_lsh_pairs(
+        df, "doc_id", num_hashes=16, bands=4, max_bucket_size=8
+    )
+    out = guarded.collect()  # unguarded would emit ~2e8 pair-band rows
+    assert out, "under-cap duplicate group must still produce pairs"
+    # The 3-doc under-cap group must pair fully (all 4 bands shared);
+    # NOTHING from the 10k hot bucket (its ~5e7 pairs are the thing
+    # being prevented); total stays tiny (filler docs may legitimately
+    # collide on shared shingles).
+    group = [r for r in out if 20_000 <= r["id_a"] < 20_003]
+    assert len(group) == 3
+    assert all(r["n_shared_bands"] == 4 for r in group)
+    assert not any(r["id_a"] < 10_000 or r["id_b"] < 10_000 for r in out)
+    assert len(out) < 500
+    # every band's boilerplate bucket was skipped, and the output says so
+    assert all(r["n_skipped_buckets"] == 4 for r in out)
+
+    stats = {
+        r["band_idx"]: r
+        for r in lsh_band_bucket_stats(
+            df, "doc_id", num_hashes=16, bands=4, max_bucket_size=8
+        ).collect()
+    }
+    assert set(stats) == {0, 1, 2, 3}
+    for s in stats.values():
+        assert s["max_bucket_size"] == 10_000
+        assert s["n_over_cap"] == 1
