@@ -7,11 +7,19 @@ feature-extraction run as Arrow-batched functions over ``mapInPandas``
 so a 100 TB media corpus streams through Python in columnar batches
 (never row-at-a-time).
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS by design: real decoding raises ``NotImplementedError`` unless
-the optional library import succeeds, and the deterministic fake path
-(header-derived pseudo-dimensions) keeps the Spark-side plumbing —
-schema, batching, partitioning — real and testable.
+Decode tiers:
+- :func:`decode_media_meta` — REAL header decoding for the pure-struct
+  container formats (BMP, binary PPM, GIF, WAV, PNG), stdlib-only:
+  width/height/channels for images, channels/sample-rate/duration for
+  WAV. These formats put their geometry at fixed (or trivially
+  scanned) offsets, so a metadata pass never touches pixel/sample
+  data — exactly how a 100 TB media-metadata sweep should behave.
+  Truncated/corrupt headers yield NULLs, never exceptions.
+- :func:`decode_image_meta` — the legacy deterministic-stub twin
+  (digest-derived pseudo-dimensions) kept as the oracle anchor for
+  payloads that are NOT real media containers, plus the optional-PIL
+  hook for compressed formats (JPEG entropy decoding etc.) the
+  container genuinely cannot parse without a codec library.
 """
 
 from __future__ import annotations
@@ -49,6 +57,201 @@ def attach_blob(
             F.length(F.col(blob_col)).alias("size"),
         ),
     )
+
+
+def _media_header_parser():
+    """Build the stdlib header parser as a CLOSURE-embedded function:
+    kernels capture the returned function by value (cloudpickle ships
+    its code), so workers never need ``process_spark`` on their path —
+    same pickling rule as every other kernel in this module.
+
+    parse(payload) -> dict(format, width, height, channels,
+    sample_rate, duration_ms) for BMP / binary PPM (P6/P5) / GIF /
+    WAV / PNG headers, or ``None`` for anything unrecognized,
+    truncated, or structurally invalid (degrade, never raise — one
+    corrupt blob in a 100 TB corpus must not abort the sweep)."""
+    import struct
+
+    def parse(payload: bytes):
+        try:
+            p = bytes(payload)
+            if p[:2] == b"BM" and len(p) >= 30:
+                # BITMAPINFOHEADER: width/height int32 LE at 18/22,
+                # bit count uint16 LE at 28. Negative height = top-down.
+                w, h = struct.unpack_from("<ii", p, 18)
+                bits = struct.unpack_from("<H", p, 28)[0]
+                if w <= 0 or h == 0 or bits not in (1, 8, 16, 24, 32):
+                    return None
+                return {
+                    "format": "bmp", "width": w, "height": abs(h),
+                    "channels": max(1, bits // 8),
+                    "sample_rate": None, "duration_ms": None,
+                }
+            if p[:2] in (b"P6", b"P5"):
+                # ASCII header: magic, then 3 whitespace-separated ints
+                # (width height maxval), '#' comments allowed.
+                toks, i, n = [], 2, len(p)
+                while len(toks) < 3 and i < n:
+                    c = p[i:i + 1]
+                    if c == b"#":
+                        while i < n and p[i:i + 1] != b"\n":
+                            i += 1
+                    elif c.isspace():
+                        i += 1
+                    elif c.isdigit():
+                        j = i
+                        while j < n and p[j:j + 1].isdigit():
+                            j += 1
+                        toks.append(int(p[i:j]))
+                        i = j
+                    else:
+                        return None
+                if len(toks) < 3 or toks[0] <= 0 or toks[1] <= 0:
+                    return None
+                return {
+                    "format": "ppm", "width": toks[0], "height": toks[1],
+                    "channels": 3 if p[:2] == b"P6" else 1,
+                    "sample_rate": None, "duration_ms": None,
+                }
+            if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+                w, h = struct.unpack_from("<HH", p, 6)
+                if w == 0 or h == 0:
+                    return None
+                return {
+                    "format": "gif", "width": w, "height": h,
+                    "channels": 3,  # palette entries are RGB triples
+                    "sample_rate": None, "duration_ms": None,
+                }
+            if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 26:
+                # First chunk must be IHDR: width/height uint32 BE at
+                # 16/20, bit depth at 24, color type at 25.
+                if p[12:16] != b"IHDR":
+                    return None
+                w, h = struct.unpack_from(">II", p, 16)
+                color = p[25]
+                ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+                if w == 0 or h == 0 or ch is None:
+                    return None
+                return {
+                    "format": "png", "width": w, "height": h,
+                    "channels": ch,
+                    "sample_rate": None, "duration_ms": None,
+                }
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                # Chunk walk: [id(4) size(4 LE) data(size, word-padded)].
+                # Read fmt (channels/rate/bits) and the data size; the
+                # duration comes from DECLARED sizes — a header-only
+                # metadata pass never streams the samples.
+                i, n = 12, len(p)
+                ch = rate = bits = data_size = None
+                while i + 8 <= n:
+                    cid = p[i:i + 4]
+                    sz = struct.unpack_from("<I", p, i + 4)[0]
+                    if cid == b"fmt " and i + 24 <= n:
+                        ch, rate = struct.unpack_from("<HI", p, i + 10)
+                        if i + 24 <= n:
+                            bits = struct.unpack_from("<H", p, i + 22)[0]
+                    elif cid == b"data":
+                        data_size = sz
+                    i += 8 + sz + (sz & 1)
+                if not ch or not rate or not bits or data_size is None:
+                    return None
+                frame = ch * max(1, bits // 8)
+                n_samples = data_size // frame
+                return {
+                    "format": "wav", "width": None, "height": None,
+                    "channels": ch, "sample_rate": rate,
+                    "duration_ms": n_samples * 1000 // rate,
+                }
+            return None
+        except Exception:
+            return None  # truncated mid-struct etc.
+
+    return parse
+
+
+def decode_media_meta(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """O70 — REAL media-header decode (no codec library): sniff the
+    magic and read geometry/audio parameters from the container header
+    for BMP/PPM/GIF/PNG/WAV. Arrow-batched ``mapInPandas``, one Python
+    crossing per partition batch; unrecognized or corrupt payloads
+    yield a NULL row (id preserved), never an exception."""
+    parse = _media_header_parser()
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_t}, format string, width int, height int, "
+        "channels int, sample_rate int, duration_ms bigint"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("format", "width", "height", "channels", "sample_rate",
+                "duration_ms")
+        for pdf in batches:
+            out: dict = {id_col: pdf[id_col].to_numpy()}
+            metas = [
+                (parse(bytes(b)) if b is not None else None)
+                for b in pdf[blob_col]
+            ]
+            for c in cols:
+                out[c] = [m[c] if m is not None else None for m in metas]
+            yield pd.DataFrame(out)
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, blob_col)
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(decode, schema=schema)
+    )
+
+
+def _media_fixture_encoder():
+    """Closure-embedded fixture encoder (tests + oracle queries): build
+    REAL container bytes — valid BMP/P6-PPM/GIF/PNG headers and a
+    spec-correct RIFF/WAVE chunk layout — from (kind, width, height,
+    channels, sample_rate, n_samples). Payload bodies are elided
+    (header-only blobs): the decode tier under test reads geometry
+    from headers and never touches pixel/sample data, which is also
+    the 100 TB metadata-sweep contract. encode(fmt, ...) -> bytes."""
+    import struct
+    import zlib
+
+    def encode(fmt, w=1, h=1, ch=3, rate=8000, n_samples=0):
+        if fmt == "bmp":
+            header = (
+                b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, ch * 8, 0, 0, 0, 0, 0, 0)
+            )
+            return header + b"\x00" * 16
+        if fmt == "ppm":
+            return b"P6\n# fixture\n%d %d\n255\n" % (w, h) + b"\x00" * 16
+        if fmt == "gif":
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+        if fmt == "png":
+            ihdr = struct.pack(">II", w, h) + bytes(
+                [8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0]
+            )
+            chunk = b"IHDR" + ihdr
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13) + chunk
+                + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+            )
+        if fmt == "wav":
+            bits = 16
+            data_size = n_samples * ch * (bits // 8)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+                + b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, 1, ch, rate,
+                    rate * ch * (bits // 8), ch * (bits // 8), bits,
+                )
+                + b"data" + struct.pack("<I", data_size)
+            )
+        raise ValueError(f"unknown fixture format {fmt!r}")
+
+    return encode
 
 
 def _stub_dims(payload: bytes) -> tuple[int, int, int]:

@@ -11,8 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from process_spark.operators.multimodal import (
+    _media_fixture_encoder,
     attach_blob,
     decode_image_meta,
+    decode_media_meta,
     extract_features,
     sample_frames,
 )
@@ -100,6 +102,94 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     read — deterministic digest-derived pseudo-dimensions, which is
     what lets the Python kernel carry an exact DuckDB oracle)."""
     return decode_image_meta(_blobs(spark, sf_dir))
+
+
+@register(
+    "mm_decode_real_headers",
+    # The fixture kernel builds REAL container bytes (valid BMP / P6
+    # PPM / GIF / PNG headers, spec-correct RIFF/WAVE chunks) whose
+    # geometry is a closed form of (doc_id, n_chars); the decode kernel
+    # then parses those bytes back with the stdlib header parser. The
+    # oracle recomputes the closed form — so a Spark/oracle match
+    # proves the ENCODE→PARSE round trip recovered every field, and
+    # the corrupt rows (payload truncated to 6 bytes) came back NULL.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             ABS(doc_id) AS did,
+             COALESCE(ABS(n_chars), 0) AS nc,
+             ABS(doc_id) % 5 AS fmt,
+             (ABS(doc_id) % 13 = 0) AS corrupt
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL
+                WHEN fmt = 0 THEN 'bmp' WHEN fmt = 1 THEN 'ppm'
+                WHEN fmt = 2 THEN 'gif' WHEN fmt = 3 THEN 'wav'
+                ELSE 'png' END AS format,
+           CASE WHEN corrupt OR fmt = 3 THEN NULL
+                ELSE CAST(1 + nc % 640 AS INT) END AS width,
+           CASE WHEN corrupt OR fmt = 3 THEN NULL
+                ELSE CAST(1 + did % 480 AS INT) END AS height,
+           CASE WHEN corrupt THEN NULL
+                WHEN fmt = 3 THEN CAST(1 + did % 2 AS INT)
+                WHEN fmt = 4 THEN CAST(4 AS INT)
+                ELSE CAST(3 AS INT) END AS channels,
+           CASE WHEN corrupt OR fmt <> 3 THEN NULL
+                ELSE CAST(8000 + (did % 3) * 4000 AS INT) END AS sample_rate,
+           CASE WHEN corrupt OR fmt <> 3 THEN NULL
+                ELSE CAST((1 + nc % 1000) * 1000
+                          // (8000 + (did % 3) * 4000) AS BIGINT)
+                END AS duration_ms
+    FROM d
+    """,
+)
+def mm_decode_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O70 (oracle-backed, REAL decode): every document becomes a real
+    media container — format cycled by doc_id over BMP/PPM/GIF/WAV/PNG,
+    dimensions/audio parameters derived from (doc_id, n_chars), every
+    13th payload truncated to 6 bytes — then the stdlib header parser
+    (operators.multimodal.decode_media_meta) reads the geometry back
+    off the BYTES. No digest stand-ins: width comes from the int32 at
+    BMP offset 18, duration from the RIFF data-chunk size, and corrupt
+    headers degrade to NULL rows instead of failing the sweep."""
+    encode = _media_fixture_encoder()
+    id_t = "bigint"
+
+    def build(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = abs(int(doc_id))
+                nc = 0 if pd.isna(n_chars) else abs(int(n_chars))
+                fmt = ("bmp", "ppm", "gif", "wav", "png")[did % 5]
+                if fmt == "wav":
+                    b = encode(
+                        "wav",
+                        ch=1 + did % 2,
+                        rate=8000 + (did % 3) * 4000,
+                        n_samples=1 + nc % 1000,
+                    )
+                else:
+                    b = encode(
+                        fmt,
+                        w=1 + nc % 640,
+                        h=1 + did % 480,
+                        ch=4 if fmt == "png" else 3,
+                    )
+                blobs.append(b[:6] if did % 13 == 0 else b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "blob": blobs}
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_part = spark.sparkContext.defaultParallelism
+    blobs = d.repartition(n_part, F.col("doc_id")).mapInPandas(
+        build, schema=f"doc_id {id_t}, blob binary"
+    )
+    return decode_media_meta(blobs)
 
 
 @register(

@@ -182,3 +182,62 @@ def test_knn_edges(spark):
     out = brute_force_knn(q, corpus, k=10).orderBy("rank").collect()
     assert [r["vec_id"] for r in out] == [1, 2]
     assert out[0]["score"] == pytest.approx(1.0)
+
+
+def test_media_header_parser_edge_cases():
+    """The stdlib header parser must read geometry from well-formed
+    container headers (incl. the awkward-but-legal shapes: top-down
+    BMPs, PPM comments, WAV with a stranger chunk before fmt) and
+    return None — never raise — on corrupt, truncated, or non-media
+    bytes."""
+    import struct
+
+    from process_spark.operators.multimodal import (
+        _media_fixture_encoder,
+        _media_header_parser,
+    )
+
+    enc, parse = _media_fixture_encoder(), _media_header_parser()
+
+    # round trips
+    assert parse(enc("bmp", w=640, h=480, ch=3)) == {
+        "format": "bmp", "width": 640, "height": 480, "channels": 3,
+        "sample_rate": None, "duration_ms": None,
+    }
+    assert parse(enc("wav", ch=2, rate=16000, n_samples=8000)) == {
+        "format": "wav", "width": None, "height": None, "channels": 2,
+        "sample_rate": 16000, "duration_ms": 500,
+    }
+
+    # top-down BMP: negative height is legal; reported as abs
+    td = bytearray(enc("bmp", w=10, h=20, ch=3))
+    struct.pack_into("<i", td, 22, -20)
+    assert parse(bytes(td))["height"] == 20
+
+    # PPM with interleaved comments
+    assert parse(b"P6\n# a comment\n10 # w\n20\n255\n\x00") == {
+        "format": "ppm", "width": 10, "height": 20, "channels": 3,
+        "sample_rate": None, "duration_ms": None,
+    }
+    # P5 (grayscale) → 1 channel
+    assert parse(b"P5\n4 4\n255\n")["channels"] == 1
+
+    # WAV with a LIST chunk before fmt — chunk walk must skip it
+    wav = enc("wav", ch=1, rate=8000, n_samples=800)
+    with_list = wav[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + wav[12:]
+    m = parse(with_list)
+    assert m["sample_rate"] == 8000 and m["duration_ms"] == 100
+
+    # corrupt / hostile inputs: None, never an exception
+    bad = [
+        b"", b"B", b"BM", b"P6", b"GIF89a", b"RIFF\x00\x00\x00\x00",
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 4,           # truncated pre-IHDR
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 18,           # wrong chunk tag
+        b"BM" + b"\x00" * 60,                          # zero dims/bits
+        b"GIF89a" + struct.pack("<HH", 0, 5) + b"\x00",  # zero width
+        b"P6\nabc def\n255\n",                         # non-numeric dims
+        "plain text that is definitely not media".encode(),
+        bytes(range(256)),
+    ]
+    for b in bad:
+        assert parse(b) is None, b[:16]
