@@ -210,17 +210,26 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O91/O92 (oracle-backed): watermarked exactly-once dedup on
-    event_id — state is dropped for ids older than the 1-day watermark.
-    The stream is duplicate-injected (self-union doubles every event),
-    so the oracle is discriminating: a dedup that leaks emits 2x rows,
-    a dedup that drops loses rows. Because injected duplicates are
-    byte-identical, WHICH occurrence survives a micro-batch boundary is
-    irrelevant — the surviving row set equals the distinct input, the
-    batch twin the oracle runs."""
+    event_id. dropDuplicatesWithinWatermark — NOT plain
+    dropDuplicates(["event_id"]), which keeps every key forever when
+    the event-time column is outside the subset (state metrics show
+    numRowsRemoved=0, monotone growth — measured in
+    tests/test_streaming_semantics.py): within-watermark dedup evicts
+    a key once the watermark passes first-seen + delay, which is what
+    actually bounds state on an unbounded stream. The dedup guarantee
+    weakens to "duplicates arriving within the delay" — exactly the
+    guarantee a replayed/at-least-once source needs, and the injected
+    duplicates here (self-union doubles every event) arrive in the
+    SAME batch, so the surviving row set equals the distinct input,
+    the batch twin the oracle runs."""
     s = _stream_events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type"
     )
-    deduped = s.union(s).withWatermark("ts", "1 day").dropDuplicates(["event_id"])
+    deduped = (
+        s.union(s)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
     return _drain(deduped, mode="append")
 
 
@@ -559,10 +568,17 @@ def stream_user_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # O91/O92 — duplicate-injected watermarked dedup, reduced per user.
+    # dropDuplicatesWithinWatermark: the variant whose state actually
+    # EVICTS (plain dropDuplicates on a non-event-time subset never
+    # removes keys — see stream_dedup_watermark).
     s1 = _stream_events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type"
     )
-    deduped = s1.union(s1).withWatermark("ts", "1 day").dropDuplicates(["event_id"])
+    deduped = (
+        s1.union(s1)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
     dedup_counts = (
         _drain(deduped, mode="append")
         .groupBy("user_id")

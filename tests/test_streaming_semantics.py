@@ -89,3 +89,153 @@ def test_foreach_batch_export_totals_match_batch(spark):
         assert n_s == n_b, f"{et}: exported count {n_s} != batch {n_b}"
         # cross-batch double re-sum: tolerance, not bit equality
         assert v_s == pytest.approx(v_b, abs=1e-6)
+
+
+def _write_micro_batches(tmpdir):
+    """Three parquet files with strictly increasing mtimes — the file
+    source (maxFilesPerTrigger=1) turns each into its own micro-batch,
+    in this order."""
+    import os
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ts(h, m):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    batches = [
+        # batch 1: two on-time events + the dedup-eviction target (100)
+        [(1, ts(10, 0), 1.0), (2, ts(10, 20), 2.0), (100, ts(10, 0), 9.0)],
+        # batch 2: jump ahead → watermark 11:50 after this batch
+        [(3, ts(12, 0), 3.0)],
+        # batch 3: jump again → watermark 13:50 after this batch. The
+        # late-row filter applies the PREVIOUS batch's watermark, so
+        # this extra advancing batch guarantees the filter watermark in
+        # batch 4 (13:50) is far past the 10:00 window regardless of
+        # that one-batch lag.
+        [(6, ts(14, 0), 6.0)],
+        # batch 4: a LATE row (window [10:00,11:00) end ≪ filter
+        # watermark → dropped), the re-shipped id 100 (dedup state
+        # evicted → emitted AGAIN), one normal row
+        [(4, ts(10, 5), 4.0), (100, ts(14, 10), 9.0), (5, ts(14, 20), 5.0)],
+    ]
+    os.makedirs(tmpdir, exist_ok=True)
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = os.path.join(tmpdir, f"batch_{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (base + i * 100, base + i * 100))
+
+
+def _drain_incremental(spark, make_sink_df, name):
+    """Run a file-source stream 1-file-per-trigger under availableNow
+    and return (memory table, non-empty micro-batch count)."""
+    import os
+    import shutil
+
+    tmpdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", f"micro_batches_{name}",
+    )
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    _write_micro_batches(tmpdir)
+    src = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdir)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            make_sink_df(src)
+            .writeStream.format("memory")
+            .queryName(f"__inc_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        n_state_removed = sum(
+            so.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(f"__inc_{name}"), n_batches, n_state_removed
+
+
+def test_watermark_drops_late_rows_mid_stream(spark):
+    """O88/O91 incremental evidence: with the events split across THREE
+    real micro-batch triggers, the watermark advances BETWEEN batches,
+    so a row arriving in batch 3 behind the batch-2 watermark must be
+    dropped mid-stream — something a single-shot availableNow replay
+    (watermark still at its initial value) cannot exercise."""
+
+    def agg(src):
+        return (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+
+    out, n_batches, n_removed = _drain_incremental(spark, agg, "agg")
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    # closed windows left the state store mid-stream, not just at the end
+    assert n_removed > 0, "no aggregation state was ever evicted"
+    rows = {r["window_start"].hour: r["n"] for r in out.collect()}
+    # [10:00, 11:00) closed mid-stream and was emitted with ONLY the
+    # on-time rows (ids 1, 2, 100) — the late batch-4 row (10:05, far
+    # behind the 13:50 filter watermark) never reached the aggregate.
+    assert rows.get(10) == 3, f"late row leaked into a closed window: {rows}"
+    # [12:00, 13:00) closed by the final watermark (14:10) → emitted;
+    # [14:00, 15:00) is still open at termination — append mode must
+    # NOT have emitted it.
+    assert rows.get(12) == 1, f"closed window missing: {rows}"
+    assert 14 not in rows, f"open window emitted early: {rows}"
+
+
+def test_dedup_state_evicted_by_watermark_mid_stream(spark):
+    """O92 incremental evidence: dedup state for event_id 100 (first
+    seen 10:00, delay 10m → expires 10:10) is evicted once the
+    advancing watermark passes its expiry; the batch-4 re-arrival with
+    a fresh timestamp is then emitted AGAIN. A one-shot replay keeps
+    the id in state and emits it once — so two emissions (plus nonzero
+    numRowsRemoved in the state metrics) prove mid-stream eviction.
+    The late row (id 4) must be dropped before the operator sees it."""
+
+    def dedup(src):
+        # dropDuplicatesWithinWatermark, same operator as the product
+        # queries: plain dropDuplicates(["event_id"]) with a watermark
+        # NEVER evicts (state metrics: numRowsRemoved=0 every batch,
+        # monotone growth — the motivating measurement for this test).
+        return src.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    out, n_batches, n_removed = _drain_incremental(spark, dedup, "dedup")
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    assert n_removed > 0, "no dedup state was ever evicted"
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id[r["event_id"]] = by_id.get(r["event_id"], 0) + 1
+    assert by_id.get(100) == 2, f"state not evicted mid-stream: {by_id}"
+    assert 4 not in by_id, f"late row leaked past the watermark: {by_id}"
+    assert by_id.get(1) == by_id.get(2) == by_id.get(3) == by_id.get(5) == 1
+    assert by_id.get(6) == 1
