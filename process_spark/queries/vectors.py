@@ -414,6 +414,122 @@ def vec_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_knn_arrow(q, e, k=5)
 
 
+#: DuckDB twin of the hash-derived scalar used by the margin-guarded
+#: Arrow-twin oracles: first 8 hex chars of md5(vec_id-as-string) as a
+#: 32-bit int, divided by 2^32 → t ∈ [0, 1). Identical on the Spark
+#: side (F.conv of the same md5 substring; one IEEE division of
+#: identical operands → identical bits).
+_O_T32 = (
+    "(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+
+
+def _t32() -> "F.Column":
+    """Spark twin of :data:`_O_T32`."""
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return h / F.lit(4294967296.0)
+
+
+@register(
+    "vec_knn_arrow_idset",
+    # score((1,tq),(1,tc)) = (1 + tq·tc) / (sqrt(1+tq²)·sqrt(1+tc²)):
+    # strictly determined by the hash-derived t's, with k-boundary gaps
+    # ~1e-6..1e-3 — 9+ orders above BLAS vs HOF summation noise, which
+    # is what lets the Arrow path carry an EXACT id-set oracle. Scores
+    # are excluded from the output (ids only) so the hash compares the
+    # set, not the float representation.
+    oracle=f"""
+    WITH h AS (SELECT vec_id, {_O_T32} AS tv FROM embeddings),
+    q AS (SELECT vec_id AS q_id, tv AS tq FROM h WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.q_id, h.vec_id,
+             (1 + q.tq * h.tv)
+               / (sqrt(1 + q.tq * q.tq) * sqrt(1 + h.tv * h.tv)) AS score
+      FROM q CROSS JOIN h
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    )
+    SELECT q_id,
+           array_to_string(list(vec_id ORDER BY vec_id), ',') AS neighbor_ids
+    FROM topk GROUP BY q_id
+    """,
+)
+def vec_knn_arrow_idset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O67/O100 (oracle-backed ARROW path): the BLAS matmul scorer
+    under a margin-guarded fixture. Embeddings are replaced by 2-d
+    vectors [1.0, t] with t a per-id md5-derived scalar — cosine
+    ranking is then a strict function of t with k-boundary margins far
+    above any float-summation noise, so the Arrow kernel's top-k ID
+    SETS (ids only, scores dropped) carry an exact DuckDB oracle. This
+    closes the "Arrow twins are rows-only" gap: the same kernel that
+    runs 7.5x faster at scale is hash-checked here."""
+    from process_spark.operators.similarity import brute_force_knn_arrow
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    knn = brute_force_knn_arrow(q, e, k=5)
+    return knn.groupBy("q_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("neighbor_ids")
+    )
+
+
+@register(
+    "vec_near_dup_arrow_idset",
+    # Same margin construction for the threshold operator: the nearest
+    # pair score to the 0.999 cut sits ~1e-6 away (hash-derived t's),
+    # so BLAS noise cannot flip membership; ids only, scores dropped.
+    oracle=f"""
+    WITH h AS (
+      SELECT e.vec_id, e.label, {_O_T32} AS tv
+      FROM embeddings e WHERE vec_id % 4 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM h a JOIN h b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE (1 + a.tv * b.tv)
+            / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.999
+    """,
+)
+def vec_near_dup_arrow_idset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64/O99 (oracle-backed ARROW path): per-block chunked-matmul
+    near-dup pairs under the same margin-guarded 2-d fixture — the
+    applyInPandas kernel's pair ID SET is hash-checked against a plain
+    SQL self-join."""
+    from process_spark.operators.similarity import near_dup_embeddings_arrow
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 4 == 0)
+        .select(
+            "vec_id",
+            F.array(F.lit(1.0), _t32()).alias("embedding"),
+            "label",
+        )
+    )
+    return near_dup_embeddings_arrow(
+        e, threshold=0.999, block_col="label"
+    ).select("id_a", "id_b")
+
+
 @register("vec_kmeans_clusters", oracle=None)
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed k-means (Lloyd's, deterministic init, 4
