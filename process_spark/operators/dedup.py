@@ -411,6 +411,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -432,10 +433,26 @@ def connected_components(
     Returns (``id_col``, component) — component = min vertex id in the
     component; singleton vertices (if ``vertices`` given) map to
     themselves.
+
+    ``checkpoint_dir``: directory for RELIABLE checkpoints
+    (HDFS/object-store path on a real cluster). localCheckpoint blocks
+    live in executor memory/disk and die with the executor — fine on
+    local[n], but an 8-iteration propagation at 100 TB that loses one
+    executor would restart from zero. With a dir set, each iteration's
+    label state goes through ``checkpoint()`` instead and survives
+    executor loss.
     """
+    spark = edges.sparkSession
+
+    def cut(df: DataFrame, eager: bool = False) -> DataFrame:
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     sym = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
-    sym = sym.localCheckpoint(eager=False)
+    sym = cut(sym)
 
     if vertices is None:
         verts = sym.select(F.col("__s").alias("id")).distinct()
@@ -460,8 +477,10 @@ def connected_components(
                     F.coalesce(F.col("__nbr_min"), F.col("label")) < F.col("label")
                 ).alias("__changed"),
             )
-            .localCheckpoint()  # cut lineage; also materializes for the count
         )
+        # cut lineage each iteration; eager (also materializes for the
+        # count below — one job, not two)
+        new_labels = cut(new_labels, eager=True)
         n_changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if n_changed == 0:

@@ -777,6 +777,7 @@ def kmeans(
     vec_col: str = "embedding",
     seed_mod: int = 9973,
     scorer: str = "expr",
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means over an embedding column, fully distributed.
 
@@ -791,14 +792,26 @@ def kmeans(
 
     Returns (centroids, assignments): centroids(cell_id, centroid),
     assignments(corpus_id, vec_col, cell_id).
+
+    ``checkpoint_dir``: reliable-checkpoint directory (HDFS/object
+    store on a real cluster) for the per-iteration centroid state —
+    localCheckpoint blocks die with their executor, and a lost block
+    mid-loop restarts the whole fixpoint (same rationale as
+    operators.dedup.connected_components).
     """
+    spark = corpus.sparkSession
+
+    def cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
     # Same fan-out + pin as ivf_build, amortized across the whole loop:
     # n_iter+1 assignment passes each score every (vector, centroid)
     # pair with interpreted HOF folds — parallelize once, rescan never.
     n_part = corpus.sparkSession.sparkContext.defaultParallelism
-    corpus = corpus.repartition(n_part, F.col(corpus_id)).localCheckpoint(
-        eager=False
-    )
+    corpus = cut(corpus.repartition(n_part, F.col(corpus_id)))
     # Same distributed TakeOrdered seed pick as ivf_build: top-k first
     # (per-partition top-k + k-row merge), tiny-window row_number after.
     key = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod))
@@ -816,9 +829,7 @@ def kmeans(
     for _ in range(n_iter):
         if scorer == "arrow":
             # Fused pass: assignment rows never materialize mid-loop.
-            cents = _refine_cells_arrow(corpus, cents, vec_col).localCheckpoint(
-                eager=False
-            )
+            cents = cut(_refine_cells_arrow(corpus, cents, vec_col))
         else:
             assign = assign_fn(corpus, cents, corpus_id, vec_col)
             cents = (
@@ -839,7 +850,7 @@ def kmeans(
                         "__p", lambda p: p.getField("m").cast("float")
                     ).alias("centroid"),
                 )
-                .localCheckpoint(eager=False)
             )
+            cents = cut(cents)
     assignments = assign_fn(corpus, cents, corpus_id, vec_col)
     return cents, assignments

@@ -309,3 +309,39 @@ def test_kmeans_arrow_assignment_matches_expression_path(spark):
     ex = {(r["vec_id"], r["cell_id"]) for r in expr_assign.collect()}
     ar = {(r["vec_id"], r["cell_id"]) for r in arw_assign.collect()}
     assert ex == ar
+
+
+def test_iterative_ops_with_reliable_checkpoint_dir(spark, tmp_path):
+    """connected_components / kmeans with checkpoint_dir must write
+    RELIABLE checkpoints (the kind that survives executor loss on a
+    cluster) and produce exactly the same result as the
+    localCheckpoint default."""
+    import os
+
+    from process_spark.operators.dedup import connected_components
+    from process_spark.operators.similarity import kmeans
+    from process_spark.sources.io import load
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    base = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    reliable = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert base == reliable
+    assert {c for _, c in reliable} == {1, 10, 20}
+    # the reliable checkpoint actually hit the directory
+    assert any(os.scandir(ckpt)), "checkpoint_dir was never written"
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    _, a1 = kmeans(e, k=3, n_iter=2)
+    _, a2 = kmeans(e, k=3, n_iter=2, checkpoint_dir=str(tmp_path / "ck2"))
+    assert {(r["vec_id"], r["cell_id"]) for r in a1.collect()} == {
+        (r["vec_id"], r["cell_id"]) for r in a2.collect()
+    }
