@@ -38,10 +38,14 @@ HEADLINE = [
 ]
 
 #: Each query is run once un-timed at the bench SF before the timed
-#: pass: whole-stage-codegen compilation, JVM classloading, and cold
+#: passes: whole-stage-codegen compilation, JVM classloading, and cold
 #: file-cache reads are not the thing under test (BASELINE.md measures
 #: steady-state query execution; DuckDB oracles get the same warm
-#: cache from the OS).
+#: cache from the OS). The timed measurement is then the MEDIAN of
+#: $SPARK_GRAFT_BENCH_REPS (default 3) runs, with per-query spread
+#: (max - min) reported beside it — single-shot timings on a shared
+#: machine swung round-over-round numbers by up to 25% from ambient
+#: load alone, which is noise, not regression.
 
 
 def main() -> None:
@@ -49,6 +53,7 @@ def main() -> None:
     from process_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     names = sys.argv[1:] or [n for n in HEADLINE if n in REGISTRY]
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
@@ -64,15 +69,29 @@ def main() -> None:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    t_total0 = time.perf_counter()
+    spread: dict[str, float] = {}
+    # Interleave reps (run the whole set, then repeat) rather than
+    # back-to-back per query: a transient load spike then perturbs one
+    # rep of many queries instead of every rep of one query.
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    rows: dict[str, int] = {}
+    for _ in range(reps):
+        for name in names:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            rows[name] = df.count()  # full materialization of the result
+            samples[name].append(time.perf_counter() - t0)
     for name in names:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full materialization of the result
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-    total = round(time.perf_counter() - t_total0, 4)
+        s = sorted(samples[name])
+        timings[name] = round(s[len(s) // 2], 4)
+        spread[name] = round(s[-1] - s[0], 4)
+        print(
+            f"# {name}: median={timings[name]:.3f}s "
+            f"spread={spread[name]:.3f}s rows={rows[name]}",
+            file=sys.stderr,
+        )
+    total = round(sum(timings.values()), 4)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -82,6 +101,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": float(sf) if sf else None,
             }
         )
