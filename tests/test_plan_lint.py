@@ -40,6 +40,7 @@ CROSS_OK = {
     "vec_kmeans_clusters",      # broadcast centroids (k rows)
     "pipeline_pack_sequences",  # broadcast per-source offsets (bounded)
     "pipeline_contamination_check",  # broadcast benchmark shingles (bounded)
+    "text_lsh_hot_bucket_guard",  # 1-row skipped-bucket-count broadcast
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
