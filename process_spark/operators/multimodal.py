@@ -206,6 +206,157 @@ def decode_media_meta(
     )
 
 
+def decode_ppm_pixel_stats(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """O70 — REAL pixel decode for binary PPM (P6): the raster body is
+    raw interleaved RGB bytes, so numpy reads actual pixels with zero
+    codec code. Per blob: per-channel byte sums (exact integers — the
+    oracle-able form of "extract features from decoded pixels") plus
+    the byte sum of a 2×2 nearest-neighbor RESIZE (floor-index
+    sampling — the resize contract of a thumbnail/preprocess stage).
+    Non-P6 / truncated-body blobs yield NULL stats, never exceptions.
+    Arrow-batched mapInPandas; one Python crossing per batch."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_t}, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, resize2_sum bigint"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        def stats(payload):
+            try:
+                p = bytes(payload)
+                if p[:2] != b"P6":
+                    return None
+                # header scan: 3 ints ('#' comments legal), then ONE
+                # whitespace byte, then the raster
+                toks, i, n = [], 2, len(p)
+                while len(toks) < 3 and i < n:
+                    c = p[i:i + 1]
+                    if c == b"#":
+                        while i < n and p[i:i + 1] != b"\n":
+                            i += 1
+                    elif c.isspace():
+                        i += 1
+                    elif c.isdigit():
+                        j = i
+                        while j < n and p[j:j + 1].isdigit():
+                            j += 1
+                        toks.append(int(p[i:j]))
+                        i = j
+                    else:
+                        return None
+                if len(toks) < 3 or i >= n or not p[i:i + 1].isspace():
+                    return None
+                i += 1  # the single post-maxval whitespace byte
+                w, h = toks[0], toks[1]
+                body = p[i:i + w * h * 3]
+                if w <= 0 or h <= 0 or len(body) < w * h * 3:
+                    return None
+                arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+                sums = arr.sum(axis=(0, 1), dtype=np.int64)
+                # 2x2 nearest-neighbor: floor-index rows {0, h//2},
+                # cols {0, w//2} — the exact pixels a (2/h, 2/w)
+                # downsample lands on
+                ys, xs = [0, h // 2], [0, w // 2]
+                r2 = int(arr[np.ix_(ys, xs)].sum(dtype=np.int64))
+                return w, h, int(sums[0]), int(sums[1]), int(sums[2]), r2
+            except Exception:
+                return None
+
+        for pdf in batches:
+            metas = [
+                (stats(b) if b is not None else None) for b in pdf[blob_col]
+            ]
+            cols = ("width", "height", "sum_r", "sum_g", "sum_b",
+                    "resize2_sum")
+            out: dict = {id_col: pdf[id_col].to_numpy()}
+            for k, c in enumerate(cols):
+                out[c] = [m[k] if m is not None else None for m in metas]
+            yield pd.DataFrame(out)
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, blob_col)
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(decode, schema=schema)
+    )
+
+
+def decode_wav_pcm_stats(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """O70 — REAL sample decode for 16-bit PCM WAV: the data chunk is
+    raw little-endian int16, read with numpy. Per blob: sample count,
+    exact integer sum of |samples|, sum of squares (the integer core
+    of an RMS/loudness feature), and peak amplitude. Non-WAV / non-16-
+    bit / truncated blobs yield NULL stats."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_t}, n_samples bigint, sum_abs bigint, "
+        "sum_sq bigint, peak int"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
+        def stats(payload):
+            try:
+                p = bytes(payload)
+                if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                    return None
+                i, n = 12, len(p)
+                bits = None
+                body = None
+                while i + 8 <= n:
+                    cid = p[i:i + 4]
+                    sz = struct.unpack_from("<I", p, i + 4)[0]
+                    if cid == b"fmt " and i + 24 <= n:
+                        bits = struct.unpack_from("<H", p, i + 22)[0]
+                    elif cid == b"data":
+                        body = p[i + 8:i + 8 + sz]
+                        if len(body) < sz:
+                            return None  # truncated mid-chunk
+                    i += 8 + sz + (sz & 1)
+                if bits != 16 or body is None:
+                    return None
+                arr = np.frombuffer(
+                    body[: len(body) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                if not len(arr):
+                    return 0, 0, 0, 0
+                return (
+                    int(len(arr)),
+                    int(np.abs(arr).sum()),
+                    int((arr * arr).sum()),
+                    int(np.abs(arr).max()),
+                )
+            except Exception:
+                return None
+
+        for pdf in batches:
+            metas = [
+                (stats(b) if b is not None else None) for b in pdf[blob_col]
+            ]
+            cols = ("n_samples", "sum_abs", "sum_sq", "peak")
+            out: dict = {id_col: pdf[id_col].to_numpy()}
+            for k, c in enumerate(cols):
+                out[c] = [m[k] if m is not None else None for m in metas]
+            yield pd.DataFrame(out)
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, blob_col)
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(decode, schema=schema)
+    )
+
+
 def _media_fixture_encoder():
     """Closure-embedded fixture encoder (tests + oracle queries): build
     REAL container bytes — valid BMP/P6-PPM/GIF/PNG headers and a
@@ -217,7 +368,13 @@ def _media_fixture_encoder():
     import struct
     import zlib
 
-    def encode(fmt, w=1, h=1, ch=3, rate=8000, n_samples=0):
+    def encode(fmt, w=1, h=1, ch=3, rate=8000, n_samples=0, body_seed=None):
+        # body_seed: when set, emit a REAL deterministic payload body —
+        # PPM raster pixel (x, y, c) = (3x + 5y + 7c + seed) % 256,
+        # WAV sample i = ((7i + seed) % 2003) - 1001 as int16 LE —
+        # so pixel/sample-level decode kernels have exact closed-form
+        # oracles. When None, bodies are elided (header-only blobs for
+        # the metadata tier).
         if fmt == "bmp":
             header = (
                 b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
@@ -225,7 +382,16 @@ def _media_fixture_encoder():
             )
             return header + b"\x00" * 16
         if fmt == "ppm":
-            return b"P6\n# fixture\n%d %d\n255\n" % (w, h) + b"\x00" * 16
+            head = b"P6\n# fixture\n%d %d\n255\n" % (w, h)
+            if body_seed is None:
+                return head + b"\x00" * 16
+            body = bytes(
+                (3 * x + 5 * y + 7 * c + body_seed) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            return head + body
         if fmt == "gif":
             return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
         if fmt == "png":
@@ -241,13 +407,20 @@ def _media_fixture_encoder():
         if fmt == "wav":
             bits = 16
             data_size = n_samples * ch * (bits // 8)
-            return (
+            head = (
                 b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
                 + b"fmt " + struct.pack(
                     "<IHHIIHH", 16, 1, ch, rate,
                     rate * ch * (bits // 8), ch * (bits // 8), bits,
                 )
                 + b"data" + struct.pack("<I", data_size)
+            )
+            if body_seed is None:
+                return head
+            n_vals = n_samples * ch
+            return head + struct.pack(
+                f"<{n_vals}h",
+                *(((7 * i + body_seed) % 2003) - 1001 for i in range(n_vals)),
             )
         raise ValueError(f"unknown fixture format {fmt!r}")
 

@@ -15,6 +15,8 @@ from process_spark.operators.multimodal import (
     attach_blob,
     decode_image_meta,
     decode_media_meta,
+    decode_ppm_pixel_stats,
+    decode_wav_pcm_stats,
     extract_features,
     sample_frames,
 )
@@ -190,6 +192,149 @@ def mm_decode_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, schema=f"doc_id {id_t}, blob binary"
     )
     return decode_media_meta(blobs)
+
+
+def _o_resize2_terms() -> str:
+    """12 closed-form terms for the 2×2 nearest-neighbor resize sum:
+    pixels at y ∈ {0, h//2}, x ∈ {0, w//2} (floor-index sampling —
+    duplicate indices when w or h is 1 legitimately count twice, same
+    as numpy fancy indexing), all 3 channels."""
+    return " + ".join(
+        f"((3 * ({xx}) + 5 * ({yy}) + 7 * {c} + seed) % 256)"
+        for yy in ("0", "h // 2")
+        for xx in ("0", "w // 2")
+        for c in (0, 1, 2)
+    )
+
+
+@register(
+    "mm_decode_ppm_pixels",
+    # The fixture body is REAL raster bytes — pixel (x, y, c) =
+    # (3x + 5y + 7c + seed) % 256 — so the decode kernel's per-channel
+    # integer sums (and the 2×2 resize sum) have an exact closed-form
+    # twin: any stride/order/offset bug in encode or decode shifts a
+    # sum and reds the row.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, ABS(doc_id) AS did, COALESCE(ABS(n_chars), 0) AS nc
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, 1 + nc % 12 AS w, 1 + did % 10 AS h,
+             (did * 11 + 3) % 256 AS seed
+      FROM d
+    ),
+    px AS (SELECT doc_id, w, h, seed, unnest(range(w)) AS x FROM p),
+    pxy AS (SELECT doc_id, w, h, seed, x, unnest(range(h)) AS y FROM px)
+    SELECT pxy.doc_id, CAST(pxy.w AS INT) AS width, CAST(pxy.h AS INT) AS height,
+           CAST(SUM((3 * x + 5 * y + 0 + seed) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((3 * x + 5 * y + 7 + seed) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((3 * x + 5 * y + 14 + seed) % 256) AS BIGINT) AS sum_b,
+           CAST(MIN({_o_resize2_terms()}) AS BIGINT) AS resize2_sum
+    FROM pxy
+    GROUP BY pxy.doc_id, pxy.w, pxy.h, seed
+    """,
+)
+def mm_decode_ppm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O70 (oracle-backed, REAL pixel decode): every document becomes a
+    P6 PPM whose raster is actual deterministic RGB bytes; the decode
+    kernel reads the pixels back with numpy (no codec — P6 bodies ARE
+    raw RGB) and reduces them to exact per-channel integer sums plus a
+    2×2 nearest-neighbor resize sum. This is the decode→feature-extract
+    →resize chain of a multimodal preprocessing stage, hash-checked at
+    the byte level."""
+    encode = _media_fixture_encoder()
+
+    def build(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = abs(int(doc_id))
+                nc = 0 if pd.isna(n_chars) else abs(int(n_chars))
+                blobs.append(
+                    encode(
+                        "ppm",
+                        w=1 + nc % 12,
+                        h=1 + did % 10,
+                        body_seed=(did * 11 + 3) % 256,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "blob": blobs}
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_part = spark.sparkContext.defaultParallelism
+    blobs = d.repartition(n_part, F.col("doc_id")).mapInPandas(
+        build, schema="doc_id bigint, blob binary"
+    )
+    return decode_ppm_pixel_stats(blobs)
+
+
+@register(
+    "mm_decode_wav_pcm",
+    # Real int16-LE PCM body: sample i = ((7i + seed) % 2003) - 1001.
+    # sum|v| / sum v² / peak are exact integers — the oracle-able core
+    # of an RMS-loudness feature; a byte-order or offset bug in the
+    # chunk walk breaks every sum.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, ABS(doc_id) AS did, COALESCE(ABS(n_chars), 0) AS nc
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, 1 + nc % 400 AS n, (did * 13 + 5) % 2003 AS seed
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, n, ((7 * unnest(range(n)) + seed) % 2003) - 1001 AS v
+      FROM p
+    )
+    SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS INT) AS peak
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_decode_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O70 (oracle-backed, REAL sample decode): every document becomes
+    a 16-bit PCM WAV with an actual deterministic sample body; the
+    decode kernel walks the RIFF chunks, reads the int16 samples with
+    numpy, and reduces to exact integer loudness stats (sum|v|, sum v²,
+    peak) — the audio-feature-extraction stage, hash-checked at the
+    byte level."""
+    encode = _media_fixture_encoder()
+
+    def build(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = abs(int(doc_id))
+                nc = 0 if pd.isna(n_chars) else abs(int(n_chars))
+                blobs.append(
+                    encode(
+                        "wav",
+                        ch=1,
+                        rate=16000,
+                        n_samples=1 + nc % 400,
+                        body_seed=(did * 13 + 5) % 2003,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "blob": blobs}
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_part = spark.sparkContext.defaultParallelism
+    blobs = d.repartition(n_part, F.col("doc_id")).mapInPandas(
+        build, schema="doc_id bigint, blob binary"
+    )
+    return decode_wav_pcm_stats(blobs)
 
 
 @register(

@@ -241,3 +241,54 @@ def test_media_header_parser_edge_cases():
     ]
     for b in bad:
         assert parse(b) is None, b[:16]
+
+
+def test_pixel_and_pcm_decode_kernels(spark):
+    """Pixel/PCM decode kernels must recover exact stats from real
+    bodies and degrade truncated/mistyped payloads to NULL rows."""
+    import struct
+
+    from process_spark.operators.multimodal import (
+        _media_fixture_encoder,
+        decode_ppm_pixel_stats,
+        decode_wav_pcm_stats,
+    )
+
+    enc = _media_fixture_encoder()
+    good_ppm = enc("ppm", w=4, h=3, body_seed=10)
+    trunc_ppm = good_ppm[:-5]  # header ok, body short
+    good_wav = enc("wav", ch=1, rate=8000, n_samples=5, body_seed=1)
+    wav8 = bytearray(good_wav)
+    struct.pack_into("<H", wav8, 34, 8)  # claim 8-bit → unsupported
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good_ppm)),
+            (2, bytearray(trunc_ppm)),
+            (3, b"not a ppm at all"),
+        ],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_ppm_pixel_stats(df).collect()}
+    exp_r = sum((3 * x + 5 * y + 10) % 256 for y in range(3) for x in range(4))
+    assert rows[1]["width"] == 4 and rows[1]["height"] == 3
+    assert rows[1]["sum_r"] == exp_r
+    # resize 2x2: y in {0,1}, x in {0,2}, all channels
+    exp_rs = sum(
+        (3 * x + 5 * y + 7 * c + 10) % 256
+        for y in (0, 1) for x in (0, 2) for c in (0, 1, 2)
+    )
+    assert rows[1]["resize2_sum"] == exp_rs
+    assert rows[2]["sum_r"] is None and rows[3]["width"] is None
+
+    dfw = spark.createDataFrame(
+        [(1, bytearray(good_wav)), (2, bytearray(bytes(wav8))), (3, b"RIFFxxxx")],
+        "doc_id long, blob binary",
+    )
+    wrows = {r["doc_id"]: r for r in decode_wav_pcm_stats(dfw).collect()}
+    samples = [((7 * i + 1) % 2003) - 1001 for i in range(5)]
+    assert wrows[1]["n_samples"] == 5
+    assert wrows[1]["sum_abs"] == sum(abs(v) for v in samples)
+    assert wrows[1]["sum_sq"] == sum(v * v for v in samples)
+    assert wrows[1]["peak"] == max(abs(v) for v in samples)
+    assert wrows[2]["n_samples"] is None  # 8-bit: unsupported → NULL
+    assert wrows[3]["n_samples"] is None
