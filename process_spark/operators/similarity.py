@@ -221,6 +221,7 @@ def ivf_build(
     vec_col: str = "embedding",
     seed_mod: int = 9973,
     scorer: str = "expr",
+    seed_hash: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """O68 scale path — IVF index: deterministic seed vectors (every
     ``hash(id) % (n/n_cells)``-th vector) act as coarse centroids; one
@@ -233,6 +234,11 @@ def ivf_build(
     ``scorer``: "expr" (default — bit-reproducible HOF dots) or
     "arrow" (BLAS matmul assignment, the throughput path at scale —
     see SCALE.md k-means shoot-out).
+
+    ``seed_hash``: "xxhash64" (default — cheapest) or "md5" (first 8
+    hex chars of md5(id) as a 32-bit int — byte-reproducible in DuckDB,
+    which is what lets the WHOLE build→assign→refine→search chain carry
+    a cross-engine oracle; same base-hash trade as minhash_lsh_pairs).
     """
     assign_fn = _pick_assigner(scorer)
     # Fan out + pin the corpus once: it is scanned three times (seed
@@ -248,7 +254,13 @@ def ivf_build(
     # partition top-k, k-row merge on the driver) — never the
     # unpartitioned-window single-partition sort of the whole corpus;
     # the row_number window then runs over the n_cells-row result only.
-    key = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod))
+    if seed_hash == "md5":
+        base = F.conv(
+            F.substring(F.md5(F.col(corpus_id).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    else:
+        base = F.xxhash64(F.col(corpus_id))
+    key = F.pmod(base, F.lit(seed_mod))
     topk = (
         corpus.select(F.col(corpus_id), F.col(vec_col), key.alias("__key"))
         .orderBy("__key", corpus_id)

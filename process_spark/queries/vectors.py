@@ -530,6 +530,118 @@ def vec_near_dup_arrow_idset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+#: score of vector-with-scalar a against unit-normalized [1, b]:
+#: ranking-equivalent to the engine's dot(raw v, unit centroid).
+def _o_cell_score(tv: str, tc: str) -> str:
+    return f"(1 + {tv} * {tc}) / sqrt(1 + {tc} * {tc})"
+
+
+@register(
+    "vec_ivf_knn_md5_idset",
+    # The ENTIRE IVF chain in SQL: md5-keyed seed pick → assign to
+    # nearest seed → per-cell mean (CAST AS REAL — the engine rounds
+    # refined centroids to float32, and rounding the oracle's mean the
+    # same way makes the assignment operands bit-identical) → reassign
+    # → probe 2 cells per query → exact re-rank. Under the 2-d
+    # margin-guarded fixture every ranking gap dwarfs the remaining
+    # op-order ULPs, so an APPROXIMATE index carries an exact id-set
+    # oracle end to end (seed hashing included).
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h32,
+             {_O_T32} AS tv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, tv,
+             ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
+      FROM h
+      QUALIFY cell_id < 8
+    ),
+    assign0 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 's.tv')} DESC, s.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT cell_id, CAST(AVG(tv) AS REAL) AS m
+      FROM assign0 GROUP BY cell_id
+    ),
+    assign1 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN refined r
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, tq, cell_id FROM (
+        SELECT v.vec_id AS q_id, v.tv AS tq, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN refined r
+        WHERE v.vec_id % 100 = 0
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id,
+             (1 + p.tq * a.tv)
+               / (sqrt(1 + p.tq * p.tq) * sqrt(1 + a.tv * a.tv)) AS score
+      FROM probes p JOIN assign1 a ON a.cell_id = p.cell_id
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn <= 5
+    )
+    SELECT q_id,
+           array_to_string(list(vec_id ORDER BY vec_id), ',') AS neighbor_ids
+    FROM topk GROUP BY q_id
+    """,
+)
+def vec_ivf_knn_md5_idset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 (oracle-backed END-TO-END IVF): the full
+    ivf_build(seed_hash='md5') → one-Lloyd-refinement → ivf_search
+    chain under the margin-guarded 2-d fixture. DuckDB replays seed
+    hashing, nearest-seed assignment, the float32-rounded per-cell
+    means, reassignment, 2-cell probing, and the exact re-rank — so
+    this ANN operator's whole index lifecycle is hash-checked, not just
+    its final scoring. The xxhash64 default stays the scale path (8-
+    byte keys, cheaper hash); this is its cross-engine anchor, same
+    pattern as text_minhash_lsh_md5_pairs."""
+    from process_spark.operators.similarity import ivf_build, ivf_search
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, assignments = ivf_build(e, n_cells=8, seed_hash="md5")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    knn = ivf_search(q, cells, assignments, k=5, n_probe=2)
+    return knn.groupBy("q_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("neighbor_ids")
+    )
+
+
 @register("vec_kmeans_clusters", oracle=None)
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed k-means (Lloyd's, deterministic init, 4

@@ -20,6 +20,7 @@ SF = "/root/testdata/sf0.01"
 GLOBAL_WINDOW_OK = {
     "vec_ivf_knn",
     "vec_ivf_knn_arrow",   # same ivf_build seed window (n_cells rows)
+    "vec_ivf_knn_md5_idset",  # same seed window, md5-keyed oracle twin
     "vec_kmeans_clusters",
 }
 
@@ -37,6 +38,7 @@ CROSS_OK = {
     "vec_knn_arrow",            # same, Arrow-scored twin
     "vec_ivf_knn",              # broadcast cell/probe tables (k rows)
     "vec_ivf_knn_arrow",        # same probe-selection broadcast (k rows)
+    "vec_ivf_knn_md5_idset",    # same cell/probe broadcasts, oracle twin
     "vec_kmeans_clusters",      # broadcast centroids (k rows)
     "pipeline_pack_sequences",  # broadcast per-source offsets (bounded)
     "pipeline_contamination_check",  # broadcast benchmark shingles (bounded)
