@@ -321,11 +321,18 @@ def lsh_band_bucket_stats(
 
 
 def simhash_dedup_candidates(
-    df: DataFrame, id_col: str, text_col: str = "text", band_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    band_bits: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature split into 4
     16-bit bands; Hamming-close docs share ≥1 exact band (pigeonhole).
-    Equi-join on band value — same scale shape as MinHash LSH."""
+    Equi-join on band value — same scale shape as MinHash LSH, and the
+    same boilerplate failure mode, so the same ``max_bucket_size``
+    hot-bucket guard (over-cap band buckets are cut before the
+    self-join; see :func:`minhash_lsh_pairs`)."""
     sig = simhash64(tokens(F.col(text_col)))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
@@ -348,6 +355,13 @@ def simhash_dedup_candidates(
             )
         ).alias("band_idx", "band_val"),
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_idx", "band_val")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,

@@ -54,6 +54,9 @@ VEC_QUERIES = [
     "vec_ivf_knn_arrow",  # rows-only: broadcast-probe matmul path
     "vec_knn_arrow",      # rows-only: batch matmul kernel path
     "vec_kmeans_clusters",  # rows-only: assignment over zero vectors
+    "vec_knn_arrow_idset",     # margin-guarded Arrow oracle: must stay
+    "vec_near_dup_arrow_idset",  # green when extra/degenerate ids appear
+    "vec_ivf_knn_md5_idset",   # end-to-end IVF oracle, same robustness
 ]
 
 # Text queries over the degenerate-documents table: empty text,
@@ -73,6 +76,10 @@ TEXT_QUERIES = [
     "text_language_guess",
     "text_lang_source_stats",
     "text_lexicon_score",
+    "text_lsh_hot_bucket_guard",   # guard census over degenerate docs
+    "mm_decode_real_headers",      # header round trip incl. nc=0 docs
+    "mm_decode_ppm_pixels",        # 1-px-wide rasters (w=1 duplicates
+    "mm_decode_wav_pcm",           # resize indices), 1-sample PCM
 ]
 
 
@@ -265,3 +272,21 @@ def test_lsh_hot_bucket_guard_bounds_pair_blowup(spark):
     for s in stats.values():
         assert s["max_bucket_size"] == 10_000
         assert s["n_over_cap"] == 1
+
+
+def test_simhash_guard_bounds_boilerplate_bucket(spark):
+    """The SimHash band join has the same boilerplate failure mode as
+    MinHash LSH (identical docs → identical 64-bit signature → one
+    huge band bucket); the max_bucket_size guard must cut it before
+    the self-join while an under-cap duplicate group still pairs."""
+    from process_spark.operators.dedup import simhash_dedup_candidates
+
+    rows = [(i, "the same boilerplate body repeated everywhere") for i in range(5_000)]
+    rows += [(10_000 + j, "a tiny distinct duplicate group body") for j in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_dedup_candidates(df, "doc_id", max_bucket_size=8).collect()
+    assert out, "under-cap duplicate group must still produce pairs"
+    assert not any(r["id_a"] < 10_000 or r["id_b"] < 10_000 for r in out)
+    small = {(r["id_a"], r["id_b"]) for r in out}
+    assert small == {(10_000, 10_001), (10_000, 10_002), (10_001, 10_002)}
+    assert all(r["hamming"] == 0 for r in out)
