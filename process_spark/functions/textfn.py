@@ -142,15 +142,28 @@ def rolling_fingerprint(text: Column | str, modulus: int = 2**31 - 1) -> Column:
     )
 
 
-def simhash64(toks: Column | str) -> Column:
-    """SimHash over token xxhash64s — 64-bit near-dup signature (O63
-    family). Majority vote per bit; unrolled over the 64 bit positions
-    (shift amounts must be static ints), OR-folded into one long."""
+def simhash64(toks: Column | str, base_hash: str = "xxhash64") -> Column:
+    """SimHash over per-token hashes — near-dup signature (O63 family).
+    Majority vote per bit; unrolled over the bit positions (shift
+    amounts must be static ints), OR-folded into one long.
+
+    ``base_hash``: "xxhash64" (default, 64 bits — cheapest) or "md5"
+    (first 15 hex chars of md5(token) as a 60-bit int — DuckDB
+    reproduces it byte-for-byte, so the whole token→vote→signature→
+    band chain carries a cross-engine oracle; same trade as
+    minhash_lsh_pairs/ivf_build)."""
     a = _c(toks)
-    hashes = F.transform(a, lambda w: F.xxhash64(w))
+    if base_hash == "md5":
+        n_bits = 60  # 15 hex chars < 2^60: fits signed-64, no sign bit
+        hashes = F.transform(
+            a, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        n_bits = 64
+        hashes = F.transform(a, lambda w: F.xxhash64(w))
     n = F.size(a)
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         n_set = F.size(
             F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
         )

@@ -435,9 +435,71 @@ def text_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_simhash_candidates", oracle=None)
 def text_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O63: SimHash banded candidates + Hamming distance (rows-only —
-    xxhash64-based signature)."""
+    xxhash64-based signature; the md5 variant below is the oracle
+    anchor for the same chain)."""
     d = t(spark, sf_dir, "documents")
     return simhash_dedup_candidates(d, "doc_id", "text")
+
+
+@register(
+    "text_simhash_md5_pairs",
+    # Full SimHash chain in SQL: per-token 60-bit md5 hash → majority
+    # vote per bit position → signature → 4×15-bit band split → band
+    # equi-join → Hamming distance. Token-less docs keep signature 0
+    # (the LEFT JOIN + COALESCE), same as the engine's empty-array
+    # vote.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+    ),
+    tk AS (
+      SELECT doc_id, unnest({_O_TOKS}) AS w
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM tk
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             CASE WHEN 2 * SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                                    THEN 1 ELSE 0 END) > COUNT(*)
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bs
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+      FROM d LEFT JOIN (
+        SELECT doc_id, SUM(bit) AS sig FROM votes GROUP BY doc_id
+      ) s USING (doc_id)
+    ),
+    bv AS (
+      SELECT doc_id, sig, band_idx,
+             (sig >> CAST(band_idx * 15 AS INT)) & 32767 AS band_val
+      FROM (SELECT doc_id, sig, unnest(range(4)) AS band_idx FROM sig)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM bv a JOIN bv b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    """,
+)
+def text_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 (oracle-backed): the SAME banded SimHash pipeline as
+    text_simhash_candidates, but over 60-bit md5-derived token hashes
+    (4 bands × 15 bits) that DuckDB reproduces byte-for-byte — so the
+    token→bit-vote→signature→band→candidate chain is hash-checked end
+    to end, completing the dedup family's oracle story (exact, MinHash
+    LSH, SimHash, Jaccard, embedding-cosine all anchored). The
+    xxhash64 flagship stays the scale default."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return simhash_dedup_candidates(
+        d, "doc_id", "text", band_bits=15, base_hash="md5"
+    )
 
 
 @register(

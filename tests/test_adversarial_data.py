@@ -77,6 +77,7 @@ TEXT_QUERIES = [
     "text_lang_source_stats",
     "text_lexicon_score",
     "text_lsh_hot_bucket_guard",   # guard census over degenerate docs
+    "text_simhash_md5_pairs",      # empty docs vote to signature 0
     "mm_decode_real_headers",      # header round trip incl. nc=0 docs
     "mm_decode_ppm_pixels",        # 1-px-wide rasters (w=1 duplicates
     "mm_decode_wav_pcm",           # resize indices), 1-sample PCM
