@@ -239,3 +239,67 @@ def test_dedup_state_evicted_by_watermark_mid_stream(spark):
     assert 4 not in by_id, f"late row leaked past the watermark: {by_id}"
     assert by_id.get(1) == by_id.get(2) == by_id.get(3) == by_id.get(5) == 1
     assert by_id.get(6) == 1
+
+
+def test_group_state_event_time_timeout_eviction(spark):
+    """O93 timeout surface: applyInPandasWithState with
+    EventTimeTimeout must invoke the handler with hasTimedOut=True for
+    a key whose timeout timestamp fell behind the advancing watermark
+    — the mechanism that lets 100 TB per-key state expire itself.
+    Keys are the event hour, so the hour-10 key stops receiving data
+    after batch 1 and must be evicted mid-stream; the hour-14 key is
+    fresh at termination and must NOT be."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"hour": [key[0]], "n_events": [n], "evicted": [True]}
+            )
+            return
+        n = state.get[0] if state.exists else 0
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                m = pdf["ts"].max()
+                last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((n,))
+        if last_ts is not None:
+            # expire 30 min after this key's newest event
+            state.setTimeoutTimestamp(
+                int(last_ts.timestamp() * 1000) + 30 * 60 * 1000
+            )
+        yield pd.DataFrame(
+            {"hour": [key[0]], "n_events": [n], "evicted": [False]}
+        )
+
+    def stateful(src):
+        return (
+            src.withColumn("hour", F.hour("ts"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy("hour")
+            .applyInPandasWithState(
+                update,
+                outputStructType="hour int, n_events long, evicted boolean",
+                stateStructType="n long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    out, n_batches, _ = _drain_incremental(spark, stateful, "timeout")
+    assert n_batches >= 4
+    rows = out.collect()
+    evicted = {r["hour"] for r in rows if r["evicted"]}
+    # hour 10 (last event 10:20, timeout 10:50) fell behind the
+    # advancing watermark (11:50 → 13:50 → 14:10) → evicted; hour 14's
+    # timeout (14:50) never passed → alive at termination.
+    assert 10 in evicted, f"hour-10 state never timed out: {rows}"
+    assert 14 not in evicted, f"fresh key evicted early: {rows}"
+    # the eviction emission carried the full per-key count
+    ev10 = [r for r in rows if r["evicted"] and r["hour"] == 10]
+    assert ev10[0]["n_events"] == 3
