@@ -790,6 +790,7 @@ def kmeans(
     seed_mod: int = 9973,
     scorer: str = "expr",
     checkpoint_dir: str | None = None,
+    seed_hash: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means over an embedding column, fully distributed.
 
@@ -826,7 +827,14 @@ def kmeans(
     corpus = cut(corpus.repartition(n_part, F.col(corpus_id)))
     # Same distributed TakeOrdered seed pick as ivf_build: top-k first
     # (per-partition top-k + k-row merge), tiny-window row_number after.
-    key = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(seed_mod))
+    # seed_hash="md5" = the DuckDB-reproducible key (see ivf_build).
+    if seed_hash == "md5":
+        base = F.conv(
+            F.substring(F.md5(F.col(corpus_id).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    else:
+        base = F.xxhash64(F.col(corpus_id))
+    key = F.pmod(base, F.lit(seed_mod))
     topk = (
         corpus.select(F.col(corpus_id), F.col(vec_col), key.alias("__key"))
         .orderBy("__key", corpus_id)

@@ -642,6 +642,82 @@ def vec_ivf_knn_md5_idset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_md5_oracle(n_iter: int = 2, k: int = 8, seed_mod: int = 9973) -> str:
+    """Generate the DuckDB twin of kmeans(seed_hash='md5', scorer='expr')
+    on the 2-d margin-guarded fixture: the md5-keyed seed pick, then
+    ``n_iter`` unrolled Lloyd iterations (assign → float32-rounded
+    per-cell mean — CAST AS REAL matches the engine's centroid cast
+    bit-for-bit), then the final assignment. Iterative fixpoints are
+    usually the canonical 'no SQL twin' carve-out; with a fixed
+    iteration count and scalar-parameterized centroids the whole loop
+    unrolls into one WITH chain."""
+    parts = [
+        f"""h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h32,
+             {_O_T32} AS tv
+      FROM embeddings
+    )""",
+        f"""seeds AS (
+      SELECT tv AS m,
+             ROW_NUMBER() OVER (ORDER BY h32 % {seed_mod}, vec_id) - 1 AS cell_id
+      FROM h
+      QUALIFY cell_id < {k}
+    )""",
+    ]
+    cells = "seeds"
+    for i in range(n_iter):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'c.m')} DESC, c.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN {cells} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""r{i + 1} AS (
+      SELECT cell_id, CAST(AVG(tv) AS REAL) AS m
+      FROM a{i} GROUP BY cell_id
+    )"""
+        )
+        cells = f"r{i + 1}"
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT vec_id, cell_id FROM (
+      SELECT v.vec_id, c.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY {_o_cell_score('v.tv', 'c.m')} DESC, c.cell_id
+             ) AS rn
+      FROM h v CROSS JOIN {cells} c
+    ) WHERE rn = 1
+    """
+
+
+@register("vec_kmeans_md5_assignments", oracle=_kmeans_md5_oracle())
+def vec_kmeans_md5_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O69 (oracle-backed ITERATIVE k-means): kmeans(seed_hash='md5',
+    n_iter=2) on the margin-guarded 2-d fixture, full per-vector
+    assignment table hash-checked against a DuckDB replay of the
+    unrolled Lloyd loop (seed pick → assign → float32-rounded means →
+    assign → means → final assign). Narrows the 'iterative algorithms
+    are rows-only' carve-out to genuinely unbounded fixpoints; the
+    production path (64-d, xxhash seeds, arrow scorer) stays
+    vec_kmeans_clusters."""
+    from process_spark.operators.similarity import kmeans
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    _, assign = kmeans(e, k=8, n_iter=2, seed_hash="md5")
+    return assign.select("vec_id", "cell_id")
+
+
 @register("vec_kmeans_clusters", oracle=None)
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed k-means (Lloyd's, deterministic init, 4

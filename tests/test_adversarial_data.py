@@ -57,6 +57,7 @@ VEC_QUERIES = [
     "vec_knn_arrow_idset",     # margin-guarded Arrow oracle: must stay
     "vec_near_dup_arrow_idset",  # green when extra/degenerate ids appear
     "vec_ivf_knn_md5_idset",   # end-to-end IVF oracle, same robustness
+    "vec_kmeans_md5_assignments",  # unrolled-Lloyd oracle, same robustness
 ]
 
 # Text queries over the degenerate-documents table: empty text,

@@ -22,6 +22,7 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_knn_arrow",   # same ivf_build seed window (n_cells rows)
     "vec_ivf_knn_md5_idset",  # same seed window, md5-keyed oracle twin
     "vec_kmeans_clusters",
+    "vec_kmeans_md5_assignments",  # same seed window, unrolled-loop oracle
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -40,6 +41,7 @@ CROSS_OK = {
     "vec_ivf_knn_arrow",        # same probe-selection broadcast (k rows)
     "vec_ivf_knn_md5_idset",    # same cell/probe broadcasts, oracle twin
     "vec_kmeans_clusters",      # broadcast centroids (k rows)
+    "vec_kmeans_md5_assignments",  # same centroid broadcasts, oracle twin
     "pipeline_pack_sequences",  # broadcast per-source offsets (bounded)
     "pipeline_contamination_check",  # broadcast benchmark shingles (bounded)
     "text_lsh_hot_bucket_guard",  # 1-row skipped-bucket-count broadcast
