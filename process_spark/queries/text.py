@@ -554,14 +554,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "component")
 
 
-def _minhash_md5_oracle(max_bucket_size: int | None = None) -> str:
-    """Generate the DuckDB twin of minhash_lsh_pairs(base_hash='md5',
-    band_key='concat'): shingle → md5-derived 32-bit base hash →
-    64 universal-hash mins → 16 concat band keys → band equi-join.
-    Same (a_i, b_i) constants as the engine (fixed-seed PRNG).
-    With ``max_bucket_size``, adds the hot-bucket guard: buckets over
-    the cap are excluded from the pair join and the skipped-bucket
-    count rides every output row."""
+def _minhash_md5_ctes() -> str:
+    """Shared CTE chain of the md5 MinHash oracles: shingle →
+    md5-derived 32-bit base hash → 64 universal-hash mins → 16 concat
+    band keys, ending with the ``banded`` (doc_id, band_idx, band_key)
+    relation. Same (a_i, b_i) constants as the engine (fixed-seed
+    PRNG)."""
     from process_spark.operators.dedup import (
         _MINHASH_PRIME as P,
         _minhash_coefficients,
@@ -587,8 +585,7 @@ def _minhash_md5_oracle(max_bucket_size: int | None = None) -> str:
         for bd in range(16)
     )
     band_idxs = ", ".join(str(i) for i in range(16))
-    prefix = f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id, unnest(list_distinct({_O_SHINGLES})) AS s
       FROM documents WHERE doc_id % 2 = 0
     ),
@@ -607,6 +604,15 @@ def _minhash_md5_oracle(max_bucket_size: int | None = None) -> str:
              unnest([{band_keys}]) AS band_key
       FROM mins
     )"""
+
+
+def _minhash_md5_oracle(max_bucket_size: int | None = None) -> str:
+    """Generate the DuckDB twin of minhash_lsh_pairs(base_hash='md5',
+    band_key='concat') over the shared :func:`_minhash_md5_ctes`
+    chain. With ``max_bucket_size``, adds the hot-bucket guard:
+    buckets over the cap are excluded from the pair join and the
+    skipped-bucket count rides every output row."""
+    prefix = "WITH " + _minhash_md5_ctes()
     if max_bucket_size is None:
         return f"""{prefix}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -661,6 +667,65 @@ def text_minhash_lsh_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_hash="md5",
         band_key="concat",
     )
+
+
+def _minhash_cc_oracle() -> str:
+    """DuckDB twin of the LSH → connected-components composite: the
+    shared md5 chain produces candidate pairs, a recursive CTE
+    propagates min labels along the (symmetrized) edges, singleton
+    docs map to themselves."""
+    return f"""
+    WITH RECURSIVE {_minhash_md5_ctes()},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    verts AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    """
+
+
+@register("pipeline_minhash_dedup_components", oracle=_minhash_cc_oracle())
+def pipeline_minhash_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 end-to-end (oracle-backed): the production near-dup pipeline
+    at its full depth — banded MinHash LSH candidate pairs (md5 chain)
+    feeding distributed min-label connected components, one cluster id
+    per document (the id a keeper-selection pass groups on). DuckDB
+    replays BOTH stages: the signature/band algebra and the
+    reachability fixpoint (recursive CTE) — so the whole
+    shingle→signature→band→pair→cluster path that dedups a 100 TB
+    corpus is hash-checked as one unit, not as isolated stages."""
+    from process_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    edges = minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        base_hash="md5",
+        band_key="concat",
+    )
+    return connected_components(
+        edges, src="id_a", dst="id_b", vertices=d, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "component")
 
 
 @register("text_lsh_hot_bucket_guard", oracle=_minhash_md5_oracle(max_bucket_size=3))
