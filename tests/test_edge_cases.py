@@ -292,3 +292,30 @@ def test_pixel_and_pcm_decode_kernels(spark):
     assert wrows[1]["peak"] == max(abs(v) for v in samples)
     assert wrows[2]["n_samples"] is None  # 8-bit: unsupported → NULL
     assert wrows[3]["n_samples"] is None
+
+
+def test_approx_distinct_within_error_bounds(spark):
+    """agg_approx_distinct is rows-only (HLL sketches are
+    engine-specific), so pin its QUALITY instead: every per-group
+    estimate at rsd=0.01 must sit within 5*rsd of the exact distinct
+    count — an approximate operator with unbounded error would
+    otherwise stay green forever."""
+    from process_spark.queries import REGISTRY
+    from process_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, est in approx.items():
+        rel_err = abs(est - exact[et]) / max(1, exact[et])
+        assert rel_err <= 0.05, (et, est, exact[et], rel_err)
