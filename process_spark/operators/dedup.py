@@ -196,9 +196,10 @@ def minhash_lsh_pairs(
     (constant per run — no silent truncation; a pipeline routes the
     skipped buckets' members to the next tier, e.g. exact Jaccard over
     a per-bucket sample or a re-band with more bands). The bucket-size
-    window partitions by the SAME key the self-join shuffles on, so
-    the guard adds no extra exchange shape — and it bounds every
-    join task at ≤ max_bucket_size² intermediate rows by construction.
+    window partitions by the SAME key the self-join shuffles on, its
+    output is checkpointed so the census is computed once for all
+    three consumers — and the guard bounds every join task at
+    ≤ max_bucket_size² intermediate rows by construction.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -234,13 +235,18 @@ def minhash_lsh_pairs(
     )
     extra_cols: list[Column] = []
     if max_bucket_size is not None:
-        # One count-over-window partitioned by the join key: Catalyst
-        # plans a single exchange on (band_idx, band_hash) that the
-        # self-join's own hash partitioning then reuses. Buckets over
-        # the cap are cut BEFORE the join, so no task ever materializes
-        # a hot bucket's quadratic pair set.
+        # One count-over-window partitioned by the join key sizes every
+        # bucket; buckets over the cap are cut BEFORE the join, so no
+        # task ever materializes a hot bucket's quadratic pair set.
+        # The sized relation is checkpointed because THREE consumers
+        # read it (both join sides + the skipped-count branch) and
+        # Catalyst/AQE does not reuse the window's exchange across
+        # them — without the cut the posexplode+window would run three
+        # times (verified in the physical plan).
         wb = Window.partitionBy("band_idx", "band_hash")
-        sized = banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+        sized = banded.withColumn(
+            "__bn", F.count(F.lit(1)).over(wb)
+        ).localCheckpoint(eager=False)
         banded = sized.filter(F.col("__bn") <= max_bucket_size).drop("__bn")
         skipped = (
             sized.filter(F.col("__bn") > max_bucket_size)
@@ -396,11 +402,15 @@ def simhash_dedup_candidates(
         ).alias("band_idx", "band_val"),
     )
     if max_bucket_size is not None:
+        # checkpoint: both join sides read the sized relation and the
+        # window's exchange is not reused across them (see
+        # minhash_lsh_pairs).
         wb = Window.partitionBy("band_idx", "band_val")
         banded = (
             banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
+            .localCheckpoint(eager=False)
         )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
