@@ -61,11 +61,33 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O39 approx: HLL approx_count_distinct — the 100 TB path (no
-    per-key exact distinct shuffle). Engine-specific sketch → no oracle."""
+    per-key exact distinct shuffle). Engine-specific sketch → no
+    oracle; error bounded vs exact in tests/test_edge_cases.py."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: GK sketch is engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O41 approx: percentile_approx (Greenwald-Khanna mergeable
+    summary) — the 100 TB percentile path: one streaming pass with
+    map-side-combinable sketches, where the exact form materializes
+    every group's sorted values. accuracy=10000 bounds the RANK error
+    at n/10000 per group. Engine-specific sketch → no oracle; the rank
+    error is bounded vs the exact percentile in
+    tests/test_edge_cases.py (an approximate operator needs a quality
+    contract, not just a row count — same policy as recall@k and the
+    HLL bound)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
+        )
     )
 
 

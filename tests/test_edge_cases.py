@@ -319,3 +319,35 @@ def test_approx_distinct_within_error_bounds(spark):
     for et, est in approx.items():
         rel_err = abs(est - exact[et]) / max(1, exact[et])
         assert rel_err <= 0.05, (et, est, exact[et], rel_err)
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """agg_approx_percentile is rows-only (GK sketches are
+    engine-specific); pin its QUALITY: each estimate's RANK among the
+    group's actual values must sit within the sketch's guaranteed
+    n/accuracy rank error (with slack for ties/boundaries)."""
+    from process_spark.queries import REGISTRY
+    from process_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in REGISTRY["agg_approx_percentile"].fn(spark, sf).collect()
+    }
+    vals = {}
+    for r in t(spark, sf, "events").select("event_type", "value").collect():
+        if r["value"] is not None:
+            vals.setdefault(r["event_type"], []).append(r["value"])
+    assert est.keys() == vals.keys()
+    for et, (p50, p90) in est.items():
+        s = sorted(vals[et])
+        n = len(s)
+        tol = max(2, 2 * n // 10000)  # 2x the guaranteed rank error
+        for target, v in ((0.5, p50), (0.9, p90)):
+            # rank range occupied by the estimate's value (ties!)
+            import bisect
+
+            lo = bisect.bisect_left(s, v)
+            hi = bisect.bisect_right(s, v)
+            want = target * (n - 1)
+            assert lo - tol <= want <= hi + tol, (et, target, v, lo, hi, n)
