@@ -201,37 +201,8 @@ def minhash_lsh_pairs(
     three consumers — and the guard bounds every join task at
     ≤ max_bucket_size² intermediate rows by construction.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
-    mins = _minhash_mins(df, id_col, text_col, num_hashes, shingle_n, base_hash)
-
-    def band_expr(b: int) -> Column:
-        joined = F.concat_ws(
-            ",", *[F.col(f"__m{b * r + j}").cast("string") for j in range(r)]
-        )
-        # band_key="concat" keeps the raw string (has an exact SQL
-        # twin for the oracle variant); "hash" shrinks the shuffle key
-        # to 8 bytes — the default at scale.
-        return joined if band_key == "concat" else F.xxhash64(joined)
-
-    # Materialize the BAND projection once — a self-join otherwise
-    # recomputes the whole tokenize→shingle→hash pipeline on BOTH sides
-    # (no ReusedExchange across the join; verified in the physical
-    # plan). Banding before the cut shrinks the checkpoint payload to
-    # ``bands`` longs per doc (vs the full num_hashes-element array)
-    # and computes band hashes straight off the aggregate's wide
-    # columns — no array build + element_at round-trip. At warehouse
-    # scale this is "write the banded signature table"; locally
-    # localCheckpoint is the same cut.
-    bands_df = mins.select(
-        id_col, *[band_expr(b).alias(f"__b{b}") for b in range(bands)]
-    ).localCheckpoint(eager=False)
-    banded = bands_df.select(
-        id_col,
-        F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(bands)])).alias(
-            "band_idx", "band_hash"
-        ),
+    banded = _minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_n, base_hash, band_key
     )
     extra_cols: list[Column] = []
     if max_bucket_size is not None:
@@ -275,6 +246,76 @@ def minhash_lsh_pairs(
     # bucket count, so truncation is visible in the OUTPUT, not a log.
     return pairs.join(F.broadcast(skipped)).select(
         "id_a", "id_b", "n_shared_bands", *extra_cols
+    )
+
+
+def _minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    base_hash: str,
+    band_key: str,
+) -> DataFrame:
+    """The exploded band relation (id, band_idx, band_hash) shared by
+    the pair join and the stored-index build. Materializes the BAND
+    projection once — a self-join otherwise recomputes the whole
+    tokenize→shingle→hash pipeline on BOTH sides (no ReusedExchange
+    across the join; verified in the physical plan). Banding before
+    the cut shrinks the checkpoint payload to ``bands`` longs per doc
+    and computes band hashes straight off the aggregate's wide columns
+    — no array build + element_at round-trip."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    mins = _minhash_mins(df, id_col, text_col, num_hashes, shingle_n, base_hash)
+
+    def band_expr(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col(f"__m{b * r + j}").cast("string") for j in range(r)]
+        )
+        # band_key="concat" keeps the raw string (has an exact SQL
+        # twin for the oracle variant); "hash" shrinks the shuffle key
+        # to 8 bytes — the default at scale.
+        return joined if band_key == "concat" else F.xxhash64(joined)
+
+    bands_df = mins.select(
+        id_col, *[band_expr(b).alias(f"__b{b}") for b in range(bands)]
+    ).localCheckpoint(eager=False)
+    return bands_df.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+    band_key: str = "hash",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The STORED dedup index: one row per (doc, band) with a bounded
+    ``band_bucket`` partition key (``pmod(band_hash, n_buckets)``).
+    Written ``partitionBy(band_idx, band_bucket)``, this is the layout
+    that turns incremental dedup into a point lookup — a new batch of
+    docs computes its own bands and reads ONLY the matching partitions
+    (real partition pruning, asserted in tests/test_plan_shapes.py)
+    instead of re-joining the whole historical corpus. Same contract
+    as the IVF cell-partitioned layout."""
+    banded = _minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_n, base_hash, band_key
+    )
+    return banded.withColumn(
+        "band_bucket", F.pmod(F.xxhash64(F.col("band_hash")), F.lit(n_buckets))
     )
 
 

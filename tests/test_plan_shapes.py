@@ -228,3 +228,65 @@ def test_ivf_partitioned_layout_prunes_probed_cells(spark, tmp_path):
         for r in ivf_search_arrow(q, cells, stored, k=5).collect()
     }
     assert mem == disk
+
+
+def test_lsh_band_index_prunes_probe_partitions(spark, tmp_path):
+    """The incremental-dedup-at-scale story: the banded MinHash index
+    written partitionBy(band_idx, band_bucket) must give probe reads
+    REAL partition pruning — a new batch of docs reads only its own
+    bands' partitions instead of re-joining the historical corpus —
+    and the pruned lookup must find exactly the candidates a full scan
+    finds."""
+    from pyspark.sql import functions as F
+
+    from process_spark.operators.dedup import minhash_band_index
+    from process_spark.sources.io import load
+
+    d = load(spark, SF, "documents")
+    idx = minhash_band_index(d, "doc_id", num_hashes=16, bands=4, n_buckets=16)
+    out = str(tmp_path / "band_index")
+    idx.write.mode("overwrite").partitionBy("band_idx", "band_bucket").parquet(out)
+    stored = spark.read.parquet(out)
+
+    probe_docs = d.filter(F.col("doc_id") % 40 == 0)
+    probe = minhash_band_index(
+        probe_docs, "doc_id", num_hashes=16, bands=4, n_buckets=16
+    ).withColumnRenamed("doc_id", "probe_id")
+    buckets = sorted(
+        {r["band_bucket"] for r in probe.select("band_bucket").distinct().collect()}
+    )
+
+    pruned = stored.filter(F.col("band_bucket").isin(buckets))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band_bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+    def candidates(table):
+        return {
+            (r["probe_id"], r["doc_id"])
+            for r in table.join(
+                F.broadcast(probe),
+                ["band_idx", "band_hash"],
+            )
+            .filter(F.col("doc_id") != F.col("probe_id"))
+            .select("probe_id", "doc_id")
+            .distinct()
+            .collect()
+        }
+
+    got = candidates(pruned)
+    want = candidates(stored)
+    assert got == want
+    # discriminating: probe docs are IN the corpus, so each must at
+    # least collide with nothing-or-something consistently; the probe
+    # set itself always matches its own stored bands
+    self_hits = {
+        (r["probe_id"], r["doc_id"])
+        for r in stored.join(F.broadcast(probe), ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") == F.col("probe_id"))
+        .select("probe_id", "doc_id")
+        .distinct()
+        .collect()
+    }
+    assert len(self_hits) == probe_docs.count()
