@@ -86,6 +86,28 @@ def _cmd_fixture(args) -> int:
     return 0
 
 
+def _cmd_plan(args) -> int:
+    from process_spark.queries import REGISTRY
+    from process_spark.session import get_spark
+
+    if args.query not in REGISTRY:
+        print(
+            f"error: unknown query {args.query!r}; "
+            f"known: {', '.join(sorted(REGISTRY))}",
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark("process-spark-cli")
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    if args.run:
+        # materialize first so AQE's runtime re-plan (broadcast
+        # conversions, coalesced partitions, skew splits) is what gets
+        # printed — the plan that actually executed
+        df.count()
+    df.explain(mode=args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m process_spark",
@@ -110,6 +132,27 @@ def main(argv: list[str] | None = None) -> int:
         help="simulated duration (default 7200)",
     )
     pf.set_defaults(fn=_cmd_fixture)
+
+    pl = sub.add_parser(
+        "plan",
+        help="print a registered query's physical plan "
+        "(the operator's scale-debugging surface)",
+    )
+    pl.add_argument("query", help="registry name, e.g. q1_pricing_summary")
+    pl.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01",
+        help="table directory (default sf0.01)",
+    )
+    pl.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+        help="explain mode (default: formatted)",
+    )
+    pl.add_argument(
+        "--run", action="store_true",
+        help="materialize first so the printed plan is the AQE-final one",
+    )
+    pl.set_defaults(fn=_cmd_plan)
 
     args = p.parse_args(argv)
     return args.fn(args)

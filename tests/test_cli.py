@@ -60,3 +60,22 @@ def test_cli_process_empty_input_fails_cleanly(tmp_path):
     empty = tmp_path / "empty.txt"
     empty.write_text("")
     assert main(["process", str(empty), "--out", str(tmp_path / "o")]) == 2
+
+
+def test_cli_plan_prints_physical_plan(spark, capsys):
+    from process_spark.cli import main
+
+    rc = main(
+        ["plan", "q6_forecast_revenue", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out  # formatted mode shows scan pushdown
+
+
+def test_cli_plan_unknown_query_exits_2(capsys):
+    from process_spark.cli import main
+
+    assert main(["plan", "definitely_not_a_query"]) == 2
+    assert "unknown query" in capsys.readouterr().err
