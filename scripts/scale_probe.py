@@ -81,6 +81,7 @@ PIPELINE_PROBE = [
     "pipeline_quality_filter",
     "pipeline_pack_sequences",
     "dedup_connected_components",
+    "pipeline_minhash_dedup_components",
     "text_lsh_hot_bucket_guard",
 ]
 
@@ -96,6 +97,9 @@ QUADRATIC_BY_DESIGN = {
     "dedup_connected_components": "replicated docs are true near-dups; "
     "the edge set (exact Jaccard pairs within blocks) grows "
     "~quadratically per duplicated doc before components form",
+    "pipeline_minhash_dedup_components": "same: every doc's 10 replicas "
+    "share every band, so the LSH edge set grows ~quadratically before "
+    "components collapse them (the guard variant is the bounded path)",
     "text_lsh_hot_bucket_guard": "replica band buckets blow past the "
     "cap and are SKIPPED (that is the guard working) - output shrinks "
     "to under-cap pairs + the skipped count",
