@@ -100,10 +100,14 @@ def _cmd_plan(args) -> int:
     spark = get_spark("process-spark-cli")
     df = REGISTRY[args.query].fn(spark, args.sf_dir)
     if args.run:
-        # materialize first so AQE's runtime re-plan (broadcast
-        # conversions, coalesced partitions, skew splits) is what gets
-        # printed — the plan that actually executed
-        df.count()
+        # Materialize DF ITSELF (collect, not count: count executes a
+        # derived aggregate plan and leaves df's own QueryExecution
+        # un-run, so explain would still print isFinalPlan=false) —
+        # after this, AQE's runtime re-plan (broadcast conversions,
+        # coalesced partitions, skew splits) is what gets printed: the
+        # plan that actually executed. Driver-side rows are fine here:
+        # this is a local inspection subcommand at test SFs.
+        df.collect()
     df.explain(mode=args.mode)
     return 0
 

@@ -242,11 +242,35 @@ def minhash_lsh_pairs(
     )
     if max_bucket_size is None:
         return pairs
+    # Checkpoint: pairs feeds TWO branches below (the output rows and
+    # the all-skipped sentinel's emptiness probe) and Catalyst does not
+    # reuse the join subplan across them — without the cut the banded
+    # self-join would run twice.
+    pairs = pairs.localCheckpoint(eager=False)
     # 1-row broadcast cross join: every pair row carries the skipped-
     # bucket count, so truncation is visible in the OUTPUT, not a log.
-    return pairs.join(F.broadcast(skipped)).select(
+    out = pairs.join(F.broadcast(skipped)).select(
         "id_a", "id_b", "n_shared_bands", *extra_cols
     )
+    # All-skipped observability: when EVERY bucket exceeds the cap the
+    # pair set is empty and a cross join alone would erase the skipped
+    # count — the contract ("truncation is visible in the OUTPUT")
+    # would fail exactly in the most-truncated case. Emit one sentinel
+    # row (NULL ids, the count) iff buckets were skipped AND no pair
+    # survived: a left-anti against the (≤1-row, broadcast) head of
+    # pairs keeps the whole probe data-independent and in-plan.
+    id_type = dict(pairs.dtypes)["id_a"]
+    sentinel = (
+        skipped.filter(F.col("n_skipped_buckets") > 0)
+        .join(F.broadcast(pairs.select("id_a").limit(1)), F.lit(True), "left_anti")
+        .select(
+            F.lit(None).cast(id_type).alias("id_a"),
+            F.lit(None).cast(id_type).alias("id_b"),
+            F.lit(None).cast("long").alias("n_shared_bands"),
+            F.col("n_skipped_buckets"),
+        )
+    )
+    return out.unionByName(sentinel)
 
 
 def _minhash_banded(
@@ -384,6 +408,16 @@ def simhash_dedup_candidates(
     (with band_bits=15 → 4 bands over 60 bits) is the DuckDB-
     reproducible variant backing the oracle query."""
     sig_bits = 60 if base_hash == "md5" else 64
+    if sig_bits % band_bits:
+        # Mirror minhash_lsh_pairs' num_hashes/bands check: silently
+        # truncating to floor(sig_bits/band_bits) bands would band only
+        # part of the signature and weaken the pigeonhole candidate
+        # guarantee without the caller noticing (e.g. base_hash='md5'
+        # with the xxhash64 default band_bits=16 covers 48 of 60 bits).
+        raise ValueError(
+            f"band_bits must divide sig_bits evenly: {sig_bits} % "
+            f"{band_bits} != 0 (use band_bits=15 for base_hash='md5')"
+        )
     n_bands = sig_bits // band_bits
     mask = (1 << band_bits) - 1
     n_part = df.sparkSession.sparkContext.defaultParallelism

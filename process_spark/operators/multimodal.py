@@ -76,11 +76,18 @@ def _media_header_parser():
         try:
             p = bytes(payload)
             if p[:2] == b"BM" and len(p) >= 30:
-                # BITMAPINFOHEADER: width/height int32 LE at 18/22,
-                # bit count uint16 LE at 28. Negative height = top-down.
+                # DIB header size at 14 discriminates the layouts: only
+                # BITMAPINFOHEADER and successors (size >= 40) carry
+                # int32 width/height at 18/22 + uint16 bit count at 28.
+                # A BITMAPCOREHEADER (size 12, int16 fields) would
+                # misparse as int32 garbage — return None explicitly.
+                dib = struct.unpack_from("<I", p, 14)[0]
+                if dib < 40:
+                    return None
+                # Negative height = top-down.
                 w, h = struct.unpack_from("<ii", p, 18)
                 bits = struct.unpack_from("<H", p, 28)[0]
-                if w <= 0 or h == 0 or bits not in (1, 8, 16, 24, 32):
+                if w <= 0 or h == 0 or bits not in (1, 4, 8, 16, 24, 32):
                     return None
                 return {
                     "format": "bmp", "width": w, "height": abs(h),

@@ -636,15 +636,26 @@ def _minhash_md5_oracle(max_bucket_size: int | None = None) -> str:
       SELECT CAST(COUNT(*) AS BIGINT) AS n_skipped_buckets
       FROM (SELECT DISTINCT band_idx, band_key FROM sized
             WHERE bn > {max_bucket_size})
+    ),
+    pair_agg AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
-           s.n_skipped_buckets
-    FROM kept a JOIN kept b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
-    CROSS JOIN skip s
-    GROUP BY 1, 2, 4
+    SELECT p.id_a, p.id_b, p.n_shared_bands, s.n_skipped_buckets
+    FROM pair_agg p CROSS JOIN skip s
+    UNION ALL
+    -- all-skipped sentinel: the skipped count must stay observable in
+    -- the OUTPUT even when the guard removed every pair (engine twin:
+    -- minhash_lsh_pairs' left-anti sentinel row)
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), s.n_skipped_buckets
+    FROM skip s
+    WHERE s.n_skipped_buckets > 0
+      AND NOT EXISTS (SELECT 1 FROM pair_agg)
     """
 
 

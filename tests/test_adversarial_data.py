@@ -276,6 +276,40 @@ def test_lsh_hot_bucket_guard_bounds_pair_blowup(spark):
         assert s["n_over_cap"] == 1
 
 
+def test_lsh_guard_all_skipped_emits_sentinel(spark):
+    """When EVERY band bucket exceeds the cap, the pair set is empty —
+    the skipped count must still be observable from the OUTPUT (one
+    sentinel row with NULL ids), not vanish exactly in the
+    most-truncated case."""
+    from process_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(50)], "doc_id long, text string"
+    )
+    out = minhash_lsh_pairs(
+        df, "doc_id", num_hashes=16, bands=4, max_bucket_size=8
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["id_a"] is None and row["id_b"] is None
+    assert row["n_shared_bands"] is None
+    assert row["n_skipped_buckets"] == 4
+
+
+def test_simhash_md5_rejects_uneven_band_bits(spark):
+    """base_hash='md5' (60-bit signature) with the xxhash64 default
+    band_bits=16 would silently band only 48 of 60 bits — must raise
+    instead of weakening the pigeonhole guarantee."""
+    import pytest as _pytest
+
+    from process_spark.operators.dedup import simhash_dedup_candidates
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="band_bits"):
+        simhash_dedup_candidates(df, "doc_id", base_hash="md5")
+
+
 def test_simhash_guard_bounds_boilerplate_bucket(spark):
     """The SimHash band join has the same boilerplate failure mode as
     MinHash LSH (identical docs → identical 64-bit signature → one
