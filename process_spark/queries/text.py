@@ -106,16 +106,20 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O74: TF-IDF — tf per (doc, term) joined to corpus doc-frequency.
-    The df table is tiny relative to the exploded tokens, so Spark
-    broadcasts it; half-up-scaled integer output because ln() is
-    libm-dependent (`_util` float policy)."""
+    NO broadcast hint on the document-frequency side: df grows with the
+    corpus VOCABULARY (billions of distinct tokens at 100 TB of
+    multilingual text), and a forced hint overrides AQE's size check —
+    a guaranteed executor OOM at scale. AQE broadcasts it when (and
+    only when) its runtime size stat is genuinely small; otherwise the
+    tok-keyed shuffle join is the right plan. Half-up-scaled integer
+    output because ln() is libm-dependent (`_util` float policy)."""
     d = t(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     tf = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tk.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar, driver-side once — not a per-row collect
     return (
-        tf.join(F.broadcast(df_t), "tok")
+        tf.join(df_t, "tok")
         .select(
             "doc_id",
             "tok",

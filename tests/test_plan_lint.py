@@ -60,15 +60,24 @@ def _all_plans(spark):
 
     plans = {}
     for name, spec in REGISTRY.items():
-        plans[name] = (
-            spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-        )
+        qe = spec.fn(spark, SF)._jdf.queryExecution()
+        plans[name] = (qe.analyzed().toString(), qe.executedPlan().toString())
     return plans
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
+def all_plans(spark):
     return _all_plans(spark)
+
+
+@pytest.fixture(scope="module")
+def plans(all_plans):
+    return {name: executed for name, (_, executed) in all_plans.items()}
+
+
+@pytest.fixture(scope="module")
+def analyzed_plans(all_plans):
+    return {name: analyzed for name, (analyzed, _) in all_plans.items()}
 
 
 def test_no_unpartitioned_windows(plans):
@@ -90,10 +99,68 @@ def test_no_unexpected_cartesian_or_bnlj(plans):
     assert not bad, f"unexpected cross/nested-loop join: {sorted(bad)}"
 
 
+# Queries allowed an EXPLICIT broadcast hint. A hint overrides AQE's
+# size check, so the hinted side must be bounded BY CONSTRUCTION
+# (constant-cardinality dim, k-row probe/centroid table, 1-row scalar
+# aggregate) — never a relation that grows with the corpus (the
+# text_tfidf vocabulary-broadcast bug this lint exists to prevent:
+# forced broadcast of a table that scales with distinct tokens =
+# guaranteed OOM at 100 TB). Every entry names its bounded side.
+BROADCAST_HINT_OK = {
+    "join_fact_dims_chain": "nation/region dims (25/5 rows, constant)",
+    "q2_min_cost_supplier": "nation/region dims",
+    "q7_volume_shipping": "nation dim (both sides bounded)",
+    "q8_market_share": "nation/region dims",
+    "q9_product_profit": "nation dim",
+    "q10_returned_items": "nation dim",
+    "q11_important_parts": "nation dim + 1-row threshold aggregate",
+    "q15_top_supplier": "1-row max-revenue aggregate",
+    "q20_excess_suppliers": "nation dim",
+    "q22_dormant_customers": "1-row avg-balance aggregate",
+    "pipeline_domain_mixture": "1-row corpus-totals aggregate",
+    "text_lexicon_score": "constant in-code lexicon table",
+    "text_lsh_hot_bucket_guard": "1-row skipped-count + ≤1-row sentinel probe",
+    "vec_knn_bruteforce": "query side (fixed 1% id sample, bounded)",
+    "vec_ann_srp_bucketed": "query side (fixed 1% id sample, bounded)",
+    "vec_ivf_knn": "cell/probe tables (k rows)",
+    "vec_ivf_knn_arrow": "probe-selection cell table (k rows)",
+    "vec_ivf_knn_md5_idset": "cell/probe tables (k rows)",
+    "vec_kmeans_clusters": "centroid table (k rows)",
+    "vec_kmeans_md5_assignments": "centroid table (k rows)",
+}
+
+_BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
+
+
+def test_no_unbounded_broadcast_hints(analyzed_plans):
+    """Every explicit broadcast hint must be allowlisted with its
+    bounded-side reason; a new hint fails until reviewed."""
+    bad = {
+        name
+        for name, plan in analyzed_plans.items()
+        if _BROADCAST_HINT.search(plan) and name not in BROADCAST_HINT_OK
+    }
+    assert not bad, (
+        f"unreviewed explicit broadcast hint (bounded-side proof "
+        f"required in BROADCAST_HINT_OK): {sorted(bad)}"
+    )
+
+
+def test_broadcast_hint_allowlist_not_stale(analyzed_plans):
+    """Prune allowlist entries whose query no longer hints."""
+    stale = {
+        name
+        for name in BROADCAST_HINT_OK
+        if name in analyzed_plans
+        and not _BROADCAST_HINT.search(analyzed_plans[name])
+    }
+    assert not stale, f"allowlisted queries no longer hint broadcast: {sorted(stale)}"
+
+
 def test_allowlists_not_stale(plans):
     """Every allowlisted query must still exhibit (or at least still
     exist for) the shape it is excused for — prune dead entries."""
     from process_spark.queries.registry import REGISTRY
 
-    for name in GLOBAL_WINDOW_OK | CROSS_OK:
+    for name in GLOBAL_WINDOW_OK | CROSS_OK | set(BROADCAST_HINT_OK):
         assert name in REGISTRY, f"allowlist references unknown query {name}"
