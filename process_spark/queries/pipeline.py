@@ -22,10 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from process_spark.functions.textfn import tokens, word_ngrams
-from process_spark.operators.dedup import connected_components, jaccard_pairs
+from process_spark.operators.dedup import (
+    connected_components,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
 from process_spark.queries._util import t
 from process_spark.queries.registry import register
-from process_spark.queries.text import _O_SHINGLES, _O_TOKS
+from process_spark.queries.text import _O_SHINGLES, _O_TOKS, _minhash_md5_ctes
 
 
 
@@ -140,6 +144,106 @@ def pipeline_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     blocked = d.withColumn("__blk", F.concat_ws("|", "lang", "source"))
     edges = jaccard_pairs(blocked, "doc_id", "text", block_col="__blk", min_jaccard=0.2)
+    comp = connected_components(
+        edges, src="id_a", dst="id_b", vertices=d, id_col="doc_id"
+    ).withColumnRenamed("id", "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("keeper_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "component",
+            "keeper_id",
+            (F.col("rn") == 1).alias("is_keeper"),
+        )
+    )
+
+
+def _keeper_lsh_oracle(max_bucket_size: int) -> str:
+    """DuckDB twin of the PRODUCTION-scale keeper chain: guarded banded
+    MinHash LSH pairs (hot buckets cut before the self-join) →
+    recursive min-label components → ranked keeper per component. The
+    whole three-stage pipeline replays as one WITH chain off the shared
+    md5 CTEs, so the keeper a 100 TB dedup pass would actually write
+    out is hash-checked end to end."""
+    return f"""
+    WITH RECURSIVE {_minhash_md5_ctes()},
+    sized AS (
+      SELECT doc_id, band_idx, band_key,
+             COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bn
+      FROM banded
+    ),
+    kept AS (
+      SELECT doc_id, band_idx, band_key FROM sized
+      WHERE bn <= {max_bucket_size}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    verts AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.component, v.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY v.n_chars DESC, c.doc_id) AS rn,
+             FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
+                                ORDER BY v.n_chars DESC, c.doc_id) AS keeper_id
+      FROM comp c JOIN verts v USING (doc_id)
+    )
+    SELECT doc_id, component, keeper_id, rn = 1 AS is_keeper
+    FROM ranked
+    """
+
+
+_KEEPER_LSH_CAP = 10
+
+
+@register("pipeline_dedup_keeper_lsh", oracle=_keeper_lsh_oracle(_KEEPER_LSH_CAP))
+def pipeline_dedup_keeper_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION keeper chain at its full depth: hot-bucket-
+    guarded banded MinHash LSH candidate pairs (equi-join on
+    (band_idx, band_key), per-task work bounded at cap² by
+    construction — NOT per-block all-pairs Jaccard, whose O(n²)
+    blocks grow with the corpus) → distributed min-label connected
+    components → one canonical keeper per component by (longest text,
+    lowest doc_id). This is the chain a 100 TB dedup pass actually
+    writes out: every stage is the registered scale path, and DuckDB
+    replays all three (guard census included) as one unit.
+    pipeline_dedup_keeper stays as the exact-Jaccard oracle anchor on
+    a sampled population."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    edges = minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        base_hash="md5",
+        band_key="concat",
+        max_bucket_size=_KEEPER_LSH_CAP,
+    ).filter(F.col("id_a").isNotNull())  # drop the all-skipped sentinel
     comp = connected_components(
         edges, src="id_a", dst="id_b", vertices=d, id_col="doc_id"
     ).withColumnRenamed("id", "doc_id")

@@ -558,12 +558,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "component")
 
 
-def _minhash_md5_ctes() -> str:
+def _minhash_md5_ctes(where: str = "doc_id % 2 = 0") -> str:
     """Shared CTE chain of the md5 MinHash oracles: shingle →
     md5-derived 32-bit base hash → 64 universal-hash mins → 16 concat
     band keys, ending with the ``banded`` (doc_id, band_idx, band_key)
     relation. Same (a_i, b_i) constants as the engine (fixed-seed
-    PRNG)."""
+    PRNG). ``where`` picks the document population (default: the even
+    half used by the pair/component oracles)."""
     from process_spark.operators.dedup import (
         _MINHASH_PRIME as P,
         _minhash_coefficients,
@@ -591,7 +592,7 @@ def _minhash_md5_ctes() -> str:
     band_idxs = ", ".join(str(i) for i in range(16))
     return f"""sh AS (
       SELECT doc_id, unnest(list_distinct({_O_SHINGLES})) AS s
-      FROM documents WHERE doc_id % 2 = 0
+      FROM documents WHERE {where}
     ),
     hashed AS (
       SELECT doc_id, (({base}) % {P}) AS h
@@ -763,4 +764,71 @@ def text_lsh_hot_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_hash="md5",
         band_key="concat",
         max_bucket_size=3,
+    )
+
+
+@register(
+    "dedup_band_index_probe",
+    # The incremental-dedup lifecycle in SQL: bands for the WHOLE
+    # corpus off the shared md5 chain, split into the historical half
+    # (what the stored index holds) and the new batch (what probes it);
+    # candidates = the plain band equi-join. The engine's parquet
+    # round-trip and partition layout are storage details the result
+    # must be invariant to — which is exactly what this oracle checks.
+    oracle=f"""
+    WITH {{ctes}},
+    hist AS (SELECT doc_id, band_idx, band_key FROM banded
+             WHERE doc_id % 2 = 0),
+    probe AS (SELECT doc_id AS probe_id, band_idx, band_key FROM banded
+              WHERE doc_id % 2 = 1)
+    SELECT p.probe_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM probe p JOIN hist h
+      ON h.band_idx = p.band_idx AND h.band_key = p.band_key
+    GROUP BY 1, 2
+    """.format(ctes=_minhash_md5_ctes(where="TRUE")),
+)
+def dedup_band_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 STORED-INDEX lifecycle (oracle-backed): write the historical
+    corpus's MinHash band index ``partitionBy(band_idx, band_bucket)``
+    (operators.dedup.minhash_band_index — the layout that turns
+    incremental dedup into a point lookup), compute a NEW batch's
+    bands, and probe the stored index reading ONLY the batch's bucket
+    partitions: the ``band_bucket IN (...)`` literal filter (the
+    bucket domain is bounded at n_buckets by construction, so the
+    driver-side distinct is a ≤n_buckets-row collect) reaches the scan
+    as PartitionFilters — asserted in tests/test_plan_shapes.py — so a
+    100 TB historical corpus is never re-joined, only the matching
+    partitions are read. Candidates = (probe_id, historical doc_id,
+    n_shared_bands) — invariant to the storage layout, which is what
+    DuckDB verifies."""
+    import os as _os
+
+    from process_spark.operators.dedup import minhash_band_index
+    from process_spark.queries.io_udf import _SCRATCH
+
+    kw = dict(
+        num_hashes=64, bands=16, base_hash="md5", band_key="concat",
+        n_buckets=16,
+    )
+    d = t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    path = _os.path.join(_SCRATCH, "minhash_band_index")
+    minhash_band_index(hist, "doc_id", "text", **kw).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx", "band_bucket").parquet(path)
+    stored = spark.read.parquet(path)
+
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    probe = minhash_band_index(batch, "doc_id", "text", **kw).withColumnRenamed(
+        "doc_id", "probe_id"
+    ).localCheckpoint(eager=False)  # bands once: bucket collect + join
+    buckets = sorted(
+        r["band_bucket"]
+        for r in probe.select("band_bucket").distinct().collect()
+    )
+    pruned = stored.filter(F.col("band_bucket").isin(buckets))
+    return (
+        pruned.join(probe, ["band_idx", "band_bucket", "band_hash"])
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )

@@ -290,3 +290,18 @@ def test_lsh_band_index_prunes_probe_partitions(spark, tmp_path):
         .collect()
     }
     assert len(self_hits) == probe_docs.count()
+
+
+def test_registered_band_index_probe_prunes_partitions(spark):
+    """The REGISTERED stored-index query (dedup_band_index_probe) must
+    carry the bucket filter down to the stored-index parquet scan as
+    PartitionFilters — the plan property that makes incremental dedup
+    a point lookup instead of a historical re-join."""
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["dedup_band_index_probe"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "band_bucket" in pf, plan
+    assert df.count() > 0
