@@ -118,6 +118,10 @@ BROADCAST_HINT_OK = {
     "q20_excess_suppliers": "nation dim",
     "q22_dormant_customers": "1-row avg-balance aggregate",
     "pipeline_domain_mixture": "1-row corpus-totals aggregate",
+    "pipeline_contamination_check": (
+        "benchmark eval-suite shingles — fixed external set, does not "
+        "grow with the corpus"
+    ),
     "text_lexicon_score": "constant in-code lexicon table",
     "text_lsh_hot_bucket_guard": "1-row skipped-count + ≤1-row sentinel probe",
     "vec_knn_bruteforce": "query side (fixed 1% id sample, bounded)",
