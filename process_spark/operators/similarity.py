@@ -438,12 +438,26 @@ def _assign_cells_arrow(
     )
 
 
+def _default_n_probe(cells: DataFrame) -> int:
+    """Recall-driven default: ceil(0.75 · n_cells). Sized to the
+    ISOTROPIC floor — with no cluster structure, expected recall ≈
+    probed corpus fraction, so probing 3/4 of the cells is what it
+    takes to clear recall@10 ≥ 0.9 in the worst case (measured 0.93 on
+    the isotropic sf0.1 testdata; the old n_probe=2 default measured
+    0.51 — SCALE.md). On a clustered corpus (every real embedding
+    corpus) 1-2 probes already reach ~1.0 recall at a fraction of the
+    cost — pass ``n_probe`` explicitly there; this default trades
+    speed for never silently missing most neighbors."""
+    n_cells = cells.count()  # k-row table — bounded by construction
+    return max(1, -(-3 * n_cells // 4))
+
+
 def ivf_search(
     queries: DataFrame,
     cells: DataFrame,
     assignments: DataFrame,
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int | None = None,
     query_id: str = "q_id",
     query_vec: str = "q_emb",
     corpus_id: str = "vec_id",
@@ -451,7 +465,11 @@ def ivf_search(
 ) -> DataFrame:
     """O68 — probe the ``n_probe`` nearest cells per query, brute-force
     within them. Probed fraction ≈ n_probe/n_cells of the corpus —
-    that's the speedup; the cell equi-join keeps it shuffle-shaped."""
+    that's the speedup; the cell equi-join keeps it shuffle-shaped.
+    Default ``n_probe`` is recall-driven (see :func:`_default_n_probe`:
+    ceil(0.75·n_cells), the worst-case isotropic sizing)."""
+    if n_probe is None:
+        n_probe = _default_n_probe(cells)
     # Same |v|-invariance as _assign_cells: probe ranking via dot
     # against unit centroids.
     ucells = (
@@ -522,7 +540,7 @@ def ivf_search_arrow(
     cells: DataFrame,
     assignments: DataFrame,
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int | None = None,
     query_id: str = "q_id",
     query_vec: str = "q_emb",
     corpus_id: str = "vec_id",
@@ -548,6 +566,8 @@ def ivf_search_arrow(
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
+    if n_probe is None:
+        n_probe = _default_n_probe(cells)
     ucells = (
         cells.select(
             "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")

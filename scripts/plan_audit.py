@@ -93,12 +93,14 @@ NOTES = {
         "map-side; the only shuffle is the per-query top-k aggregate."
     ),
     "vec_ann_srp_bucketed": (
-        "Approximate k-NN as a bucket EQUI-join: SRP signatures computed "
-        "map-side, broadcast query side keyed by bucket, so only "
-        "bucket-colliding candidates are scored (~1/2^planes of the "
-        "corpus per query). Partial WindowGroupLimit takes per-partition "
-        "top-5 BEFORE the q_id shuffle - the exchange carries k rows per "
-        "(query, partition), not the candidate set."
+        "Approximate k-NN as a multi-band bucket EQUI-join: one 63-bit "
+        "pool signature per vector computed map-side, 112 band buckets "
+        "bit-selected from it, broadcast query bands - only "
+        "band-colliding candidates are deduped and exactly re-ranked "
+        "(OR-amplification sized for recall@10 >= 0.9 on isotropic "
+        "data; SCALE.md). Partial WindowGroupLimit takes per-partition "
+        "top-5 BEFORE the q_id shuffle - the exchange carries k rows "
+        "per (query, partition), not the candidate set."
     ),
     "sort_topk_suite": (
         "repartition(l_orderkey) + sortWithinPartitions + per-order "
