@@ -17,7 +17,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Headline set: one per operator family — aggregation, fact-dim join,
-#: window, as-of, dedup, text, vectors, timeseries, SQL surface.
+#: window, as-of, dedup, text, vectors, timeseries, SQL surface — plus
+#: the LLM-pipeline composites (quality gate, packing, LSH→components,
+#: guarded LSH): the queries this engine exists for, so their
+#: round-over-round wall time is regression-guarded like the rest, not
+#: only scale-probed.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -35,6 +39,10 @@ HEADLINE = [
     "text_term_frequency",
     "text_minhash_lsh_pairs",
     "vec_knn_bruteforce",
+    "pipeline_quality_filter",
+    "pipeline_pack_sequences",
+    "pipeline_minhash_dedup_components",
+    "text_lsh_hot_bucket_guard",
 ]
 
 #: Each query is run once un-timed at the bench SF before the timed

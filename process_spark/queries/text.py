@@ -813,7 +813,15 @@ def dedup_band_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     hist = d.filter(F.col("doc_id") % 2 == 0)
     path = _os.path.join(_SCRATCH, "minhash_band_index")
-    minhash_band_index(hist, "doc_id", "text", **kw).write.mode(
+    # Repartition on the partition columns BEFORE the partitioned
+    # write: otherwise every one of the 32 write tasks opens a file in
+    # every (band_idx, band_bucket) dir it holds rows for (up to
+    # 32×256 small files — measured 30 s of write overhead); hashed on
+    # the partition keys, each dir is written by exactly one task →
+    # 256 files total. Same small-files discipline a 100 TB index
+    # build needs, just visible earlier.
+    idx = minhash_band_index(hist, "doc_id", "text", **kw)
+    idx.repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
         "overwrite"
     ).partitionBy("band_idx", "band_bucket").parquet(path)
     stored = spark.read.parquet(path)

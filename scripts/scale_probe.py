@@ -78,11 +78,15 @@ COPY_ONLY = ["region", "nation"]
 PIPELINE_PROBE = [
     "pipeline_contamination_check",
     "pipeline_dedup_keeper",
+    "pipeline_dedup_keeper_lsh",
     "pipeline_quality_filter",
     "pipeline_pack_sequences",
+    "pipeline_pack_sequences_sharded",
     "dedup_connected_components",
     "pipeline_minhash_dedup_components",
     "text_lsh_hot_bucket_guard",
+    "dedup_band_index_probe",
+    "vec_ann_srp_bucketed",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -103,6 +107,9 @@ QUADRATIC_BY_DESIGN = {
     "text_lsh_hot_bucket_guard": "replica band buckets blow past the "
     "cap and are SKIPPED (that is the guard working) - output shrinks "
     "to under-cap pairs + the skipped count",
+    "vec_ann_srp_bucketed": "both query set and corpus grow 10x; "
+    "candidate volume is O(|Q| x |C| x frac) by construction - the "
+    "band count is the recall/cost knob that sets frac",
 }
 
 
