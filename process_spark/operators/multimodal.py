@@ -177,6 +177,53 @@ def _media_header_parser():
     return parse
 
 
+def fetch_blobs_by_uri(
+    df: DataFrame, uri_col: str = "uri", blob_col: str = "blob"
+) -> DataFrame:
+    """O70 — LAZY blob fetch by URI (SURVEY §1.2 multimodal
+    convention): rows carry URIs, bytes are pulled WORKER-SIDE inside
+    one Arrow-batched ``mapInPandas`` pass, so the (tiny) URI table is
+    what plans, shuffles and checkpoints — payload bytes exist only
+    between this stage and its pipelined consumer (e.g.
+    :func:`decode_media_meta`), never crossing the network as shuffle
+    data.
+
+    Scheme handling: ``file://`` URIs and bare paths read from the
+    worker-local filesystem (local mode / mounted stores); any other
+    scheme (s3/http/...) needs a deployment-provided fetcher — this
+    container has no network, so those rows degrade to a NULL blob
+    (never an exception: one dead link in a 100 TB manifest must not
+    abort the sweep), exactly like unreadable or missing files."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for u in pdf[uri_col]:
+                try:
+                    if u is None:
+                        blobs.append(None)
+                        continue
+                    if u.startswith("file://"):
+                        path = u[len("file://"):]
+                    elif "://" not in u:
+                        path = u
+                    else:  # non-local scheme: deployment fetcher's job
+                        blobs.append(None)
+                        continue
+                    with open(path, "rb") as f:
+                        blobs.append(f.read())
+                except OSError:
+                    blobs.append(None)
+            out = pdf.copy()
+            out[blob_col] = blobs
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(fetch, schema=f"{fields}, {blob_col} binary")
+
+
 def decode_media_meta(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -377,3 +377,111 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.select("doc_id", "mime", l2.alias("feature_norm"))
+
+
+@register(
+    "mm_uri_lazy_fetch",
+    # Closed-form oracle over the sampled manifest: geometry is the
+    # same (doc_id, n_chars) form as mm_decode_real_headers; rows whose
+    # file was truncated (%13) or never materialized (%17 — a dead
+    # manifest link) must come back as NULL metadata, not errors.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             ABS(doc_id) AS did,
+             COALESCE(ABS(n_chars), 0) AS nc,
+             ABS(doc_id) % 5 AS fmt,
+             (ABS(doc_id) % 13 = 0 OR ABS(doc_id) % 17 = 0) AS dead
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CASE WHEN dead THEN NULL
+                WHEN fmt = 0 THEN 'bmp' WHEN fmt = 1 THEN 'ppm'
+                WHEN fmt = 2 THEN 'gif' WHEN fmt = 3 THEN 'wav'
+                ELSE 'png' END AS format,
+           CASE WHEN dead OR fmt = 3 THEN NULL
+                ELSE CAST(1 + nc % 640 AS INT) END AS width,
+           CASE WHEN dead OR fmt = 3 THEN NULL
+                ELSE CAST(1 + did % 480 AS INT) END AS height,
+           CASE WHEN dead THEN NULL
+                WHEN fmt = 3 THEN CAST(1 + did % 2 AS INT)
+                WHEN fmt = 4 THEN CAST(4 AS INT)
+                ELSE CAST(3 AS INT) END AS channels,
+           CASE WHEN dead OR fmt <> 3 THEN NULL
+                ELSE CAST(8000 + (did % 3) * 4000 AS INT) END AS sample_rate,
+           CASE WHEN dead OR fmt <> 3 THEN NULL
+                ELSE CAST((1 + nc % 1000) * 1000
+                          // (8000 + (did % 3) * 4000) AS BIGINT)
+                END AS duration_ms
+    FROM d
+    """,
+)
+def mm_uri_lazy_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O70 (oracle-backed): the LAZY-FETCH-BY-URI lifecycle of SURVEY
+    §1.2's multimodal convention. A distributed writer materializes a
+    store of real media files (same closed-form BMP/PPM/GIF/WAV/PNG
+    fixtures as mm_decode_real_headers; every 13th truncated, every
+    17th listed in the manifest but never written — a dead link) and
+    emits only the (doc_id, uri) MANIFEST, which is what gets
+    checkpointed and planned. fetch_blobs_by_uri then pulls the bytes
+    worker-side and pipelines them straight into the stdlib header
+    decode — payloads never shuffle, dead/corrupt links degrade to
+    NULL rows. On a cluster the store is an object store and the open()
+    becomes the deployment's fetcher; the manifest-driven shape is
+    identical."""
+    import os as _os
+
+    from process_spark.operators.multimodal import fetch_blobs_by_uri
+    from process_spark.queries.io_udf import _SCRATCH
+
+    encode = _media_fixture_encoder()
+    store = _os.path.join(_SCRATCH, "media_store")
+
+    def write_files(batches):
+        import os  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        os.makedirs(store, exist_ok=True)
+        for pdf in batches:
+            uris = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = abs(int(doc_id))
+                nc = 0 if pd.isna(n_chars) else abs(int(n_chars))
+                fmt = ("bmp", "ppm", "gif", "wav", "png")[did % 5]
+                path = os.path.join(store, f"{did}.{fmt}")
+                uris.append("file://" + path)
+                if did % 17 == 0:
+                    continue  # manifest lists it; the store never has it
+                if fmt == "wav":
+                    b = encode(
+                        "wav",
+                        ch=1 + did % 2,
+                        rate=8000 + (did % 3) * 4000,
+                        n_samples=1 + nc % 1000,
+                    )
+                else:
+                    b = encode(
+                        fmt,
+                        w=1 + nc % 640,
+                        h=1 + did % 480,
+                        ch=4 if fmt == "png" else 3,
+                    )
+                with open(path, "wb") as f:
+                    f.write(b[:6] if did % 13 == 0 else b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "uri": uris}
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "n_chars"
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    # Eager checkpoint = the store-build job runs once, here; what the
+    # returned plan holds is ONLY the tiny manifest — fetch + decode
+    # stay lazy against it, which is the point of the convention.
+    manifest = (
+        d.repartition(n_part, F.col("doc_id"))
+        .mapInPandas(write_files, schema="doc_id bigint, uri string")
+        .localCheckpoint(eager=True)
+    )
+    return decode_media_meta(fetch_blobs_by_uri(manifest))

@@ -351,3 +351,53 @@ def test_approx_percentile_rank_error_bound(spark):
             hi = bisect.bisect_right(s, v)
             want = target * (n - 1)
             assert lo - tol <= want <= hi + tol, (et, target, v, lo, hi, n)
+
+
+def test_bmp_dib_header_discrimination():
+    """The BMP branch must read the DIB size at offset 14:
+    BITMAPCOREHEADER (size 12, int16 fields) would misparse as int32
+    garbage → must return None; BITMAPINFOHEADER with legal 4-bit
+    palette depth must parse."""
+    import struct
+
+    from process_spark.operators.multimodal import (
+        _media_fixture_encoder,
+        _media_header_parser,
+    )
+
+    enc, parse = _media_fixture_encoder(), _media_header_parser()
+
+    # BITMAPCOREHEADER: 12-byte DIB, uint16 width/height at 18/20
+    core = (
+        b"BM" + struct.pack("<IHHI", 26 + 12, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 7, 9, 1, 24) + b"\x00" * 8
+    )
+    assert parse(core) is None
+
+    # 4-bit (16-color palette) BMP: legal bit depth, channels >= 1
+    b4 = bytearray(enc("bmp", w=5, h=6, ch=3))
+    struct.pack_into("<H", b4, 28, 4)
+    m = parse(bytes(b4))
+    assert m is not None and m["width"] == 5 and m["channels"] == 1
+
+
+def test_fetch_blobs_by_uri_schemes(spark, tmp_path):
+    """fetch_blobs_by_uri: file:// URIs and bare paths read bytes;
+    missing files, NULL uris and non-local schemes (no fetcher in this
+    container) degrade to NULL blobs — never an exception."""
+    from process_spark.operators.multimodal import fetch_blobs_by_uri
+
+    p = tmp_path / "payload.bin"
+    p.write_bytes(b"\x01\x02\x03")
+    rows = [
+        (1, "file://" + str(p)),
+        (2, str(p)),
+        (3, "file://" + str(tmp_path / "missing.bin")),
+        (4, "s3://bucket/key"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, uri string")
+    got = {r["doc_id"]: r["blob"] for r in fetch_blobs_by_uri(df).collect()}
+    assert bytes(got[1]) == b"\x01\x02\x03"
+    assert bytes(got[2]) == b"\x01\x02\x03"
+    assert got[3] is None and got[4] is None and got[5] is None
