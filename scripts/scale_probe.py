@@ -105,8 +105,9 @@ QUADRATIC_BY_DESIGN = {
     "share every band, so the LSH edge set grows ~quadratically before "
     "components collapse them (the guard variant is the bounded path)",
     "text_lsh_hot_bucket_guard": "replica band buckets blow past the "
-    "cap and are SKIPPED (that is the guard working) - output shrinks "
-    "to under-cap pairs + the skipped count",
+    "cap and are SKIPPED (that is the guard working) - at full x10 "
+    "replication EVERY bucket is over cap, so the output is the single "
+    "all-skipped sentinel row carrying the skipped count",
     "vec_ann_srp_bucketed": "both query set and corpus grow 10x; "
     "candidate volume is O(|Q| x |C| x frac) by construction - the "
     "band count is the recall/cost knob that sets frac",
