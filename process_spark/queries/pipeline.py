@@ -622,6 +622,83 @@ def pipeline_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: md5-derived uniform in [0, 1) keyed by doc_id — same construction
+#: as queries/vectors.py's _O_T32 (32 bits / 2^32; identical bits in
+#: both engines: same hash, one IEEE division of identical operands).
+_O_DOC_U32 = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+
+
+@register(
+    "pipeline_mixture_sample",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, CAST(len({_O_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+      FROM tk GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(lang_tokens) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM g
+    ),
+    rates AS (
+      SELECT g.lang,
+             LEAST(1.0, (tot.total / tot.n_langs) / g.lang_tokens) AS rate
+      FROM g CROSS JOIN tot
+    ),
+    keyed AS (
+      SELECT t.doc_id, t.lang, t.n_tokens, r.rate,
+             {_O_DOC_U32} AS u
+      FROM tk t JOIN rates r USING (lang)
+    )
+    SELECT doc_id, lang, n_tokens, rate, u FROM keyed WHERE u < rate
+    """,
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER pipeline_domain_mixture computes the weights:
+    actually SAMPLE the rebalanced corpus. Per-language keep-rate =
+    min(1, uniform-token-budget / language-tokens); each doc keeps or
+    drops by comparing an md5-derived uniform (content-keyed — NO PRNG
+    state, so the sample is identical on every run/engine and a
+    re-executed failed partition cannot change it, same contract as
+    sample_hash_deterministic) against its language's rate. Shape: one
+    aggregate for the rates (bounded: one row per language — the
+    broadcast side), one map-side filtered pass over the corpus; both
+    divisions are single IEEE ops on identical operands, so the kept
+    id set is bit-stable cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    g = tk.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    tot = g.agg(
+        F.sum("lang_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    rates = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("total") / F.col("n_langs")) / F.col("lang_tokens"),
+        ).alias("rate"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    keyed = tk.join(F.broadcast(rates), "lang").select(
+        "doc_id", "lang", "n_tokens", "rate", u.alias("u")
+    )
+    return keyed.filter(F.col("u") < F.col("rate"))
+
+
 @register(
     "pipeline_domain_mixture",
     oracle=f"""

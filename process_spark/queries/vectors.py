@@ -837,6 +837,84 @@ def vec_kmeans_md5_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.select("vec_id", "cell_id")
 
 
+@register(
+    "pipeline_semantic_dedup_ivf",
+    # The full label-free chain in SQL: md5 seed pick → nearest-seed
+    # assignment → float32-rounded cell means → reassignment (same CTEs
+    # as vec_ivf_knn_md5_idset), then per-cell self-join ≥ threshold.
+    # Under the margin-guarded 2-d fixture the pair id-set is exact.
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h32,
+             {_O_T32} AS tv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, tv,
+             ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
+      FROM h
+      QUALIFY cell_id < 8
+    ),
+    assign0 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 's.tv')} DESC, s.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT cell_id, CAST(AVG(tv) AS REAL) AS m
+      FROM assign0 GROUP BY cell_id
+    ),
+    assign1 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN refined r
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assign1 a JOIN assign1 b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE (1 + a.tv * b.tv)
+            / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.9995
+    """,
+)
+def pipeline_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64+O68 composite (oracle-backed id-set): LABEL-FREE semantic
+    dedup — a real training corpus has no label column to block the
+    pairwise compare on, so the blocking key is LEARNED from the data:
+    build IVF cells (md5 seeds, one Lloyd refinement), assign every
+    vector, then chunked-matmul near-dup pairs WITHIN each cell
+    (near_dup_embeddings_arrow over block_col=cell_id). The 100 TB
+    shape: cells bound every block, the per-cell applyInPandas kernel
+    keeps memory at O(chunk × |cell|), and no unblocked pair join
+    exists anywhere. Known IVF-blocking caveat, stated not hidden:
+    near-dup pairs STRADDLING a cell boundary are missed — production
+    mitigations are soft assignment (each vector to its n_probe
+    nearest cells) or a second pass on cell-edge bands. Margin-guarded
+    2-d fixture → DuckDB replays seed pick, Lloyd refinement,
+    reassignment and the per-cell threshold self-join exactly."""
+    from process_spark.operators.similarity import near_dup_embeddings_arrow
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    _, assign = ivf_build(e, n_cells=8, seed_hash="md5")
+    pairs = near_dup_embeddings_arrow(
+        assign.select("vec_id", "embedding", "cell_id"),
+        threshold=0.9995,
+        block_col="cell_id",
+    )
+    return pairs.select("id_a", "id_b")
+
+
 @register("vec_kmeans_clusters", oracle=None)
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed k-means (Lloyd's, deterministic init, 4

@@ -87,6 +87,8 @@ PIPELINE_PROBE = [
     "text_lsh_hot_bucket_guard",
     "dedup_band_index_probe",
     "vec_ann_srp_bucketed",
+    "pipeline_mixture_sample",
+    "pipeline_semantic_dedup_ivf",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

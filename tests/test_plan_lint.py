@@ -23,6 +23,7 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_knn_md5_idset",  # same seed window, md5-keyed oracle twin
     "vec_kmeans_clusters",
     "vec_kmeans_md5_assignments",  # same seed window, unrolled-loop oracle
+    "pipeline_semantic_dedup_ivf",  # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -45,6 +46,8 @@ CROSS_OK = {
     "pipeline_pack_sequences",  # broadcast per-source offsets (bounded)
     "pipeline_contamination_check",  # broadcast benchmark shingles (bounded)
     "text_lsh_hot_bucket_guard",  # 1-row skipped-bucket-count broadcast
+    "pipeline_mixture_sample",  # 1-row corpus-totals aggregate broadcast
+    "pipeline_semantic_dedup_ivf",  # ivf_build cell broadcasts (k rows)
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -131,6 +134,11 @@ BROADCAST_HINT_OK = {
     "vec_ivf_knn_md5_idset": "cell/probe tables (k rows)",
     "vec_kmeans_clusters": "centroid table (k rows)",
     "vec_kmeans_md5_assignments": "centroid table (k rows)",
+    "pipeline_mixture_sample": (
+        "1-row totals aggregate + per-language rate table (bounded "
+        "language cardinality)"
+    ),
+    "pipeline_semantic_dedup_ivf": "ivf_build cell/centroid tables (k rows)",
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
