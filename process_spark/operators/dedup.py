@@ -509,12 +509,28 @@ def jaccard_pairs(
     text_col: str = "text",
     block_col: str | None = None,
     min_jaccard: float = 0.0,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """O63 exact variant — token-set Jaccard for every pair within a
     block (oracle-checkable in SQL). Blocking keeps the pair count
     bounded; at scale pass a real blocking key (source, length bucket,
     LSH band) — never run unblocked.
-    """
+
+    ``max_block_size`` is the same guard contract as
+    :func:`minhash_lsh_pairs`' hot-bucket cap: the per-block self-join
+    is O(|block|²), so one boilerplate-heavy block (every doc from one
+    templated source) is a single quadratic task at 100 TB. When set
+    (requires ``block_col``), blocks over the cap are EXCLUDED from
+    pair generation BEFORE the join — every join task is bounded at
+    ≤ max_block_size² intermediate rows by construction — and the
+    result carries an ``n_skipped_blocks`` column (constant per run),
+    plus a NULL-id sentinel row when blocks were skipped but no pair
+    survived, so truncation is visible in the OUTPUT even at 100% cut.
+    A pipeline routes skipped blocks' members to a cheaper tier
+    (banded LSH — minhash_lsh_pairs — whose cost is linear in the
+    bucket census, not quadratic in the block)."""
+    if max_block_size is not None and block_col is None:
+        raise ValueError("max_block_size requires block_col (the guard caps blocks)")
     n_part = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.repartition(n_part, F.col(id_col))  # parallelize tokenization
@@ -525,6 +541,23 @@ def jaccard_pairs(
         )
         .localCheckpoint(eager=False)  # tokenize once, not per join side
     )
+    skipped = None
+    if max_block_size is not None:
+        # Census partitioned on the SAME key the self-join shuffles on;
+        # checkpointed because three consumers read it (two join sides
+        # + the skipped-count branch) and Catalyst does not reuse the
+        # window exchange across them.
+        wb = Window.partitionBy(block_col)
+        sized = toks.withColumn(
+            "__bn", F.count(F.lit(1)).over(wb)
+        ).localCheckpoint(eager=False)
+        toks = sized.filter(F.col("__bn") <= max_block_size).drop("__bn")
+        skipped = (
+            sized.filter(F.col("__bn") > max_block_size)
+            .select(block_col)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_skipped_blocks"))
+        )
     a, b = toks.alias("a"), toks.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
@@ -532,7 +565,7 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.__toks"), F.col("b.__toks")))
     uni = F.size(F.array_union(F.col("a.__toks"), F.col("b.__toks")))
     jac = F.when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(0.0)
-    return (
+    pairs = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -541,6 +574,28 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    if skipped is None:
+        return pairs
+    # Same two-branch observability as minhash_lsh_pairs: every pair
+    # row carries the (1-row broadcast) skipped count, and an
+    # all-skipped run emits one NULL-id sentinel so the count survives
+    # an empty pair set. pairs feeds both branches → checkpoint once.
+    pairs = pairs.localCheckpoint(eager=False)
+    out = pairs.join(F.broadcast(skipped)).select(
+        "id_a", "id_b", "jaccard", "n_skipped_blocks"
+    )
+    id_type = dict(pairs.dtypes)["id_a"]
+    sentinel = (
+        skipped.filter(F.col("n_skipped_blocks") > 0)
+        .join(F.broadcast(pairs.select("id_a").limit(1)), F.lit(True), "left_anti")
+        .select(
+            F.lit(None).cast(id_type).alias("id_a"),
+            F.lit(None).cast(id_type).alias("id_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.col("n_skipped_blocks"),
+        )
+    )
+    return out.unionByName(sentinel)
 
 
 def connected_components(

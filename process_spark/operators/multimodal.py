@@ -25,7 +25,7 @@ Decode tiers:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -177,8 +177,25 @@ def _media_header_parser():
     return parse
 
 
+def _local_file_fetcher(u: str) -> bytes | None:
+    """Default fetcher: ``file://`` URIs and bare paths read from the
+    worker-local filesystem; any other scheme (s3/http/...) returns
+    None — that's the deployment fetcher's job, not ours."""
+    if u.startswith("file://"):
+        path = u[len("file://"):]
+    elif "://" not in u:
+        path = u
+    else:
+        return None
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def fetch_blobs_by_uri(
-    df: DataFrame, uri_col: str = "uri", blob_col: str = "blob"
+    df: DataFrame,
+    uri_col: str = "uri",
+    blob_col: str = "blob",
+    fetcher: "Callable[[str], bytes | None] | None" = None,
 ) -> DataFrame:
     """O70 — LAZY blob fetch by URI (SURVEY §1.2 multimodal
     convention): rows carry URIs, bytes are pulled WORKER-SIDE inside
@@ -188,31 +205,29 @@ def fetch_blobs_by_uri(
     :func:`decode_media_meta`), never crossing the network as shuffle
     data.
 
-    Scheme handling: ``file://`` URIs and bare paths read from the
-    worker-local filesystem (local mode / mounted stores); any other
-    scheme (s3/http/...) needs a deployment-provided fetcher — this
-    container has no network, so those rows degrade to a NULL blob
-    (never an exception: one dead link in a 100 TB manifest must not
-    abort the sweep), exactly like unreadable or missing files."""
+    ``fetcher`` is the deployment seam: a picklable
+    ``Callable[[str], bytes | None]`` run worker-side per URI (an
+    s3/http client in a real cluster). Default =
+    :func:`_local_file_fetcher` (``file://`` + bare paths; other
+    schemes → None — this container has no network). WHATEVER the
+    fetcher raises degrades to a NULL blob (never an exception: one
+    dead link / NUL-embedded URI / non-string manifest cell in a
+    100 TB manifest must not abort the sweep), exactly like
+    unreadable or missing files."""
+    do_fetch = fetcher if fetcher is not None else _local_file_fetcher
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for u in pdf[uri_col]:
+                if not isinstance(u, str):  # None / NaN / bad manifest cell
+                    blobs.append(None)
+                    continue
                 try:
-                    if u is None:
-                        blobs.append(None)
-                        continue
-                    if u.startswith("file://"):
-                        path = u[len("file://"):]
-                    elif "://" not in u:
-                        path = u
-                    else:  # non-local scheme: deployment fetcher's job
-                        blobs.append(None)
-                        continue
-                    with open(path, "rb") as f:
-                        blobs.append(f.read())
-                except OSError:
+                    blobs.append(do_fetch(u))
+                except Exception:
+                    # OSError, ValueError (NUL in path), custom fetcher
+                    # errors, ... — all degrade to NULL, never abort.
                     blobs.append(None)
             out = pdf.copy()
             out[blob_col] = blobs

@@ -438,7 +438,7 @@ def _assign_cells_arrow(
     )
 
 
-def _default_n_probe(cells: DataFrame) -> int:
+def _default_n_probe(probeable_cells: DataFrame) -> int:
     """Recall-driven default: ceil(0.75 · n_cells). Sized to the
     ISOTROPIC floor — with no cluster structure, expected recall ≈
     probed corpus fraction, so probing 3/4 of the cells is what it
@@ -446,9 +446,16 @@ def _default_n_probe(cells: DataFrame) -> int:
     the isotropic sf0.1 testdata; the old n_probe=2 default measured
     0.51 — SCALE.md). On a clustered corpus (every real embedding
     corpus) 1-2 probes already reach ~1.0 recall at a fraction of the
-    cost — pass ``n_probe`` explicitly there; this default trades
-    speed for never silently missing most neighbors."""
-    n_cells = cells.count()  # k-row table — bounded by construction
+    cost — pass ``n_probe`` explicitly there (or use
+    :func:`ivf_tune_n_probe`); this default trades speed for never
+    silently missing most neighbors.
+
+    Counts the PROBEABLE (non-degenerate, ``__cn > 0``) cell table so
+    the default can never exceed the cells that the search actually
+    ranks. The count is one extra job on the (k-row) cell plan —
+    callers relying on the default should cache/localCheckpoint
+    ``cells`` so the build refinement isn't recomputed."""
+    n_cells = probeable_cells.count()  # k-row table — bounded by construction
     return max(1, -(-3 * n_cells // 4))
 
 
@@ -468,8 +475,6 @@ def ivf_search(
     that's the speedup; the cell equi-join keeps it shuffle-shaped.
     Default ``n_probe`` is recall-driven (see :func:`_default_n_probe`:
     ceil(0.75·n_cells), the worst-case isotropic sizing)."""
-    if n_probe is None:
-        n_probe = _default_n_probe(cells)
     # Same |v|-invariance as _assign_cells: probe ranking via dot
     # against unit centroids.
     ucells = (
@@ -479,6 +484,8 @@ def ivf_search(
         .filter(F.col("__cn") > 0)
         .select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
     )
+    if n_probe is None:
+        n_probe = _default_n_probe(ucells)
     qcells = (
         queries.join(F.broadcast(ucells))
         .select(

@@ -100,12 +100,32 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hot-block cap for the exact-edge keeper: every per-block all-pairs
+#: task is bounded at cap² intermediate rows. 64 keeps every sf0.01
+#: block intact (max block = 12) while cutting the quadratic blow-up
+#: the x10 probe manufactures; skipped blocks are counted in the
+#: output (n_skipped_blocks), their members become CC singletons.
+_KEEPER_BLOCK_CAP = 64
+
+
 @register(
     "pipeline_dedup_keeper",
     oracle=f"""
-    WITH RECURSIVE tk AS (
+    WITH RECURSIVE tk0 AS (
       SELECT doc_id, lang, source, n_chars, list_distinct({_O_TOKS}) AS toks
       FROM documents WHERE doc_id % 5 = 0
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY lang, source) AS bn FROM tk0
+    ),
+    tk AS (
+      SELECT doc_id, lang, source, n_chars, toks FROM sized
+      WHERE bn <= {_KEEPER_BLOCK_CAP}
+    ),
+    skip AS (
+      SELECT COUNT(*) AS n_skipped_blocks FROM (
+        SELECT DISTINCT lang, source FROM sized WHERE bn > {_KEEPER_BLOCK_CAP}
+      )
     ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -122,7 +142,7 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_b AS s, id_a AS d FROM pairs
     ),
     walk(node, label) AS (
-      SELECT doc_id, doc_id FROM tk
+      SELECT doc_id, doc_id FROM tk0
       UNION
       SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
     ),
@@ -130,14 +150,15 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
     ),
     ranked AS (
-      SELECT c.doc_id, c.component, tk.n_chars,
+      SELECT c.doc_id, c.component, tk0.n_chars,
              ROW_NUMBER() OVER (PARTITION BY c.component
-                                ORDER BY tk.n_chars DESC, c.doc_id) AS rn,
+                                ORDER BY tk0.n_chars DESC, c.doc_id) AS rn,
              FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
-                                ORDER BY tk.n_chars DESC, c.doc_id) AS keeper_id
-      FROM comp c JOIN tk ON tk.doc_id = c.doc_id
+                                ORDER BY tk0.n_chars DESC, c.doc_id) AS keeper_id
+      FROM comp c JOIN tk0 ON tk0.doc_id = c.doc_id
     )
-    SELECT doc_id, component, keeper_id, rn = 1 AS is_keeper
+    SELECT doc_id, component, keeper_id, rn = 1 AS is_keeper,
+           (SELECT n_skipped_blocks FROM skip) AS n_skipped_blocks
     FROM ranked
     """,
 )
@@ -148,10 +169,33 @@ def pipeline_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     (longest text, lowest doc_id). The ranking window runs over the
     component table — corpus-sized but one row per doc with three
     columns, partitioned by component — and is the pattern that picks
-    survivors at 100 TB without ever re-reading document text."""
+    survivors at 100 TB without ever re-reading document text.
+
+    The exact-edge stage is BOUNDED: blocks over ``_KEEPER_BLOCK_CAP``
+    are cut before the all-pairs join (every task ≤ cap² intermediate
+    rows) and the cut is visible in the output — each row carries
+    ``n_skipped_blocks``, and skipped blocks' members surface as CC
+    singletons. The unbounded-quadratic variant this replaces was the
+    one registered query a user could walk into at 100 TB; the LSH
+    keeper chain (``pipeline_dedup_keeper_lsh``) remains the
+    production path for corpora where whole blocks exceed the cap."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     blocked = d.withColumn("__blk", F.concat_ws("|", "lang", "source"))
-    edges = jaccard_pairs(blocked, "doc_id", "text", block_col="__blk", min_jaccard=0.2)
+    edges_all = jaccard_pairs(
+        blocked,
+        "doc_id",
+        "text",
+        block_col="__blk",
+        min_jaccard=0.2,
+        max_block_size=_KEEPER_BLOCK_CAP,
+    ).localCheckpoint(eager=False)  # feeds the edge AND skip-count branches
+    edges = edges_all.filter(F.col("id_a").isNotNull())
+    # Constant-per-run census: max() over the carried column survives
+    # an empty pair set via the guard's sentinel row; coalesce covers
+    # the nothing-skipped-and-no-pairs corner.
+    skipcnt = edges_all.agg(
+        F.coalesce(F.max("n_skipped_blocks"), F.lit(0)).alias("n_skipped_blocks")
+    )
     comp = connected_components(
         edges, src="id_a", dst="id_b", vertices=d, id_col="doc_id"
     ).withColumnRenamed("id", "doc_id")
@@ -168,6 +212,7 @@ def pipeline_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keeper_id",
             (F.col("rn") == 1).alias("is_keeper"),
         )
+        .crossJoin(F.broadcast(skipcnt))  # 1-row skip census on every row
     )
 
 
@@ -580,7 +625,9 @@ def pipeline_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFra
     cnt = d.select(
         "doc_id",
         "source",
-        (F.col("doc_id") / _PACK_SHARD_SPAN).cast("long").alias("shard"),
+        # integer `div`, NOT double `/`+cast: float division truncates
+        # toward zero for negative ids and loses exactness above 2^53
+        F.expr(f"doc_id div {_PACK_SHARD_SPAN}").alias("shard"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
     w_in = (

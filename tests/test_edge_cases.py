@@ -166,6 +166,46 @@ def test_dedup_edges(spark):
     assert minhash_lsh_pairs(one, "doc_id", "text").count() == 0
 
 
+def test_jaccard_pairs_block_guard(spark):
+    """max_block_size mirrors the LSH hot-bucket guard contract: blocks
+    over the cap are cut BEFORE the all-pairs join, the cut is counted
+    in every output row, and an all-skipped run emits the NULL-id
+    sentinel instead of silently returning nothing."""
+    import pytest as _pytest
+
+    from process_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, "common tokens shared by every doc", "hot") for i in range(5)]
+    rows += [(10, "zebra quark", "cold"), (11, "zebra quark", "cold")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+
+    out = jaccard_pairs(
+        df, "doc_id", "text", block_col="blk", min_jaccard=0.5, max_block_size=3
+    ).collect()
+    real = [r for r in out if r["id_a"] is not None]
+    # hot block (5 docs > cap 3) cut: only the cold pair survives
+    assert {(r["id_a"], r["id_b"]) for r in real} == {(10, 11)}
+    assert all(r["n_skipped_blocks"] == 1 for r in out)
+
+    # all-skipped: single over-cap block → one sentinel row, count kept
+    hot = df.filter(F.col("blk") == "hot")
+    out2 = jaccard_pairs(
+        hot, "doc_id", "text", block_col="blk", min_jaccard=0.5, max_block_size=3
+    ).collect()
+    assert len(out2) == 1
+    assert out2[0]["id_a"] is None and out2[0]["n_skipped_blocks"] == 1
+
+    # no cap exceeded → count 0, pairs intact
+    out3 = jaccard_pairs(
+        df, "doc_id", "text", block_col="blk", min_jaccard=0.5, max_block_size=99
+    ).collect()
+    assert all(r["n_skipped_blocks"] == 0 for r in out3)
+    assert len([r for r in out3 if r["id_a"] is not None]) == 10 + 1
+
+    with _pytest.raises(ValueError):
+        jaccard_pairs(df, "doc_id", "text", max_block_size=3)
+
+
 def test_knn_edges(spark):
     from process_spark.operators.similarity import brute_force_knn
 
@@ -401,3 +441,41 @@ def test_fetch_blobs_by_uri_schemes(spark, tmp_path):
     assert bytes(got[1]) == b"\x01\x02\x03"
     assert bytes(got[2]) == b"\x01\x02\x03"
     assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_fetch_blobs_by_uri_hostile_rows(spark, tmp_path):
+    """Bad manifest rows NEVER abort the task: a NUL-embedded URI
+    (ValueError from open) and a non-string uri cell both degrade to a
+    NULL blob through the default fetcher."""
+    from process_spark.operators.multimodal import fetch_blobs_by_uri
+
+    p = tmp_path / "ok.bin"
+    p.write_bytes(b"ok")
+    rows = [(1, str(p)), (2, "bad\x00nul.bin"), (3, "\x00"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, uri string")
+    got = {r["doc_id"]: r["blob"] for r in fetch_blobs_by_uri(df).collect()}
+    assert bytes(got[1]) == b"ok"
+    assert got[2] is None and got[3] is None and got[4] is None
+
+
+def test_fetch_blobs_by_uri_pluggable_fetcher(spark):
+    """The deployment seam: a custom fetcher (e.g. an s3/http client)
+    is called per URI worker-side; whatever it raises degrades to a
+    NULL blob for that row only."""
+    from process_spark.operators.multimodal import fetch_blobs_by_uri
+
+    def fake_store(u):
+        if u.startswith("mem://"):
+            return b"payload:" + u[len("mem://"):].encode()
+        if u.startswith("boom://"):
+            raise RuntimeError("store exploded")
+        return None
+
+    rows = [(1, "mem://a"), (2, "boom://b"), (3, "other://c"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, uri string")
+    got = {
+        r["doc_id"]: r["blob"]
+        for r in fetch_blobs_by_uri(df, fetcher=fake_store).collect()
+    }
+    assert bytes(got[1]) == b"payload:a"
+    assert got[2] is None and got[3] is None and got[4] is None

@@ -48,6 +48,7 @@ CROSS_OK = {
     "text_lsh_hot_bucket_guard",  # 1-row skipped-bucket-count broadcast
     "pipeline_mixture_sample",  # 1-row corpus-totals aggregate broadcast
     "pipeline_semantic_dedup_ivf",  # ivf_build cell broadcasts (k rows)
+    "pipeline_dedup_keeper",    # 1-row skip-census broadcast on output
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -139,6 +140,9 @@ BROADCAST_HINT_OK = {
         "language cardinality)"
     ),
     "pipeline_semantic_dedup_ivf": "ivf_build cell/centroid tables (k rows)",
+    "pipeline_dedup_keeper": (
+        "1-row skip-census aggregate broadcast onto every output row"
+    ),
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
@@ -146,7 +150,16 @@ _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
 
 def test_no_unbounded_broadcast_hints(analyzed_plans):
     """Every explicit broadcast hint must be allowlisted with its
-    bounded-side reason; a new hint fails until reviewed."""
+    bounded-side reason; a new hint fails until reviewed.
+
+    KNOWN BLIND SPOT: this sees only ResolvedHint nodes in the FINAL
+    analyzed plan. A hint upstream of a lineage cut
+    (localCheckpoint/checkpoint) is invisible here — e.g. the guard
+    broadcasts inside minhash_lsh_pairs vanish behind
+    connected_components' checkpoint. test_broadcast_call_sites_reviewed
+    below closes that hole at the SOURCE level: every ``F.broadcast(``
+    call site in process_spark/ must be accounted for per-file, lineage
+    cuts notwithstanding."""
     bad = {
         name
         for name, plan in analyzed_plans.items()
@@ -167,6 +180,60 @@ def test_broadcast_hint_allowlist_not_stale(analyzed_plans):
         and not _BROADCAST_HINT.search(analyzed_plans[name])
     }
     assert not stale, f"allowlisted queries no longer hint broadcast: {sorted(stale)}"
+
+
+# Source-level census of explicit broadcast call sites, per file with
+# the expected line count and the bounded-side reason. Unlike the
+# analyzed-plan lint above, this survives lineage cuts
+# (localCheckpoint hides upstream ResolvedHint nodes) — a NEW
+# F.broadcast( anywhere in process_spark/ fails until the count here
+# is bumped with a reason. Counts are matched lines (docstring
+# mentions count too: a mention documenting a broadcast contract is
+# also worth a review on change).
+BROADCAST_SITES = {
+    "operators/dedup.py": (
+        4,
+        "1-row skipped-count + ≤1-row sentinel probes (LSH bucket guard "
+        "and jaccard_pairs block guard — same contract)",
+    ),
+    "operators/similarity.py": (
+        6,
+        "k-row cell/probe/centroid tables + bounded query side "
+        "(incl. 1 docstring mention of the contract)",
+    ),
+    "queries/relational.py": (2, "nation/region dims"),
+    "queries/tpch.py": (1, "nation dim"),
+    "queries/streaming.py": (2, "constant event-type weights table"),
+    "queries/text.py": (1, "constant in-code lexicon table"),
+    "queries/vectors.py": (3, "bounded query-band/query/centroid sides"),
+    "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
+    "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),
+    "queries/pipeline.py": (
+        5,
+        "benchmark shingles + 1-row totals + bounded per-lang rates + "
+        "1-row keeper skip census",
+    ),
+}
+
+
+def test_broadcast_call_sites_reviewed():
+    """Grep process_spark/ for F.broadcast( call sites; every file's
+    matched-line count must equal its reviewed census entry. Closes the
+    lineage-cut blind spot of test_no_unbounded_broadcast_hints."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "process_spark"
+    actual = {}
+    for p in sorted(root.rglob("*.py")):
+        n = sum(1 for line in p.read_text().splitlines() if "F.broadcast(" in line)
+        if n:
+            actual[str(p.relative_to(root))] = n
+    expected = {k: v[0] for k, v in BROADCAST_SITES.items()}
+    assert actual == expected, (
+        f"F.broadcast( census drift — review new/removed sites and update "
+        f"BROADCAST_SITES with the bounded-side reason.\n"
+        f"actual={actual}\nexpected={expected}"
+    )
 
 
 def test_allowlists_not_stale(plans):
