@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from process_spark.queries._util import t
 from process_spark.queries.registry import register
+from process_spark.queries.text import _minhash_md5_ctes
 from process_spark.schemas import TABLES
 
 _MEM_SEQ = 0
@@ -649,3 +650,142 @@ def stream_user_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return dedup_counts.join(final_stats, "user_id").join(weighted_sums, "user_id")
+
+
+@register(
+    "stream_dedup_index_probe",
+    # Batch-twin oracle = the WHOLE-CORPUS band join (the same relation
+    # dedup_band_index_probe's oracle checks), restricted to pairs with
+    # at least one streamed (odd) member and normalized (id_a < id_b).
+    # Batch boundaries are source-dependent, but the emitted pair UNION
+    # is batch-count-INVARIANT by construction: a same-batch pair is
+    # found by the batch self-join, a cross-batch pair by the later
+    # batch's probe of the appended index — each exactly once.
+    oracle="""
+    WITH {ctes}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+    GROUP BY 1, 2
+    """.format(ctes=_minhash_md5_ctes(where="TRUE")),
+)
+def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63+O95 — INCREMENTAL near-dup dedup as a STREAM: the composition
+    the 100 TB pipeline actually runs on continuous ingestion. The
+    historical corpus's MinHash band index sits stored
+    partitionBy(band_idx, band_bucket); new documents arrive as a file
+    stream (availableNow, maxFilesPerTrigger=1 → multiple micro-
+    batches) and each micro-batch, inside foreachBatch:
+
+      1. bands itself once (localCheckpoint),
+      2. self-joins its own bands (same-batch candidate pairs),
+      3. probes the STORED index — bucket IN-set pushed down as
+         PartitionFilters, so history is a point lookup, never a scan,
+      4. appends its bands to the index (partition-consistent, one
+         file per touched dir), so the NEXT batch's probe sees it,
+      5. appends its candidate pairs to the result sink.
+
+    Batch 2 finding batch 1's near-dups is asserted in
+    tests/test_streaming_semantics.py; the oracle is the whole-corpus
+    band join — the same relation the batch lifecycle queries check —
+    which the streamed pair union must equal regardless of how the
+    source happened to batch the files."""
+    import shutil
+
+    from process_spark.operators.dedup import minhash_band_index
+    from process_spark.queries.io_udf import _SCRATCH
+
+    kw = dict(
+        num_hashes=64, bands=16, base_hash="md5", band_key="concat",
+        n_buckets=16,
+    )
+    base = os.path.join(_SCRATCH, "stream_dedup_index")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = t(spark, sf_dir, "documents")
+    hist = minhash_band_index(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", **kw
+    )
+    hist.repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx", "band_bucket").parquet(idx_dir)
+
+    # Stage the stream: odd docs as two files → two micro-batches.
+    docs = d.select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        bidx = minhash_band_index(
+            batch_df, "doc_id", "text", **kw
+        ).localCheckpoint(eager=False)  # bands once: self-join + probe + append
+        # (2) same-batch pairs — bands-equi self-join, already id-ordered
+        a, b = bidx.alias("a"), bidx.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        # (3) probe stored history: bucket IN-set (≤ n_buckets rows) →
+        # PartitionFilters on the index scan
+        probe = bidx.withColumnRenamed("doc_id", "probe_id")
+        buckets = sorted(
+            r["band_bucket"]
+            for r in probe.select("band_bucket").distinct().collect()
+        )
+        stored = ss.read.parquet(idx_dir)
+        cross = (
+            stored.filter(F.col("band_bucket").isin(buckets))
+            .join(probe, ["band_idx", "band_bucket", "band_hash"])
+            .select(
+                F.least("probe_id", "doc_id").alias("id_a"),
+                F.greatest("probe_id", "doc_id").alias("id_b"),
+            )
+        )
+        pairs = (
+            within.unionByName(cross)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        pairs.write.mode("append").parquet(out_dir)
+        # (4) history accretes: next batch's probe must see this one
+        bidx.repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
+            "append"
+        ).partitionBy("band_idx", "band_bucket").parquet(idx_dir)
+        ss.catalog.refreshByPath(idx_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
+    )

@@ -840,3 +840,106 @@ def dedup_band_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+@register(
+    "dedup_band_index_append",
+    # The FULL incremental lifecycle in SQL: bands for the whole corpus
+    # off the shared md5 chain, split three ways — the historical third
+    # (initial index), batch 1 (probes, then is APPENDED), batch 2
+    # (probes the appended index, so its candidates must include
+    # batch-1 docs). The parquet round-trips, the append, and the
+    # partition layout are storage details the result is invariant to —
+    # exactly what this oracle checks.
+    oracle=f"""
+    WITH {{ctes}},
+    hist AS (SELECT doc_id, band_idx, band_key FROM banded
+             WHERE doc_id % 3 = 0),
+    b1 AS (SELECT doc_id, band_idx, band_key FROM banded
+           WHERE doc_id % 3 = 1),
+    b2 AS (SELECT doc_id, band_idx, band_key FROM banded
+           WHERE doc_id % 3 = 2),
+    c1 AS (
+      SELECT p.doc_id AS probe_id, h.doc_id AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+             CAST(1 AS INTEGER) AS phase
+      FROM b1 p JOIN hist h
+        ON h.band_idx = p.band_idx AND h.band_key = p.band_key
+      GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT p.doc_id AS probe_id, h.doc_id AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+             CAST(2 AS INTEGER) AS phase
+      FROM b2 p JOIN (SELECT * FROM hist UNION ALL SELECT * FROM b1) h
+        ON h.band_idx = p.band_idx AND h.band_key = p.band_key
+      GROUP BY 1, 2
+    )
+    SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    """.format(ctes=_minhash_md5_ctes(where="TRUE")),
+)
+def dedup_band_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 STORED-INDEX lifecycle COMPLETED — write → probe → APPEND →
+    re-probe. ``dedup_band_index_probe`` proved the point-lookup read;
+    this registers the other half of "incremental": after batch 1
+    probes the historical index, its own bands are appended
+    partitionBy-consistent (same repartition-on-partition-keys
+    discipline → one new file per touched dir, asserted in
+    tests/test_plan_shapes.py), and batch 2's probe — against the
+    refreshed index, bucket IN-set pushed as PartitionFilters — finds
+    candidates in BOTH the historical corpus and batch 1. That
+    batch-2-sees-batch-1 edge is the property that makes continuous
+    ingestion dedup-complete without ever re-banding history. Output:
+    (probe_id, doc_id, n_shared_bands, phase 1|2)."""
+    import os as _os
+
+    from process_spark.operators.dedup import minhash_band_index
+    from process_spark.queries.io_udf import _SCRATCH
+
+    kw = dict(
+        num_hashes=64, bands=16, base_hash="md5", band_key="concat",
+        n_buckets=16,
+    )
+    d = t(spark, sf_dir, "documents")
+    path = _os.path.join(_SCRATCH, "minhash_band_index_append")
+
+    def write(df: DataFrame, mode: str) -> None:
+        # One file per (band_idx, band_bucket) dir per write — the
+        # small-files discipline of dedup_band_index_probe, held
+        # ACROSS appends (dirs accrete one file per batch, not one per
+        # shuffle task).
+        df.repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
+            mode
+        ).partitionBy("band_idx", "band_bucket").parquet(path)
+
+    def probe_candidates(stored: DataFrame, batch_idx: DataFrame, phase: int
+                         ) -> DataFrame:
+        probe = batch_idx.withColumnRenamed("doc_id", "probe_id")
+        buckets = sorted(  # bounded: bucket domain ≤ n_buckets=16
+            r["band_bucket"]
+            for r in probe.select("band_bucket").distinct().collect()
+        )
+        pruned = stored.filter(F.col("band_bucket").isin(buckets))
+        return (
+            pruned.join(probe, ["band_idx", "band_bucket", "band_hash"])
+            .groupBy("probe_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .withColumn("phase", F.lit(phase))
+        )
+
+    write(minhash_band_index(d.filter(F.col("doc_id") % 3 == 0),
+                             "doc_id", "text", **kw), "overwrite")
+    b1_idx = minhash_band_index(
+        d.filter(F.col("doc_id") % 3 == 1), "doc_id", "text", **kw
+    ).localCheckpoint(eager=False)  # bands once: probe join + append write
+    stored1 = spark.read.parquet(path)
+    # Materialize phase-1 candidates BEFORE the append mutates the
+    # index (lazy plans must not see batch 1's own bands in "history").
+    cand1 = probe_candidates(stored1, b1_idx, 1).localCheckpoint(eager=True)
+    write(b1_idx, "append")
+    spark.catalog.refreshByPath(path)  # drop cached file listing
+    stored2 = spark.read.parquet(path)
+    b2_idx = minhash_band_index(
+        d.filter(F.col("doc_id") % 3 == 2), "doc_id", "text", **kw
+    ).localCheckpoint(eager=False)
+    return cand1.unionByName(probe_candidates(stored2, b2_idx, 2))

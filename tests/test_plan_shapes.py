@@ -292,6 +292,45 @@ def test_lsh_band_index_prunes_probe_partitions(spark, tmp_path):
     assert len(self_hits) == probe_docs.count()
 
 
+def test_band_index_append_lifecycle(spark):
+    """The registered append lifecycle (dedup_band_index_append):
+    (a) batch-2 candidates INCLUDE batch-1 docs — history accretes;
+    (b) the re-probe still reaches the stored scan as PartitionFilters;
+    (c) the append preserves the one-file-per-dir-per-batch layout
+    (each (band_idx, band_bucket) dir holds ≤ 2 parquet files: one
+    from the initial write, at most one from the append)."""
+    import os
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["dedup_band_index_append"].fn(spark, SF)
+    rows = df.collect()
+    p2 = [r for r in rows if r["phase"] == 2]
+    assert any(r["doc_id"] % 3 == 1 for r in p2), (
+        "batch-2 probe found no batch-1 candidates — append invisible"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "band_bucket" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+    root = os.path.join(_SCRATCH, "minhash_band_index_append")
+    for band_dir in os.listdir(root):
+        bp = os.path.join(root, band_dir)
+        if not os.path.isdir(bp):
+            continue
+        for bucket_dir in os.listdir(bp):
+            files = [
+                f
+                for f in os.listdir(os.path.join(bp, bucket_dir))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) <= 2, (
+                f"{band_dir}/{bucket_dir}: {len(files)} files — "
+                "append fanned out beyond one file per batch"
+            )
+
+
 def test_registered_band_index_probe_prunes_partitions(spark):
     """The REGISTERED stored-index query (dedup_band_index_probe) must
     carry the bucket filter down to the stored-index parquet scan as

@@ -303,3 +303,28 @@ def test_group_state_event_time_timeout_eviction(spark):
     # the eviction emission carried the full per-key count
     ev10 = [r for r in rows if r["evicted"] and r["hour"] == 10]
     assert ev10[0]["n_events"] == 3
+
+
+def test_stream_dedup_index_batch2_sees_batch1(spark):
+    """The incremental-dedup stream: batch 2's probe must find
+    candidates from batch 1 (appended mid-stream), not just the
+    pre-stream historical index — the property that makes continuous
+    ingestion dedup-complete. Stream batches are doc_id%4==1 (file 1)
+    and doc_id%4==3 (file 2); a pair between those two populations can
+    ONLY be found via the appended index."""
+    df = REGISTRY["stream_dedup_index_probe"].fn(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert rows, "no candidate pairs at all"
+
+    def pop(doc_id):
+        return doc_id % 4 if doc_id % 2 == 1 else 0  # 0=hist, 1/3=stream file
+
+    cross_stream = [
+        r for r in rows if {pop(r["id_a"]), pop(r["id_b"])} == {1, 3}
+    ]
+    assert cross_stream, (
+        "no cross-micro-batch candidate pairs — the appended index was "
+        "not visible to the later batch"
+    )
+    vs_hist = [r for r in rows if 0 in {pop(r["id_a"]), pop(r["id_b"])}]
+    assert vs_hist, "no stream-vs-history candidates"
