@@ -542,6 +542,135 @@ def ivf_search(
     )
 
 
+def ivf_tune_n_probe(
+    queries: DataFrame,
+    cells: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    target_recall: float = 0.9,
+    ladder: tuple[int, ...] | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """SAMPLED-RECALL auto-tuner for IVF — picks the cheapest
+    ``n_probe`` whose measured recall@k on a query sample clears
+    ``target_recall``, instead of the static worst-case default
+    (``ceil(0.75·n_cells)``, sized for isotropic data and therefore
+    paying worst-case cost on every clustered corpus).
+
+    One pass ranks EVERY (query, cell) probe and scores every
+    candidate, tagged with ``probe_rank`` — "the search at n_probe=p"
+    is the filter ``probe_rank <= p``, so the whole ladder is measured
+    from one candidate scoring (lazily checkpointed). Ground truth is
+    exact kNN on the sample queries (map-side matmul). Per rung the
+    driver sees two scalars (join-count recall, candidate fraction);
+    data never leaves the cluster.
+
+    Returns (n_probe, recall, candidate_fraction, chosen) — ``chosen``
+    marks the cheapest rung ≥ target (largest rung if none clears).
+    Default ladder: doubling 1, 2, 4, … capped at the probeable cell
+    count, which is always included. At 100 TB: tune on an ingestion
+    sample, deploy the chosen n_probe; re-tune when the corpus drifts.
+    ``queries`` should be a SAMPLE (the same boundedness contract the
+    search's broadcast already imposes)."""
+    spark = queries.sparkSession
+    ucells = (
+        cells.select(
+            "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
+        )
+        .filter(F.col("__cn") > 0)
+        .select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
+        .localCheckpoint(eager=False)  # k rows; feeds count + probe join
+    )
+    n_cells = ucells.count()
+    if ladder is None:
+        steps = []
+        p = 1
+        while p < n_cells:
+            steps.append(p)
+            p *= 2
+        # doubling + the static worst-case default + the full scan —
+        # the default rung keeps the tuner's answer comparable to the
+        # non-adaptive path's cost.
+        steps.append(max(1, -(-3 * n_cells // 4)))
+        ladder = tuple(sorted(set(steps + [n_cells])))
+    uq = queries.select(
+        query_id, l2_norm(query_vec).alias("__qn"), F.col(query_vec)
+    ).select(query_id, unit_with(query_vec, "__qn").alias(query_vec))
+    wp = Window.partitionBy(query_id).orderBy(
+        F.col("__sim").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        uq.join(F.broadcast(ucells))
+        .select(
+            query_id,
+            query_vec,
+            "cell_id",
+            dot(F.col(query_vec), F.col("centroid")).alias("__sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(wp))
+        .select(query_id, query_vec, "cell_id", "probe_rank")
+    )
+    ucand = assignments.select(
+        corpus_id,
+        "cell_id",
+        l2_norm(corpus_vec).alias("__cn"),
+        F.col(corpus_vec),
+    ).select(
+        corpus_id, "cell_id", unit_with(corpus_vec, "__cn").alias(corpus_vec)
+    )
+    scored = (
+        ucand.join(F.broadcast(probes), on="cell_id")
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(
+            query_id,
+            corpus_id,
+            F.col("probe_rank"),
+            dot(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        )
+        .filter(F.col("score").isNotNull() & ~F.isnan("score"))
+        .localCheckpoint(eager=False)  # one scoring pass feeds every rung
+    )
+    wx = Window.partitionBy(query_id).orderBy("rank")
+    exact = (
+        brute_force_knn_arrow(
+            queries, assignments.select(corpus_id, corpus_vec), k=k + 1,
+            query_id=query_id, corpus_id=corpus_id,
+            query_vec=query_vec, corpus_vec=corpus_vec,
+        )
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .withColumn("__r", F.row_number().over(wx))
+        .filter(F.col("__r") <= k)
+        .select(query_id, corpus_id)
+        .localCheckpoint(eager=False)
+    )
+    n_q = queries.count()
+    n_corpus = assignments.count()
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    rows = []
+    for p in ladder:
+        sub = scored.filter(F.col("probe_rank") <= p)
+        topk = (
+            sub.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id)
+        )
+        hits = topk.join(exact, [query_id, corpus_id]).count()
+        recall = hits / max(1, n_q * k)
+        frac = sub.count() / max(1, n_q * (n_corpus - 1))
+        rows.append((p, recall, frac))
+    cleared = [p for p, r, _ in rows if r >= target_recall]
+    chosen = min(cleared) if cleared else max(p for p, _, _ in rows)
+    return spark.createDataFrame(
+        [(p, r, f, p == chosen) for p, r, f in rows],
+        "n_probe int, recall double, candidate_fraction double, chosen boolean",
+    )
+
+
 def ivf_search_arrow(
     queries: DataFrame,
     cells: DataFrame,

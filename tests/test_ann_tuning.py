@@ -1,0 +1,85 @@
+"""Adaptive ANN tuning (round-7 task 1): the sampled-recall auto-tuner
+must give CLUSTERED corpora (every real embedding corpus) a cheap
+setting with recall ≥ 0.9, while the isotropic worst case keeps the
+expensive-but-honest full setting. Fixture mirrors scripts/
+ann_recall.py's clustered twin (seeded Gaussian centers + noise);
+dim=64 because the SRP pool constants are fixed at dim 64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.RandomState(7)
+    n, dim, n_centers = 1200, 64, 8
+    centers = rng.randn(n_centers, dim)
+    idx = np.arange(n) % n_centers
+    mat = centers[idx] + 0.3 * rng.randn(n, dim)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": list(mat.astype("float32"))}
+        )
+    ).localCheckpoint()
+
+
+def test_srp_tuner_clustered_picks_cheap_rung(clustered):
+    from process_spark.queries.vectors import ann_srp_tune
+
+    rows = {r["n_bands"]: r for r in ann_srp_tune(clustered, k=10).collect()}
+    chosen = [r for r in rows.values() if r["chosen"]]
+    assert len(chosen) == 1
+    c = chosen[0]
+    assert c["recall"] >= 0.9
+    # the whole point: clustered data must NOT pay the 112-band
+    # worst-case fraction (~0.65); the tuner finds a small prefix
+    assert c["n_bands"] < 112
+    assert c["candidate_fraction"] <= 0.25, c
+    # monotone evidence ladder: fraction grows with band count
+    fracs = [rows[b]["candidate_fraction"] for b in sorted(rows)]
+    assert fracs == sorted(fracs)
+
+
+def test_ivf_tuner_clustered_picks_cheap_rung(clustered):
+    from process_spark.operators.similarity import ivf_build, ivf_tune_n_probe
+
+    cells, assignments = ivf_build(clustered, n_cells=8)
+    assignments = assignments.localCheckpoint()
+    q = clustered.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rows = [
+        r for r in ivf_tune_n_probe(q, cells, assignments, k=10).collect()
+    ]
+    chosen = [r for r in rows if r["chosen"]]
+    assert len(chosen) == 1
+    c = chosen[0]
+    assert c["recall"] >= 0.9
+    # static default is ceil(0.75*8)=6 probes (~0.75 fraction); the
+    # tuner must beat it decisively on clustered data
+    assert c["n_probe"] <= 2
+    assert c["candidate_fraction"] <= 0.3, c
+
+
+def test_tuner_falls_back_to_largest_rung(spark):
+    """When no rung clears the target (isotropic-like tiny corpus with
+    an impossible target), the tuner still returns a chosen setting —
+    the largest rung — plus the evidence that nothing cheaper works."""
+    from process_spark.queries.vectors import ann_srp_tune
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(400, 64).astype("float32")
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(400), "embedding": list(mat)})
+    )
+    rows = ann_srp_tune(e, k=10, target_recall=1.01).collect()
+    chosen = [r for r in rows if r["chosen"]]
+    assert len(chosen) == 1 and chosen[0]["n_bands"] == max(
+        r["n_bands"] for r in rows
+    )
