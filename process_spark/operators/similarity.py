@@ -542,6 +542,47 @@ def ivf_search(
     )
 
 
+def soft_assign_cells(
+    corpus: DataFrame,
+    cells: DataFrame,
+    n_assign: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SOFT IVF assignment: each vector joins its ``n_assign`` nearest
+    cells (same dot-with-unit-centroid ranking as the hard
+    ``_assign_cells``) — the standard mitigation for blocked
+    near-dup/ANN losing pairs that straddle a cell boundary: with
+    top-2 assignment, a pair split across ONE boundary still shares a
+    block. Output rows ≈ n_assign × corpus (each block roughly
+    n_assign/n_cells of the corpus); downstream pair generation must
+    de-duplicate (a pair can share up to n_assign cells). Expression
+    path: k-row broadcast cell table, per-vector rank window —
+    partitioned by vector id, no global window."""
+    ucells = (
+        cells.select(
+            "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
+        )
+        .filter(F.col("__cn") > 0)
+        .select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
+    )
+    w = Window.partitionBy(corpus_id).orderBy(
+        F.col("__score").desc(), F.col("cell_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(ucells))
+        .select(
+            corpus_id,
+            vec_col,
+            "cell_id",
+            dot(F.col(vec_col), F.col("centroid")).alias("__score"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_assign)
+        .select(corpus_id, vec_col, "cell_id")
+    )
+
+
 def ivf_tune_n_probe(
     queries: DataFrame,
     cells: DataFrame,

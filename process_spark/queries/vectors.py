@@ -1061,6 +1061,98 @@ def pipeline_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b")
 
 
+@register(
+    "pipeline_semantic_dedup_ivf_soft",
+    # Same CTE chain as pipeline_semantic_dedup_ivf up to the refined
+    # cells; the final assignment keeps rn ≤ 2 (SOFT assignment: each
+    # vector in its two nearest cells) and the pair join deduplicates —
+    # a pair sharing both cells would otherwise appear twice.
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h32,
+             {_O_T32} AS tv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, tv,
+             ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
+      FROM h
+      QUALIFY cell_id < 8
+    ),
+    assign0 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 's.tv')} DESC, s.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT cell_id, CAST(AVG(tv) AS REAL) AS m
+      FROM assign0 GROUP BY cell_id
+    ),
+    soft AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN refined r
+      ) WHERE rn <= 2
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM soft a JOIN soft b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE (1 + a.tv * b.tv)
+            / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.9995
+    """,
+)
+def pipeline_semantic_dedup_ivf_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64+O68 — label-free semantic dedup with SOFT (top-2) cell
+    assignment: the cross-cell mitigation pipeline_semantic_dedup_ivf's
+    docstring names, now implemented and oracle-backed. Every vector
+    joins its TWO nearest refined cells, so a near-dup pair straddling
+    one cell boundary still shares a block (pairs straddling two
+    boundaries remain missable — measured missed-pair fraction for both
+    variants is in SCALE.md; a planted-boundary-pair test is in
+    tests/test_ann_tuning.py). Cost: each block roughly doubles
+    (fraction ≈ 2/n_cells of the corpus per block), the per-cell
+    chunked-matmul kernel is unchanged, and duplicate discoveries
+    (pairs sharing both cells) collapse in one distinct. The soft
+    assignment is the expression path (broadcast k-row cell table +
+    per-vector rank window) — the margin-guarded fixture makes its
+    ranking bit-agree with the oracle's."""
+    from process_spark.operators.similarity import near_dup_embeddings_arrow
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, _ = ivf_build(e, n_cells=8, seed_hash="md5")
+    # top-2 assignment against the refined cells; score mirrors
+    # _assign_cells' dot-with-unit-centroid ranking (oracle form:
+    # (1 + tv·m)/sqrt(1 + m²) — dim 0 of every refined centroid is
+    # exactly 1.0f on this fixture)
+    m = F.element_at(F.col("centroid"), 2).cast("double")
+    tv = F.element_at(F.col("embedding"), 2).cast("double")
+    score = (F.lit(1.0) + tv * m) / F.sqrt(F.lit(1.0) + m * m)
+    w = Window.partitionBy("vec_id").orderBy(
+        score.desc(), F.col("cell_id").asc()
+    )
+    soft = (
+        e.join(F.broadcast(cells))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    pairs = near_dup_embeddings_arrow(
+        soft, threshold=0.9995, block_col="cell_id"
+    )
+    return pairs.select("id_a", "id_b").distinct()
+
+
 @register("vec_kmeans_clusters", oracle=None)
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed k-means (Lloyd's, deterministic init, 4

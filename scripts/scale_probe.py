@@ -89,6 +89,9 @@ PIPELINE_PROBE = [
     "vec_ann_srp_bucketed",
     "pipeline_mixture_sample",
     "pipeline_semantic_dedup_ivf",
+    "pipeline_semantic_dedup_ivf_soft",
+    "dedup_band_index_append",
+    "stream_dedup_index_probe",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -113,6 +116,19 @@ QUADRATIC_BY_DESIGN = {
     "vec_ann_srp_bucketed": "both query set and corpus grow 10x; "
     "candidate volume is O(|Q| x |C| x frac) by construction - the "
     "band count is the recall/cost knob that sets frac",
+    "pipeline_semantic_dedup_ivf": "replicated vectors are true "
+    "semantic dups; the per-cell pair output grows ~quadratically per "
+    "duplicated vector",
+    "pipeline_semantic_dedup_ivf_soft": "same, with ~2x block volume "
+    "from top-2 assignment (the cross-cell recovery cost)",
+    "stream_dedup_index_probe": "replicated docs are true near-dups; "
+    "the candidate pair output grows ~quadratically per duplicated doc "
+    "(cap the per-batch self-join with the LSH guard for hostile "
+    "corpora)",
+    "pipeline_dedup_keeper": "at x10 every (lang, source) block blows "
+    "past the 64-doc cap and is SKIPPED (the guard working: output "
+    "degrades to singletons + the skip census instead of a quadratic "
+    "edge join)",
 }
 
 
@@ -193,10 +209,73 @@ def main() -> None:
     print()
     for name, note in QUADRATIC_BY_DESIGN.items():
         print(f"- `*` `{name}`: {note}.")
+    print(semantic_missed_pairs(spark))
     print(KNN_SHOOTOUT)
     import ann_recall
 
     print(ann_recall.section(spark))
+
+
+def semantic_missed_pairs(spark) -> str:
+    """Round-7 task 2 evidence: measured missed-pair fraction of the
+    label-free semantic dedup variants vs EXACT ground truth. On the
+    2-d [1, tv] fixture, cosine similarity is monotone in |atan(tv_a) -
+    atan(tv_b)|, so the exact pair count at the threshold is a sorted
+    two-pointer sweep over the (collected, corpus-sized-but-scalar) tv
+    values — feasible ground truth that exists only because the oracle
+    fixture is 2-d; at 64-d there is no cheap exact census, which is
+    why the registered queries carry this measurement as their recall
+    statement."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from process_spark.queries import REGISTRY
+    from process_spark.queries.vectors import _t32
+
+    e = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    tv = np.array(
+        [r[0] for r in e.select(_t32().alias("tv")).collect()], dtype="float64"
+    )
+    ang = np.sort(np.arctan(tv))
+    max_diff = math.acos(0.9995)
+    # two-pointer: for each i, count j>i with ang[j]-ang[i] <= max_diff
+    exact = 0
+    j = 0
+    for i in range(len(ang)):
+        if j < i + 1:
+            j = i + 1
+        while j < len(ang) and ang[j] - ang[i] <= max_diff:
+            j += 1
+        exact += j - i - 1
+    hard = REGISTRY["pipeline_semantic_dedup_ivf"].fn(spark, SRC).count()
+    soft = REGISTRY["pipeline_semantic_dedup_ivf_soft"].fn(spark, SRC).count()
+    return "\n".join([
+        "",
+        "## Label-free semantic dedup: measured missed-pair fraction "
+        "(sf0.1)",
+        "",
+        "Exact ground truth = sorted angle sweep over the 2-d fixture "
+        "(see",
+        "`scripts/scale_probe.py:semantic_missed_pairs`); hard = top-1 "
+        "IVF-cell",
+        "blocking (`pipeline_semantic_dedup_ivf`), soft = top-2",
+        "(`pipeline_semantic_dedup_ivf_soft`). A planted-boundary-pair "
+        "test is in",
+        "tests/test_ann_tuning.py.",
+        "",
+        "| variant | pairs found | missed vs exact |",
+        "| --- | --- | --- |",
+        f"| exact (angle sweep) | {exact:,} | — |",
+        f"| hard (top-1 cells) | {hard:,} | {1 - hard / exact:.1%} |",
+        f"| soft (top-2 cells) | {soft:,} | {1 - soft / exact:.1%} |",
+        "",
+        "Soft assignment recovers pairs straddling ONE cell boundary at",
+        "~2x block volume; the residual misses straddle two boundaries",
+        "(raise n_assign, or fall back to the labeled/banded paths, if",
+        "the corpus warrants it).",
+    ])
 
 
 #: Static round-4 measurement, kept in the regenerated report. Re-run

@@ -83,3 +83,78 @@ def test_tuner_falls_back_to_largest_rung(spark):
     assert len(chosen) == 1 and chosen[0]["n_bands"] == max(
         r["n_bands"] for r in rows
     )
+
+
+def test_soft_assignment_finds_planted_boundary_pairs(spark):
+    """Cross-cell near-dup recovery (round-7 task 2): a planted
+    near-dup pair straddling a cell boundary is MISSED by hard (top-1)
+    IVF blocking and FOUND by soft (top-2) assignment. Constructed
+    cells make the boundary exact and deterministic."""
+    import pandas as pd
+
+    from process_spark.operators.similarity import (
+        near_dup_embeddings_arrow,
+        soft_assign_cells,
+    )
+
+    # 2-d [1, tv] fixture: four clusters; the planted pair tv=-0.01 /
+    # +0.01 (cosine 0.9998 >= 0.9995) straddles the cell boundary at 0.
+    tvs = (
+        [-3.0 + 0.001 * i for i in range(5)]
+        + [-0.5 + 0.001 * i for i in range(5)]
+        + [0.5 + 0.001 * i for i in range(5)]
+        + [3.0 + 0.001 * i for i in range(5)]
+        + [-0.01, 0.01]
+    )
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(len(tvs)),
+                "embedding": [[1.0, tv] for tv in tvs],
+            }
+        )
+    )
+    cells = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell_id": [0, 1, 2, 3],
+                "centroid": [[1.0, -3.0], [1.0, -0.5], [1.0, 0.5], [1.0, 3.0]],
+            }
+        )
+    )
+    planted = (len(tvs) - 2, len(tvs) - 1)
+
+    def pairs(n_assign):
+        blocked = soft_assign_cells(e, cells, n_assign=n_assign)
+        got = near_dup_embeddings_arrow(
+            blocked, threshold=0.9995, block_col="cell_id"
+        )
+        return {
+            (r["id_a"], r["id_b"]) for r in got.select("id_a", "id_b").collect()
+        }
+
+    hard, soft = pairs(1), pairs(2)
+    assert planted not in hard, "hard blocking unexpectedly found the pair"
+    assert planted in soft, "soft assignment missed the planted pair"
+    # soft is a strict superset: every hard pair survives + the planted
+    assert soft >= hard and len(soft) > len(hard)
+    # within-cluster near-dups exist and are found by both
+    assert any(a != planted[0] for a, _ in hard)
+
+
+def test_registered_soft_variant_superset_of_hard(spark):
+    """The registered soft query's pair set contains the hard query's
+    pair set on the real testdata (soft can only ADD cross-cell
+    pairs, never lose within-cell ones)."""
+    from process_spark.queries.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    hard = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["pipeline_semantic_dedup_ivf"].fn(spark, sf).collect()
+    }
+    soft = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["pipeline_semantic_dedup_ivf_soft"].fn(spark, sf).collect()
+    }
+    assert soft >= hard

@@ -24,6 +24,8 @@ GLOBAL_WINDOW_OK = {
     "vec_kmeans_clusters",
     "vec_kmeans_md5_assignments",  # same seed window, unrolled-loop oracle
     "pipeline_semantic_dedup_ivf",  # same ivf_build seed window (n_cells rows)
+    "pipeline_semantic_dedup_ivf_soft",  # same ivf_build seed window
+    "vec_ivf_tuned",  # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -48,7 +50,10 @@ CROSS_OK = {
     "text_lsh_hot_bucket_guard",  # 1-row skipped-bucket-count broadcast
     "pipeline_mixture_sample",  # 1-row corpus-totals aggregate broadcast
     "pipeline_semantic_dedup_ivf",  # ivf_build cell broadcasts (k rows)
+    "pipeline_semantic_dedup_ivf_soft",  # same + soft-assign cell broadcast
     "pipeline_dedup_keeper",    # 1-row skip-census broadcast on output
+    "vec_ann_srp_tuned",        # broadcast query bands/queries (bounded sample)
+    "vec_ivf_tuned",            # broadcast cell/probe tables (k rows)
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -140,9 +145,14 @@ BROADCAST_HINT_OK = {
         "language cardinality)"
     ),
     "pipeline_semantic_dedup_ivf": "ivf_build cell/centroid tables (k rows)",
+    "pipeline_semantic_dedup_ivf_soft": (
+        "ivf_build cell tables (k rows) + k-row soft-assign broadcast"
+    ),
     "pipeline_dedup_keeper": (
         "1-row skip-census aggregate broadcast onto every output row"
     ),
+    "vec_ann_srp_tuned": "query-band/query side (fixed 1% id sample, bounded)",
+    "vec_ivf_tuned": "cell/probe tables (k rows) + bounded query sample",
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
@@ -197,15 +207,20 @@ BROADCAST_SITES = {
         "and jaccard_pairs block guard — same contract)",
     ),
     "operators/similarity.py": (
-        6,
+        8,
         "k-row cell/probe/centroid tables + bounded query side "
-        "(incl. 1 docstring mention of the contract)",
+        "(incl. 1 docstring mention of the contract; +2 in "
+        "ivf_tune_n_probe: same k-row cell/probe broadcasts)",
     ),
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
     "queries/streaming.py": (2, "constant event-type weights table"),
     "queries/text.py": (1, "constant in-code lexicon table"),
-    "queries/vectors.py": (3, "bounded query-band/query/centroid sides"),
+    "queries/vectors.py": (
+        6,
+        "bounded query-band/query/centroid sides (+2 tuner sample "
+        "broadcasts, +1 soft-assign k-row cell broadcast)",
+    ),
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),
     "queries/pipeline.py": (
