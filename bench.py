@@ -54,6 +54,14 @@ HEADLINE = [
 #: (max - min) reported beside it — single-shot timings on a shared
 #: machine swung round-over-round numbers by up to 25% from ambient
 #: load alone, which is noise, not regression.
+#:
+#: Round-7 audit of the r6 flag on text_term_frequency (0.335s →
+#: 0.403s, spread 0.059): the query, tokenizer regex and plan are
+#: byte-identical between the r5 and r6 snapshots
+#: (git diff 3b1ed92 873d52b — zero hunks touch the function), and
+#: re-measured medians at sf0.1 span 0.52-0.69s with spreads up to
+#: 0.17s run-to-run — the r5/r6 delta sits well inside ambient
+#: variance. Named cause: measurement noise, no code change.
 
 
 def main() -> None:

@@ -357,12 +357,16 @@ def _ann_query_bands(banded: DataFrame, query_mod: int = 100) -> DataFrame:
     )
 
 
-def _ann_srp_candidates(e: DataFrame) -> DataFrame:
+def _ann_srp_candidates(e: DataFrame, n_bands: int | None = None) -> DataFrame:
     """Candidate stage of the multi-band SRP ANN: distinct
     (q_id, vec_id) pairs whose vectors collide with the query in ≥1 of
     the 112 band buckets (exposed separately so scripts/ann_recall.py
-    can measure the candidate fraction of the REGISTERED operator)."""
+    can measure the candidate fraction of the REGISTERED operator).
+    ``n_bands`` truncates to the pool's first n selections — the knob
+    the auto-tuner (:func:`ann_srp_tune`) picks."""
     banded = _ann_banded(e)
+    if n_bands is not None:
+        banded = banded.filter(F.col("band_idx") < n_bands)
     qb = _ann_query_bands(banded)
     return (
         banded.join(
@@ -376,7 +380,7 @@ def _ann_srp_candidates(e: DataFrame) -> DataFrame:
     )
 
 
-def _ann_srp_topk(e: DataFrame, k: int) -> DataFrame:
+def _ann_srp_topk(e: DataFrame, k: int, n_bands: int | None = None) -> DataFrame:
     """Shared candidate-generation + re-rank of the multi-band SRP ANN
     (used by vec_ann_srp_bucketed and scripts/ann_recall.py so the
     measured recall IS the registered operator's). One map-side pass
@@ -387,7 +391,7 @@ def _ann_srp_topk(e: DataFrame, k: int) -> DataFrame:
     banding (broadcast hash join); the only shuffles are the candidate
     dedup and the re-rank join — both bounded by the candidate volume
     that IS the ANN cost knob."""
-    cands = _ann_srp_candidates(e)
+    cands = _ann_srp_candidates(e, n_bands=n_bands)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -602,6 +606,26 @@ def vec_ann_srp_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-backed via vec_ann_srp_bucketed."""
     e = t(spark, sf_dir, "embeddings")
     return ann_srp_tune(e, k=10, target_recall=0.9)
+
+
+@register("vec_ann_srp_search_tuned", oracle=None)
+def vec_ann_srp_search_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 ADAPTIVE path END TO END: tune (sampled recall across the
+    band ladder), then SEARCH at the chosen band count — the call a
+    deployment actually makes. The tuner's evidence table is a
+    |ladder|-row bounded collect (the one driver-side read); the
+    search is the registered SRP operator truncated to the chosen
+    prefix of the same band pool, so its physical plan is
+    vec_ann_srp_bucketed's with a smaller posexplode — nothing new to
+    audit. Rows-only: the chosen rung depends on measured recall (on
+    the isotropic testdata it equals the full 112-band operator; on
+    clustered data it is a small prefix)."""
+    e = t(spark, sf_dir, "embeddings")
+    stats = ann_srp_tune(e, k=10, target_recall=0.9).collect()  # |ladder| rows
+    chosen = next(r["n_bands"] for r in stats if r["chosen"])
+    return _ann_srp_topk(e, k=10, n_bands=chosen).withColumn(
+        "n_bands_used", F.lit(chosen)
+    )
 
 
 @register("vec_ivf_tuned", oracle=None)

@@ -158,3 +158,38 @@ def test_registered_soft_variant_superset_of_hard(spark):
         for r in REGISTRY["pipeline_semantic_dedup_ivf_soft"].fn(spark, sf).collect()
     }
     assert soft >= hard
+
+
+def test_adaptive_search_end_to_end(clustered, tmp_path):
+    """tune→search composition: the end-to-end adaptive search runs at
+    the tuner's chosen rung and its results reach recall ≥ 0.9 against
+    exact kNN on the clustered fixture."""
+    import pyspark.sql.functions as F2
+
+    from process_spark.operators.similarity import brute_force_knn_arrow
+    from process_spark.queries.vectors import _ann_srp_topk, ann_srp_tune
+
+    stats = ann_srp_tune(clustered, k=10).collect()
+    chosen = next(r["n_bands"] for r in stats if r["chosen"])
+    assert chosen < 112  # clustered: a cheap prefix suffices
+
+    approx = _ann_srp_topk(clustered, k=10, n_bands=chosen)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    q = clustered.filter(F2.col("vec_id") % 100 == 0).select(
+        F2.col("vec_id").alias("q_id"), F2.col("embedding").alias("q_emb")
+    )
+    exact = {}
+    rows = sorted(
+        brute_force_knn_arrow(q, clustered, k=11).collect(),
+        key=lambda r: (r["q_id"], r["rank"]),
+    )
+    for r in rows:
+        if r["vec_id"] != r["q_id"] and len(exact.get(r["q_id"], ())) < 10:
+            exact.setdefault(r["q_id"], []).append(r["vec_id"])
+    recall = sum(
+        len(got.get(qid, set()) & set(ids)) / len(ids)
+        for qid, ids in exact.items()
+    ) / len(exact)
+    assert recall >= 0.9, recall

@@ -152,6 +152,9 @@ BROADCAST_HINT_OK = {
         "1-row skip-census aggregate broadcast onto every output row"
     ),
     "vec_ann_srp_tuned": "query-band/query side (fixed 1% id sample, bounded)",
+    "vec_ann_srp_search_tuned": (
+        "same query-band/query broadcasts as vec_ann_srp_bucketed"
+    ),
     "vec_ivf_tuned": "cell/probe tables (k rows) + bounded query sample",
 }
 
