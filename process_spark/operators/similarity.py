@@ -459,24 +459,21 @@ def _default_n_probe(probeable_cells: DataFrame) -> int:
     return max(1, -(-3 * n_cells // 4))
 
 
-def ivf_search(
-    queries: DataFrame,
+def ivf_probe_cells(
     cells: DataFrame,
-    assignments: DataFrame,
-    k: int = 10,
+    queries: DataFrame,
     n_probe: int | None = None,
     query_id: str = "q_id",
     query_vec: str = "q_emb",
-    corpus_id: str = "vec_id",
-    corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """O68 — probe the ``n_probe`` nearest cells per query, brute-force
-    within them. Probed fraction ≈ n_probe/n_cells of the corpus —
-    that's the speedup; the cell equi-join keeps it shuffle-shaped.
-    Default ``n_probe`` is recall-driven (see :func:`_default_n_probe`:
-    ceil(0.75·n_cells), the worst-case isotropic sizing)."""
-    # Same |v|-invariance as _assign_cells: probe ranking via dot
-    # against unit centroids.
+    """Probe selection shared by :func:`ivf_search` and the stored-
+    index queries: rank every (query, probeable cell) by dot against
+    the unit centroid (same |v|-invariance as ``_assign_cells``), keep
+    the ``n_probe`` nearest per query. Returns (query_id, cell_id,
+    unit query vector) — ≤ |Q|·n_probe rows, the bounded table the
+    search broadcasts. Exposed so a cell-PARTITIONED stored index can
+    collect the probed cell ids (≤ n_cells, bounded by construction)
+    into a partition-pruning IN filter before the candidate join."""
     ucells = (
         cells.select(
             "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
@@ -498,7 +495,7 @@ def ivf_search(
     w = Window.partitionBy(query_id).orderBy(
         F.col("__sim").desc(), F.col("cell_id").asc()
     )
-    probes = (
+    return (
         qcells.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_probe)
         .select(
@@ -507,6 +504,27 @@ def ivf_search(
         .select(
             query_id, "cell_id", unit_with(query_vec, "__qn").alias(query_vec)
         )
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    cells: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    n_probe: int | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """O68 — probe the ``n_probe`` nearest cells per query, brute-force
+    within them. Probed fraction ≈ n_probe/n_cells of the corpus —
+    that's the speedup; the cell equi-join keeps it shuffle-shaped.
+    Default ``n_probe`` is recall-driven (see :func:`_default_n_probe`:
+    ceil(0.75·n_cells), the worst-case isotropic sizing)."""
+    probes = ivf_probe_cells(
+        cells, queries, n_probe=n_probe, query_id=query_id, query_vec=query_vec
     )
     # Final re-rank: normalize each side once (queries in the broadcast
     # above, corpus per candidate row here), score with a plain dot.
@@ -743,8 +761,6 @@ def ivf_search_arrow(
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    if n_probe is None:
-        n_probe = _default_n_probe(cells)
     ucells = (
         cells.select(
             "cell_id", l2_norm("centroid").alias("__cn"), F.col("centroid")
@@ -752,6 +768,9 @@ def ivf_search_arrow(
         .filter(F.col("__cn") > 0)
         .select("cell_id", unit_with("centroid", "__cn").alias("centroid"))
     )
+    if n_probe is None:
+        # probeable (non-degenerate) cells only — same rule as ivf_search
+        n_probe = _default_n_probe(ucells)
     qcells = queries.join(F.broadcast(ucells)).select(
         query_id,
         query_vec,

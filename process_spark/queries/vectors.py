@@ -648,6 +648,29 @@ def vec_ivf_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_tune_n_probe(q, cells, assignments, k=10, target_recall=0.9)
 
 
+@register("vec_ivf_search_tuned", oracle=None)
+def vec_ivf_search_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 ADAPTIVE path END TO END (IVF twin of
+    vec_ann_srp_search_tuned): build the index, tune n_probe on the
+    query sample, search at the chosen rung. The search plan is
+    ivf_search's — cell equi-join, broadcast probes — with the tuned
+    n_probe; ``n_probe_used`` rides every row so the chosen setting is
+    part of the output contract. Rows-only: the rung depends on
+    measured recall."""
+    from process_spark.operators.similarity import ivf_search, ivf_tune_n_probe
+
+    e = t(spark, sf_dir, "embeddings")
+    cells, assignments = ivf_build(e, n_cells=8)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    stats = ivf_tune_n_probe(q, cells, assignments, k=10).collect()  # ladder rows
+    chosen = next(r["n_probe"] for r in stats if r["chosen"])
+    return ivf_search(q, cells, assignments, k=10, n_probe=chosen).withColumn(
+        "n_probe_used", F.lit(chosen)
+    )
+
+
 @register("vec_near_dup_arrow", oracle=None)
 def vec_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O64: the Arrow/BLAS twin of vec_near_dup — per-block chunked
@@ -920,6 +943,72 @@ def vec_ivf_knn_md5_idset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     knn = ivf_search(q, cells, assignments, k=5, n_probe=2)
+    return knn.groupBy("q_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("neighbor_ids")
+    )
+
+
+def _stored_ivf_oracle() -> str:
+    """The stored-index probe must be INVARIANT to the parquet
+    round-trip and cell-partitioned layout — so its oracle IS
+    vec_ivf_knn_md5_idset's oracle, verbatim (same chain, same fixture,
+    same probes): identical results prove storage is a detail."""
+    from process_spark.queries.registry import REGISTRY
+
+    return REGISTRY["vec_ivf_knn_md5_idset"].oracle
+
+
+@register("vec_ivf_stored_probe", oracle=_stored_ivf_oracle())
+def vec_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 STORED ANN index lifecycle (oracle-backed): the IVF twin of
+    dedup_band_index_probe. Assignments are WRITTEN
+    ``partitionBy(cell_id)`` (repartitioned on the partition key first
+    — one file per cell dir, the same small-files discipline as the
+    band index), the probe's cell id-set (≤ n_cells, bounded by
+    construction) is collected into an ``isin`` filter that reaches
+    the stored scan as PartitionFilters (asserted in
+    tests/test_plan_shapes.py) — so a 100 TB corpus laid out by cell
+    reads only n_probe/n_cells of its files per query batch — and
+    ivf_search re-ranks within the pruned cells. The oracle is
+    vec_ivf_knn_md5_idset's, verbatim: identical results through the
+    parquet round-trip prove the storage layout is semantics-free."""
+    import os as _os
+
+    from process_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe_cells,
+        ivf_search,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, assignments = ivf_build(e, n_cells=8, seed_hash="md5")
+    path = _os.path.join(_SCRATCH, "ivf_cell_index")
+    assignments.repartition(8, F.col("cell_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = sorted(  # bounded: cell domain is n_cells=8
+        r["cell_id"]
+        for r in ivf_probe_cells(cells, q, n_probe=2)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    pruned = stored.filter(F.col("cell_id").isin(probed))
+    knn = ivf_search(q, cells, pruned, k=5, n_probe=2)
     return knn.groupBy("q_id").agg(
         F.array_join(
             F.transform(

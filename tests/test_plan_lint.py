@@ -26,6 +26,8 @@ GLOBAL_WINDOW_OK = {
     "pipeline_semantic_dedup_ivf",  # same ivf_build seed window (n_cells rows)
     "pipeline_semantic_dedup_ivf_soft",  # same ivf_build seed window
     "vec_ivf_tuned",  # same ivf_build seed window (n_cells rows)
+    "vec_ivf_search_tuned",  # same ivf_build seed window (n_cells rows)
+    "vec_ivf_stored_probe",  # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -54,6 +56,8 @@ CROSS_OK = {
     "pipeline_dedup_keeper",    # 1-row skip-census broadcast on output
     "vec_ann_srp_tuned",        # broadcast query bands/queries (bounded sample)
     "vec_ivf_tuned",            # broadcast cell/probe tables (k rows)
+    "vec_ivf_search_tuned",     # broadcast cell/probe tables (k rows)
+    "vec_ivf_stored_probe",     # broadcast cell/probe tables (k rows)
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -156,6 +160,8 @@ BROADCAST_HINT_OK = {
         "same query-band/query broadcasts as vec_ann_srp_bucketed"
     ),
     "vec_ivf_tuned": "cell/probe tables (k rows) + bounded query sample",
+    "vec_ivf_search_tuned": "cell/probe tables (k rows) + bounded query sample",
+    "vec_ivf_stored_probe": "cell/probe tables (k rows)",
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)

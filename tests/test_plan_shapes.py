@@ -331,6 +331,31 @@ def test_band_index_append_lifecycle(spark):
             )
 
 
+def test_registered_ivf_stored_probe_prunes_partitions(spark):
+    """The stored cell-partitioned IVF index (vec_ivf_stored_probe):
+    the probed-cell IN filter must reach the stored parquet scan as
+    PartitionFilters, and each cell dir must hold exactly one file
+    (repartition-on-partition-key write discipline)."""
+    import os
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["vec_ivf_stored_probe"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "cell_id" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert df.count() > 0
+
+    root = os.path.join(_SCRATCH, "ivf_cell_index")
+    for cell_dir in os.listdir(root):
+        cp = os.path.join(root, cell_dir)
+        if not os.path.isdir(cp):
+            continue
+        files = [f for f in os.listdir(cp) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{cell_dir}: {len(files)} files"
+
+
 def test_registered_band_index_probe_prunes_partitions(spark):
     """The REGISTERED stored-index query (dedup_band_index_probe) must
     carry the bucket filter down to the stored-index parquet scan as
