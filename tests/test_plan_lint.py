@@ -155,11 +155,14 @@ BROADCAST_HINT_OK = {
     "pipeline_dedup_keeper": (
         "1-row skip-census aggregate broadcast onto every output row"
     ),
-    "vec_ann_srp_tuned": "query-band/query side (fixed 1% id sample, bounded)",
+    # NOTE: the tuner EVIDENCE queries (vec_ann_srp_tuned,
+    # vec_ivf_tuned) are deliberately absent here: their returned
+    # DataFrame is a createDataFrame stats table, so the final analyzed
+    # plan carries no hints — their intra-fn broadcasts (bounded sample
+    # / k-row cell tables) are covered by the SOURCE census below.
     "vec_ann_srp_search_tuned": (
         "same query-band/query broadcasts as vec_ann_srp_bucketed"
     ),
-    "vec_ivf_tuned": "cell/probe tables (k rows) + bounded query sample",
     "vec_ivf_search_tuned": "cell/probe tables (k rows) + bounded query sample",
     "vec_ivf_stored_probe": "cell/probe tables (k rows)",
 }
@@ -216,10 +219,11 @@ BROADCAST_SITES = {
         "and jaccard_pairs block guard — same contract)",
     ),
     "operators/similarity.py": (
-        8,
+        9,
         "k-row cell/probe/centroid tables + bounded query side "
         "(incl. 1 docstring mention of the contract; +2 in "
-        "ivf_tune_n_probe: same k-row cell/probe broadcasts)",
+        "ivf_tune_n_probe and +1 in soft_assign_cells: same k-row "
+        "cell/probe broadcasts)",
     ),
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
