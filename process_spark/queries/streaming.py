@@ -652,6 +652,88 @@ def stream_user_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_counts.join(final_stats, "user_id").join(weighted_sums, "user_id")
 
 
+def incremental_dedup_sink(
+    idx_dir: str,
+    out_dir: str,
+    kw: dict,
+    max_bucket_size: int | None = None,
+):
+    """foreachBatch sink of the incremental-dedup stream — exposed so
+    deployments (and tests) can compose it onto any documents stream.
+    Per micro-batch: band once (localCheckpoint), emit same-batch
+    pairs (bands self-join) + batch×history pairs (stored-index probe
+    with the bucket IN-set pushed as PartitionFilters), append the
+    batch's bands to the index partition-consistent.
+
+    ``max_bucket_size`` is the hot-bucket guard for HOSTILE batches
+    (boilerplate bursts): the batch's over-cap band buckets are cut
+    from BOTH the self-join and the probe join — bounding the
+    self-join task at cap² and linearizing the probe task at
+    |stored bucket|·cap — while the APPEND still writes every band
+    (history must stay complete; the cap bounds join work, not
+    storage). None (the registered query's setting) keeps exact
+    oracle parity with the whole-corpus band join."""
+    from pyspark.sql import Window
+
+    from process_spark.operators.dedup import minhash_band_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        bidx = minhash_band_index(
+            batch_df, "doc_id", "text", **kw
+        ).localCheckpoint(eager=False)  # bands once: self-join + probe + append
+        join_side = bidx
+        if max_bucket_size is not None:
+            wb = Window.partitionBy("band_idx", "band_hash")
+            sized = bidx.withColumn(
+                "__bn", F.count(F.lit(1)).over(wb)
+            ).localCheckpoint(eager=False)
+            join_side = sized.filter(F.col("__bn") <= max_bucket_size).drop(
+                "__bn"
+            )
+        # (2) same-batch pairs — bands-equi self-join, already id-ordered
+        a, b = join_side.alias("a"), join_side.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        # (3) probe stored history: bucket IN-set (≤ n_buckets rows) →
+        # PartitionFilters on the index scan
+        probe = join_side.withColumnRenamed("doc_id", "probe_id")
+        buckets = sorted(
+            r["band_bucket"]
+            for r in probe.select("band_bucket").distinct().collect()
+        )
+        stored = ss.read.parquet(idx_dir)
+        cross = (
+            stored.filter(F.col("band_bucket").isin(buckets))
+            .join(probe, ["band_idx", "band_bucket", "band_hash"])
+            .select(
+                F.least("probe_id", "doc_id").alias("id_a"),
+                F.greatest("probe_id", "doc_id").alias("id_b"),
+            )
+        )
+        pairs = (
+            within.unionByName(cross)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        pairs.write.mode("append").parquet(out_dir)
+        # (4) history accretes: next batch's probe must see this one —
+        # the FULL band set, even under the guard
+        bidx.repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
+            "append"
+        ).partitionBy("band_idx", "band_bucket").parquet(idx_dir)
+        ss.catalog.refreshByPath(idx_dir)
+
+    return sink
+
+
 @register(
     "stream_dedup_index_probe",
     # Batch-twin oracle = the WHOLE-CORPUS band join (the same relation
@@ -732,52 +814,10 @@ def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        ss = batch_df.sparkSession
-        bidx = minhash_band_index(
-            batch_df, "doc_id", "text", **kw
-        ).localCheckpoint(eager=False)  # bands once: self-join + probe + append
-        # (2) same-batch pairs — bands-equi self-join, already id-ordered
-        a, b = bidx.alias("a"), bidx.alias("b")
-        within = a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        # (3) probe stored history: bucket IN-set (≤ n_buckets rows) →
-        # PartitionFilters on the index scan
-        probe = bidx.withColumnRenamed("doc_id", "probe_id")
-        buckets = sorted(
-            r["band_bucket"]
-            for r in probe.select("band_bucket").distinct().collect()
-        )
-        stored = ss.read.parquet(idx_dir)
-        cross = (
-            stored.filter(F.col("band_bucket").isin(buckets))
-            .join(probe, ["band_idx", "band_bucket", "band_hash"])
-            .select(
-                F.least("probe_id", "doc_id").alias("id_a"),
-                F.greatest("probe_id", "doc_id").alias("id_b"),
-            )
-        )
-        pairs = (
-            within.unionByName(cross)
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        pairs.write.mode("append").parquet(out_dir)
-        # (4) history accretes: next batch's probe must see this one
-        bidx.repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
-            "append"
-        ).partitionBy("band_idx", "band_bucket").parquet(idx_dir)
-        ss.catalog.refreshByPath(idx_dir)
-
     q = (
-        stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(
+            incremental_dedup_sink(idx_dir, out_dir, kw)
+        )
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
         .start()

@@ -123,8 +123,8 @@ QUADRATIC_BY_DESIGN = {
     "from top-2 assignment (the cross-cell recovery cost)",
     "stream_dedup_index_probe": "replicated docs are true near-dups; "
     "the candidate pair output grows ~quadratically per duplicated doc "
-    "(cap the per-batch self-join with the LSH guard for hostile "
-    "corpora)",
+    "(incremental_dedup_sink(max_bucket_size=...) is the guarded "
+    "deployment path — tested with a hostile boilerplate batch)",
     "pipeline_dedup_keeper": "at x10 every (lang, source) block blows "
     "past the 64-doc cap and is SKIPPED (the guard working: output "
     "degrades to singletons + the skip census instead of a quadratic "

@@ -328,3 +328,61 @@ def test_stream_dedup_index_batch2_sees_batch1(spark):
     )
     vs_hist = [r for r in rows if 0 in {pop(r["id_a"]), pop(r["id_b"])}]
     assert vs_hist, "no stream-vs-history candidates"
+
+
+def test_incremental_dedup_sink_hot_bucket_guard(spark, tmp_path):
+    """A hostile (boilerplate) batch through incremental_dedup_sink
+    with the guard: over-cap buckets are cut from both joins (no
+    quadratic pair burst), but the batch's bands are STILL appended —
+    history stays complete for future probes."""
+    import os
+
+    from process_spark.operators.dedup import minhash_band_index
+
+    kw = dict(num_hashes=16, bands=4, base_hash="xxhash64",
+              band_key="hash", n_buckets=8)
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    hist = spark.createDataFrame(
+        [(i, f"unique document number {i} with words {i * 7}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    minhash_band_index(hist, "doc_id", "text", **kw).repartition(
+        8, F.col("band_idx"), F.col("band_bucket")
+    ).write.mode("overwrite").partitionBy("band_idx", "band_bucket").parquet(idx_dir)
+
+    # hostile batch: 10 identical docs -> every bucket size 10 > cap 3
+    batch = spark.createDataFrame(
+        [(100 + i, "same boilerplate text in every doc") for i in range(10)],
+        "doc_id long, text string",
+    )
+    from process_spark.queries.streaming import incremental_dedup_sink
+
+    sink = incremental_dedup_sink(idx_dir, out_dir, kw, max_bucket_size=3)
+    sink(batch, 0)
+
+    # no pair burst: either no parquet written or zero pair rows
+    pair_files = [
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    ] if os.path.isdir(out_dir) else []
+    n_pairs = (
+        spark.read.parquet(out_dir).count() if pair_files else 0
+    )
+    assert n_pairs == 0, f"guard leaked {n_pairs} quadratic pairs"
+
+    # but history accreted: the batch's bands are in the index
+    idx = spark.read.parquet(idx_dir)
+    assert idx.filter(F.col("doc_id") >= 100).count() == 10 * kw["bands"]
+
+    # and an unguarded well-behaved batch still finds pairs vs history
+    batch2 = spark.createDataFrame(
+        [(200, "unique document number 3 with words 21")],
+        "doc_id long, text string",
+    )
+    sink2 = incremental_dedup_sink(idx_dir, out_dir, kw, max_bucket_size=3)
+    sink2(batch2, 1)
+    pairs = spark.read.parquet(out_dir)
+    assert pairs.filter(
+        (F.col("id_a") == 3) & (F.col("id_b") == 200)
+    ).count() == 1
