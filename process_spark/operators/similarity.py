@@ -1090,3 +1090,239 @@ def kmeans(
             cents = cut(cents)
     assignments = assign_fn(corpus, cents, corpus_id, vec_col)
     return cents, assignments
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    sample_cap: int = 4096,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list":
+    """O68 — PRODUCT-QUANTIZATION codebook training (Jégou, Douze,
+    Schmid, "Product Quantization for Nearest Neighbor Search", IEEE
+    TPAMI 2011 — public method). The vector space is split into ``m``
+    contiguous subspaces; each gets its own ``k``-centroid codebook via
+    Lloyd iterations, so a d-dim float32 vector compresses to ``m``
+    one-byte codes — 4·d/m× smaller (32× at d=64, m=8). At 100 TB this
+    is the difference between an index that fits in cluster memory and
+    one that does not; search quality is recovered by exact re-rank of
+    the ADC top-C (see :func:`pq_search`).
+
+    Codebooks are trained on a DETERMINISTIC hash-ordered sample of at
+    most ``sample_cap`` vectors, collected to the driver — the one
+    bounded driver-side step, the standard practice for codebook
+    training (the sample is the training SET; the corpus is never
+    collected), with numpy Lloyd iterations (seeded farthest-first
+    init on the hash order). Returns the nested list
+    ``codebooks[m][k][d/m]`` — plain floats, broadcastable into the
+    encode/search kernels."""
+    import numpy as np  # noqa: PLC0415
+
+    sample = (
+        corpus.select(corpus_id, vec_col)
+        .orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
+        .limit(sample_cap)
+        .collect()
+    )
+    mat = np.array([list(r[vec_col]) for r in sample], dtype="float64")
+    # COSINE contract: train on UNIT vectors — ADC approximates angular
+    # distance only if magnitude is normalized out on both sides (a
+    # raw-norm corpus would let ||x||² dominate the L2 ranking).
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} must split evenly into m={m} subspaces")
+    sub_d = d // m
+    books = []
+    for s in range(m):
+        x = mat[:, s * sub_d : (s + 1) * sub_d]
+        # deterministic farthest-first init on the hash-ordered sample
+        cents = [x[0]]
+        d2 = ((x - cents[0]) ** 2).sum(axis=1)
+        for _ in range(1, min(k, n)):
+            cents.append(x[int(np.argmax(d2))])
+            d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
+        c = np.stack(cents)
+        for _ in range(n_iter):
+            assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for j in range(len(c)):
+                mask = assign == j
+                if mask.any():
+                    c[j] = x[mask].mean(axis=0)
+        books.append(c.tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "list",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """O68 — PQ encoding: one Arrow-batched ``mapInPandas`` pass maps
+    each vector to its ``m`` nearest-subcentroid codes
+    (``array<tinyint>`` — m bytes/vector). The codebooks ride the
+    closure (m·k·d/m floats — a few KB); the corpus never shuffles.
+    This CODES table is what a 100 TB deployment stores and scans —
+    the float vectors are only re-read for the final re-rank of the
+    ADC top-C."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    books = [np.array(b, dtype="float64") for b in codebooks]
+    m = len(books)
+    sub_d = books[0].shape[1]
+    id_t = corpus.schema[corpus_id].dataType.simpleString()
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            # unit-normalize: codes quantize DIRECTION (cosine contract,
+            # matching pq_train/pq_search); zero-norm vectors drop —
+            # same exclusion as every cosine path here
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            if not keep.any():
+                continue
+            pdf = pdf.iloc[keep]
+            mat = mat[keep] / norms[keep, None]
+            codes = np.empty((len(pdf), m), dtype="int8")
+            for s, c in enumerate(books):
+                x = mat[:, s * sub_d : (s + 1) * sub_d]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                d2 = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {corpus_id: pdf[corpus_id].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(corpus_id, vec_col).mapInPandas(
+        encode, schema=f"{corpus_id} {id_t}, codes array<tinyint>"
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: "list",
+    k: int = 10,
+    rerank: int = 100,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """O68 — PQ-ADC search with exact re-rank: the compressed-index
+    k-NN a 100 TB deployment runs when the float vectors don't fit.
+
+    Phase 1 (ADC over CODES only): each query builds its m×k
+    asymmetric-distance lookup table (query subvector vs every
+    subcentroid — m·k distances, computed once per query); one
+    ``mapInPandas`` pass over the codes table scores every vector as a
+    SUM OF TABLE LOOKUPS (no float vectors read, no per-pair O(d)
+    work) and keeps the per-batch ADC top-``rerank``. One k·|Q|-bounded
+    shuffle reduces to the global ADC top-``rerank`` per query.
+
+    Phase 2 (exact re-rank): ONLY those ≤ rerank·|Q| candidate ids
+    join back to the float corpus for exact cosine — quantization
+    error affects which candidates surface, not their final order, so
+    recall@k is governed by ``rerank`` (measured in SCALE.md; raise it
+    for more recall at linear candidate cost)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    books = [np.array(b, dtype="float64") for b in codebooks]
+    m = len(books)
+    sub_d = books[0].shape[1]
+    q_rows = queries.select(query_id, query_vec).collect()  # bounded query side
+    q_ids = [r[query_id] for r in q_rows]
+    q_mat = np.array([list(r[query_vec]) for r in q_rows], dtype="float64")
+    # Unit-normalize queries so ADC L2 ranking tracks cosine ranking of
+    # unit-normalized corpus vectors as closely as quantization allows.
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    q_mat = q_mat / qn
+    # luts[q, s, j] = ||q_sub - c_sj||² for each query, subspace, code
+    luts = np.empty((len(q_ids), m, books[0].shape[0]), dtype="float64")
+    for s, c in enumerate(books):
+        qs = q_mat[:, s * sub_d : (s + 1) * sub_d]
+        luts[:, s, :] = (
+            (qs * qs).sum(axis=1)[:, None]
+            - 2.0 * (qs @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+    id_t = codes.schema[corpus_id].dataType.simpleString()
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["codes"].to_numpy()).astype("int64")  # n×m
+            ids = pdf[corpus_id].to_numpy()
+            # dist[q, n] = Σ_s luts[q, s, cm[n, s]] — gathered per
+            # subspace, accumulated (m table-lookups per scored pair,
+            # no O(d) work, no float vectors)
+            acc = np.zeros((luts.shape[0], len(pdf)))
+            for s in range(m):
+                acc += luts[:, s, cm[:, s]]
+            top = min(rerank, acc.shape[1])
+            part = np.argpartition(acc, top - 1, axis=1)[:, :top]
+            out_q, out_id, out_d = [], [], []
+            for qi in range(acc.shape[0]):
+                out_q.extend([q_ids[qi]] * top)
+                out_id.extend(ids[part[qi]])
+                out_d.extend(acc[qi, part[qi]])
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_id, "__adc": out_d}
+            )
+
+    cand = (
+        codes.mapInPandas(
+            adc, schema=f"{query_id} {id_t}, {corpus_id} {id_t}, __adc double"
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.col("__adc").asc(), F.col(corpus_id).asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= rerank)
+        .select(query_id, corpus_id)
+    )
+    # Phase 2: exact cosine on the bounded candidate set only.
+    uq = queries.select(
+        query_id, l2_norm(query_vec).alias("__qn"), F.col(query_vec)
+    ).select(query_id, unit_with(query_vec, "__qn").alias(query_vec))
+    uc = corpus.select(
+        corpus_id, l2_norm(corpus_vec).alias("__cn"), F.col(corpus_vec)
+    ).select(corpus_id, unit_with(corpus_vec, "__cn").alias(corpus_vec))
+    scored = (
+        cand.join(uc, corpus_id)
+        .join(F.broadcast(uq), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            dot(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.when(~F.isnan("score"), F.col("score")).desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(
+            (F.col("rank") <= k)
+            & F.col("score").isNotNull()
+            & ~F.isnan("score")
+        )
+    )

@@ -193,3 +193,62 @@ def test_adaptive_search_end_to_end(clustered, tmp_path):
         for qid, ids in exact.items()
     ) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_pq_codes_shape_and_exclusions(spark):
+    """PQ encoding: m int8 codes per vector, zero-norm vectors excluded
+    (cosine contract), codes within codebook range."""
+    import pandas as pd
+
+    from process_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(300, 64).astype("float32")
+    mat[5] = 0.0  # degenerate zero-norm vector
+    rows = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(mat)})
+    e = spark.createDataFrame(rows)
+    books = pq_train(e, m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    got = {r["vec_id"]: r["codes"] for r in pq_encode(e, books).collect()}
+    assert 5 not in got  # zero-norm dropped
+    assert len(got) == 299
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in got.values())
+
+
+def test_pq_search_recall_clustered(clustered):
+    """PQ-ADC + exact re-rank reaches recall ≥ 0.9 on the clustered
+    fixture at the m=32/k=64 setting with rerank=100 (5% of corpus) —
+    the compressed index earns its 8x size reduction."""
+    import pyspark.sql.functions as F2
+
+    from process_spark.operators.similarity import (
+        brute_force_knn_arrow,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    books = pq_train(clustered, m=32, k=64)
+    codes = pq_encode(clustered, books).localCheckpoint()
+    q = clustered.filter(F2.col("vec_id") % 100 == 0).select(
+        F2.col("vec_id").alias("q_id"), F2.col("embedding").alias("q_emb")
+    )
+    approx = pq_search(q, codes, clustered, books, k=10, rerank=100)
+    got = {}
+    for r in approx.collect():
+        if r["vec_id"] != r["q_id"]:
+            got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    gotk = {qq: set(v for _, v in sorted(rws)[:10]) for qq, rws in got.items()}
+    exact = {}
+    rows = sorted(
+        brute_force_knn_arrow(q, clustered, k=11).collect(),
+        key=lambda r: (r["q_id"], r["rank"]),
+    )
+    for r in rows:
+        if r["vec_id"] != r["q_id"] and len(exact.get(r["q_id"], ())) < 10:
+            exact.setdefault(r["q_id"], []).append(r["vec_id"])
+    recall = sum(
+        len(gotk.get(qq, set()) & set(ids)) / len(ids)
+        for qq, ids in exact.items()
+    ) / len(exact)
+    assert recall >= 0.9, recall
