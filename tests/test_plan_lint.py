@@ -165,6 +165,7 @@ BROADCAST_HINT_OK = {
     ),
     "vec_ivf_search_tuned": "cell/probe tables (k rows) + bounded query sample",
     "vec_ivf_stored_probe": "cell/probe tables (k rows)",
+    "vec_pq_knn": "bounded query side in the exact re-rank join",
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
@@ -219,11 +220,11 @@ BROADCAST_SITES = {
         "and jaccard_pairs block guard — same contract)",
     ),
     "operators/similarity.py": (
-        9,
+        10,
         "k-row cell/probe/centroid tables + bounded query side "
         "(incl. 1 docstring mention of the contract; +2 in "
-        "ivf_tune_n_probe and +1 in soft_assign_cells: same k-row "
-        "cell/probe broadcasts)",
+        "ivf_tune_n_probe, +1 in soft_assign_cells, +1 in pq_search's "
+        "re-rank: same k-row / bounded-query broadcasts)",
     ),
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
