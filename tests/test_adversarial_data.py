@@ -58,6 +58,16 @@ VEC_QUERIES = [
     "vec_near_dup_arrow_idset",  # green when extra/degenerate ids appear
     "vec_ivf_knn_md5_idset",   # end-to-end IVF oracle, same robustness
     "vec_kmeans_md5_assignments",  # unrolled-Lloyd oracle, same robustness
+    # round-7 additions: tuners/adaptive search must COMPLETE (rows-
+    # only) over zero/underflow vectors; the stored/soft oracles must
+    # stay hash-green
+    "vec_ann_srp_tuned",
+    "vec_ivf_tuned",
+    "vec_ann_srp_search_tuned",
+    "vec_ivf_search_tuned",
+    "vec_pq_knn",
+    "vec_ivf_stored_probe",
+    "pipeline_semantic_dedup_ivf_soft",
 ]
 
 # Text queries over the degenerate-documents table: empty text,
@@ -82,6 +92,12 @@ TEXT_QUERIES = [
     "mm_decode_real_headers",      # header round trip incl. nc=0 docs
     "mm_decode_ppm_pixels",        # 1-px-wide rasters (w=1 duplicates
     "mm_decode_wav_pcm",           # resize indices), 1-sample PCM
+    # round-7: stored-index lifecycle + streaming twin over degenerate
+    # docs (empty/whitespace texts band to empty shingle sets — the
+    # write→probe→append cycle and the foreachBatch stream must stay
+    # oracle-green, not crash on them)
+    "dedup_band_index_append",
+    "stream_dedup_index_probe",
 ]
 
 
