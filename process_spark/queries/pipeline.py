@@ -789,3 +789,165 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_weight"
         ),
     )
+
+
+#: Quality-gate keep predicate as one SQL CASE (the same 4 rules as
+#: pipeline_quality_filter's oracle, short-circuiting so no division
+#: ever sees a zero token count) — reused as the document population
+#: WHERE of the end-to-end pipeline oracle.
+_O_KEEP = f"""(CASE WHEN LENGTH(text) < 100 THEN false
+       WHEN len({_O_TOKS}) < 20 THEN false
+       WHEN (CAST(list_sum(list_transform({_O_TOKS}, x -> LENGTH(x)))
+                  AS DOUBLE) / len({_O_TOKS})) < 2.0 THEN false
+       WHEN (CAST(list_sum(list_transform({_O_TOKS}, x -> LENGTH(x)))
+                  AS DOUBLE) / len({_O_TOKS})) > 12.0 THEN false
+       WHEN CAST(len(list_distinct({_O_TOKS})) AS DOUBLE)
+              / len({_O_TOKS}) < 0.3 THEN false
+       ELSE true END)"""
+
+
+def _end_to_end_oracle(cap: int) -> str:
+    """DuckDB twin of the WHOLE training-data pipeline: quality gate →
+    guarded banded-LSH pairs → recursive min-label components → ranked
+    keeper → per-source packed offsets — every stage is a CTE already
+    proven by its standalone query's oracle, chained into one
+    statement so the composition itself (filter feeding dedup feeding
+    packing) is what gets hash-checked."""
+    return f"""
+    WITH RECURSIVE {_minhash_md5_ctes(where=_O_KEEP)},
+    sized AS (
+      SELECT doc_id, band_idx, band_key,
+             COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bn
+      FROM banded
+    ),
+    kept AS (
+      SELECT doc_id, band_idx, band_key FROM sized WHERE bn <= {cap}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    verts AS (
+      SELECT doc_id, n_chars FROM documents WHERE {_O_KEEP}
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY v.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN verts v USING (doc_id)
+    ),
+    keepers AS (SELECT doc_id FROM ranked WHERE rn = 1),
+    ktk AS (
+      SELECT d.doc_id, d.source, CAST(len({_O_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN keepers USING (doc_id)
+    ),
+    offs AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM ktk
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // {_PACK_CAP} AS first_chunk,
+           CASE WHEN n_tokens = 0 THEN start_offset // {_PACK_CAP}
+                ELSE (start_offset + n_tokens - 1) // {_PACK_CAP}
+           END AS last_chunk
+    FROM offs
+    """
+
+
+@register("pipeline_end_to_end", oracle=_end_to_end_oracle(_KEEPER_LSH_CAP))
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE WHOLE PIPELINE as one query — what a 100 TB training-data
+    run actually executes, composed from the registered scale paths:
+
+      1. quality gate (pipeline_quality_filter's one-pass rules),
+      2. near-dup dedup on the survivors: guarded banded MinHash LSH
+         (hot buckets cut pre-join) → distributed connected
+         components → one keeper per cluster (longest text, lowest
+         id),
+      3. sequence packing of the keepers: per-source running token
+         offsets → training-chunk spans.
+
+    Every stage alone is oracle-proven elsewhere; THIS oracle chains
+    them into one statement, so the hash also checks the hand-offs
+    (the filter population feeding the band join, the keeper set
+    feeding the offsets) — the places where real pipelines silently
+    lose or duplicate documents. Scale shape: no stage introduces
+    anything beyond its standalone plan (guarded equi-join, per-
+    iteration bounded CC shuffles, one per-source window; the sharded
+    pack variant is the drop-in when one source stream outgrows a
+    task)."""
+    d = t(spark, sf_dir, "documents")
+    kept_ids = (
+        pipeline_quality_filter(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = d.join(kept_ids, "doc_id")
+    edges = minhash_lsh_pairs(
+        kept,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        base_hash="md5",
+        band_key="concat",
+        max_bucket_size=_KEEPER_LSH_CAP,
+    ).filter(F.col("id_a").isNotNull())  # drop the all-skipped sentinel
+    comp = connected_components(
+        edges, src="id_a", dst="id_b", vertices=kept, id_col="doc_id"
+    ).withColumnRenamed("id", "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    keepers = (
+        comp.join(kept.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    ktk = keepers.join(d, "doc_id").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ktk.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w_off), F.lit(0)).cast("long"),
+    )
+    first_chunk = F.expr(f"start_offset div {_PACK_CAP}")
+    last_chunk = F.when(F.col("n_tokens") == 0, first_chunk).otherwise(
+        F.expr(f"(start_offset + n_tokens - 1) div {_PACK_CAP}")
+    )
+    return offs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+    )
