@@ -92,6 +92,7 @@ PIPELINE_PROBE = [
     "pipeline_semantic_dedup_ivf_soft",
     "dedup_band_index_append",
     "stream_dedup_index_probe",
+    "pipeline_end_to_end",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
