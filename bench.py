@@ -43,6 +43,7 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "pipeline_minhash_dedup_components",
     "text_lsh_hot_bucket_guard",
+    "pipeline_lm_quality_score",
 ]
 
 #: Each query is run once un-timed at the bench SF before the timed

@@ -951,3 +951,218 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_chunk.alias("first_chunk"),
         last_chunk.alias("last_chunk"),
     )
+
+
+@register(
+    "pipeline_lm_quality_score",
+    # Laplace-smoothed unigram LM scored per document, every stage in
+    # SQL: reference counts → min-count vocabulary → 1-row totals →
+    # token-level log prob (OOV bucket) → per-doc mean. The log-prob
+    # doubles are quantized to DECIMAL(18,6) BEFORE the per-doc sum
+    # (the repo float policy: order-independent, engine-exact), and
+    # the mean is emitted as a half-up milli-nat integer.
+    oracle=f"""
+    WITH ref AS (
+      SELECT unnest({_O_TOKS}) AS tok FROM documents WHERE doc_id % 5 = 0
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ref
+      GROUP BY tok HAVING COUNT(*) >= 2
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_cov,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM vocab
+    ),
+    tk AS (
+      SELECT doc_id, unnest({_O_TOKS}) AS tok FROM documents
+    ),
+    lp AS (
+      SELECT t.doc_id,
+             CAST(ln(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE)
+                     / (tot.n_cov + tot.v + 1))
+                  AS DECIMAL(18,6)) AS lp
+      FROM tk t CROSS JOIN tot LEFT JOIN vocab v ON v.tok = t.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(FLOOR((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1000.0 + 0.5)
+                AS BIGINT) AS mean_logprob_milli
+    FROM lp
+    GROUP BY doc_id
+    """,
+)
+def pipeline_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (the CCNet-style signal: documents
+    whose tokens are improbable under a reference-corpus language
+    model are boilerplate/noise candidates) — here a Laplace-smoothed
+    UNIGRAM model so the entire train+score pipeline stays in exact
+    SQL-checkable arithmetic:
+
+    - TRAIN: token counts over the reference slice (doc_id % 5 = 0),
+      vocabulary = tokens seen ≥ 2 times (a count threshold, not a
+      top-K global window — no single-task stage anywhere),
+    - SCORE: every document's mean token log-probability, OOV tokens
+      smoothed into one Laplace bucket; ln() is the one transcendental
+      and its per-token result is quantized to DECIMAL(18,6) before
+      the order-sensitive sum (float policy), the mean emitted as a
+      half-up milli-nat integer.
+
+    Scale shape: explode → count (map-side combined), the vocabulary
+    join is a plain equi-join AQE is free to broadcast (no hint —
+    vocabulary grows with the corpus, exactly the text_tfidf lesson),
+    the corpus totals ride a 1-row broadcast. Docs with zero tokens
+    have no probability and are absent from the output (same rows on
+    both engines)."""
+    d = t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        ref.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    tot = vocab.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_cov"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    tk = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    lp = (
+        tk.crossJoin(F.broadcast(tot))
+        .join(vocab, "tok", "left")
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_cov") + F.col("v") + 1)
+                )
+            ).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(
+            (F.sum("lp").cast("double") / F.count(F.lit(1))) * 1000.0 + 0.5
+        ).cast("long").alias("mean_logprob_milli"),
+    )
+
+
+_SPAN_N = 8  # span length in tokens (the dedup-span granularity knob)
+
+
+@register(
+    "pipeline_span_dedup_coverage",
+    # Cross-document duplicated-span coverage, every stage in SQL:
+    # positioned n-grams via list slicing → md5 span key → spans seen
+    # in ≥2 distinct docs → per-token coverage union → per-doc counts.
+    # Pure integer arithmetic throughout (permille via integer
+    # floor-division) — no float policy needed.
+    oracle=f"""
+    WITH tkd AS (
+      SELECT doc_id, {_O_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(toks) - {_SPAN_N} + 2)) AS BIGINT) - 1
+               AS pos,
+             toks
+      FROM tkd
+    ),
+    gk AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos + 1:pos + {_SPAN_N}], ' ')) AS gk
+      FROM g
+    ),
+    dup AS (
+      SELECT gk FROM gk GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, cpos FROM (
+        SELECT doc_id, pos + unnest(range({_SPAN_N})) AS cpos
+        FROM gk WHERE gk IN (SELECT gk FROM dup)
+      )
+    ),
+    ncov AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(n.n_covered, 0) AS n_covered,
+           (COALESCE(n.n_covered, 0) * 1000) // len(t.toks)
+             AS covered_permille
+    FROM tkd t LEFT JOIN ncov n ON n.doc_id = t.doc_id
+    WHERE len(t.toks) > 0
+    """,
+)
+def pipeline_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage (the 'Deduplicating Training Data Makes
+    Language Models Better' signal): for every document, how many of
+    its tokens sit inside an N-token span that also occurs VERBATIM in
+    at least one OTHER document. Cross-doc only — within-doc repetition
+    is `pipeline_repetition_signals`' job. Downstream use: drop or trim
+    docs whose covered_permille exceeds a policy threshold.
+
+    Stage shape, 100 TB view:
+
+    - positioned spans come from ONE array slice expression per doc
+      (`transform(sequence(...), i -> slice(toks, i+1, N))`) — whole
+      doc stays in its task, no window, no shuffle, full codegen;
+    - spans travel as md5 keys, so the duplicate-count shuffle carries
+      32 hex chars per span regardless of N (128-bit collisions are
+      below data-corruption rates — same contract as the minhash/md5
+      band keys);
+    - `count(distinct doc_id) >= 2` is a plain hash aggregate on the
+      span key; the dup-key set joins back as an equi-join AQE may
+      broadcast when small (no hint — duplicated-span cardinality
+      grows with the corpus);
+    - coverage is `explode(sequence(pos, pos+N-1))` + distinct — both
+      partition on doc_id-carrying keys, linear in tokens × N.
+
+    Docs with zero tokens have no spans and no denominator and are
+    absent from the output (same rows on both engines)."""
+    d = t(spark, sf_dir, "documents")
+    tkd = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    gk = tkd.filter(F.size("toks") >= _SPAN_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {_SPAN_N}),"
+                f" i -> struct(CAST(i AS BIGINT) AS pos,"
+                f" md5(array_join(slice(toks, i + 1, {_SPAN_N}), ' ')) AS gk))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gk").alias("gk"))
+    dup = (
+        gk.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gk")
+    )
+    cov = (
+        gk.join(dup, "gk")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _SPAN_N - 1)
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    ncov = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_covered"))
+    return (
+        tkd.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(ncov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+            F.expr("(coalesce(n_covered, 0) * 1000) div n_tokens").alias(
+                "covered_permille"
+            ),
+        )
+    )

@@ -93,6 +93,8 @@ PIPELINE_PROBE = [
     "dedup_band_index_append",
     "stream_dedup_index_probe",
     "pipeline_end_to_end",
+    "pipeline_lm_quality_score",
+    "pipeline_span_dedup_coverage",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

@@ -98,6 +98,12 @@ TEXT_QUERIES = [
     # oracle-green, not crash on them)
     "dedup_band_index_append",
     "stream_dedup_index_probe",
+    # zero-token docs have no LM probability: both engines must DROP
+    # them (not emit NULL means or divide by zero)
+    "pipeline_lm_quality_score",
+    # docs shorter than the span window have zero spans (empty range
+    # on both engines), zero-token docs are dropped entirely
+    "pipeline_span_dedup_coverage",
 ]
 
 

@@ -58,6 +58,7 @@ CROSS_OK = {
     "vec_ivf_tuned",            # broadcast cell/probe tables (k rows)
     "vec_ivf_search_tuned",     # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_probe",     # broadcast cell/probe tables (k rows)
+    "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -166,6 +167,10 @@ BROADCAST_HINT_OK = {
     "vec_ivf_search_tuned": "cell/probe tables (k rows) + bounded query sample",
     "vec_ivf_stored_probe": "cell/probe tables (k rows)",
     "vec_pq_knn": "bounded query side in the exact re-rank join",
+    "pipeline_lm_quality_score": (
+        "1-row vocabulary-totals aggregate (n_cov, v) — a scalar "
+        "subquery, not the vocabulary itself (which joins unhinted)"
+    ),
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
@@ -238,9 +243,9 @@ BROADCAST_SITES = {
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),
     "queries/pipeline.py": (
-        5,
+        6,
         "benchmark shingles + 1-row totals + bounded per-lang rates + "
-        "1-row keeper skip census",
+        "1-row keeper skip census + 1-row LM vocab-totals aggregate",
     ),
 }
 
