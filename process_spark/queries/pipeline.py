@@ -1166,3 +1166,360 @@ def pipeline_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _scrub_reassemble(tkd: DataFrame, cov: DataFrame) -> DataFrame:
+    """Shared scrub tail: drop the flagged (doc_id, cpos) token
+    positions from ``tkd`` (doc_id, toks) and re-emit each document as
+    space-joined surviving tokens, in original order.
+
+    Shape: posexplode → anti-join on the composite (doc_id, pos) key
+    (both sides doc_id-partitioned, AQE free to broadcast a small
+    flagged set) → one per-doc aggregate that collects (pos, tok)
+    structs and sorts WITHIN the row (array_sort on the struct's
+    leading pos field — no global or per-doc window, ordering cost is
+    per-row in the aggregate's own task)."""
+    tok = tkd.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = tok.join(
+        cov,
+        (tok.doc_id == cov.c_doc_id) & (tok.pos == cov.cpos),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))),"
+                   " s -> s.tok)"),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        tkd.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+#: DuckDB twin of _scrub_reassemble, parameterized on the CTE names:
+#: expects `tkd(doc_id, toks)` (the docs to scrub) and
+#: `cov(doc_id, cpos)` (flagged 0-based token positions) to be defined
+#: upstream in the WITH chain.
+_O_SCRUB_TAIL = """
+    tokv AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) - 1 AS pos,
+             toks
+      FROM tkd
+    ),
+    tok AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tokv),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM tok t
+      ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM tkd d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@register(
+    "pipeline_contamination_scrub",
+    oracle=f"""
+    WITH alltk AS (
+      SELECT doc_id, source, {_O_TOKS} AS toks FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT array_to_string(toks[i:i + 2], ' ') AS g
+      FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM alltk WHERE source = 'src0')
+    ),
+    tkd AS (SELECT doc_id, toks FROM alltk WHERE source <> 'src0'),
+    gr AS (
+      SELECT doc_id, pos, array_to_string(toks[pos + 1:pos + 3], ' ') AS g
+      FROM (SELECT doc_id,
+                   CAST(unnest(range(1, len(toks) - 1)) AS BIGINT) - 1 AS pos,
+                   toks
+            FROM tkd)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, cpos FROM (
+        SELECT doc_id, pos + unnest(range(3)) AS cpos
+        FROM gr WHERE g IN (SELECT g FROM bench)
+      )
+    ),
+    {_O_SCRUB_TAIL}
+    """,
+)
+def pipeline_contamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, the APPLY step: where
+    `pipeline_contamination_check` only flags corpus docs sharing a
+    word 3-gram with the benchmark set (source = src0), this emits the
+    cleaned corpus — every token inside a contaminated 3-gram window
+    removed, the survivors re-joined into `clean_text` in original
+    order (the span-removal decontamination used for eval suites,
+    rather than dropping whole documents and losing their clean
+    remainder).
+
+    Scale shape: the benchmark 3-gram set is an eval suite — bounded
+    by construction, NOT corpus-scaled — so it rides a broadcast
+    (allowlisted); corpus grams are positioned by one array-slice
+    transform per doc (codegen, no window); flagged positions explode
+    to at most 3 rows per hit; the anti-join and the reassembly
+    aggregate both partition on doc_id. Zero-token and fully-scrubbed
+    docs stay in the output with clean_text = '' (the doc survives
+    with its remainder — even an empty one — on both engines)."""
+    d = t(spark, sf_dir, "documents")
+    alltk = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    bench = (
+        alltk.filter(F.col("source") == "src0")
+        .select(
+            F.explode(word_ngrams(F.col("toks"), 3)).alias("g")
+        )
+        .distinct()
+    )
+    tkd = alltk.filter(F.col("source") != "src0").select("doc_id", "toks")
+    gr = tkd.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> struct(CAST(i AS BIGINT) AS pos,"
+                " array_join(slice(toks, i + 1, 3), ' ') AS g))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    # Same bounded-benchmark broadcast contract as
+    # pipeline_contamination_check (see its docstring + the lint
+    # allowlist): the hinted side is the eval suite, never the corpus.
+    cov = (
+        gr.join(F.broadcast(bench), "g")
+        .select(
+            F.col("doc_id").alias("c_doc_id"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias(
+                "cpos"
+            ),
+        )
+        .distinct()
+    )
+    return _scrub_reassemble(tkd, cov)
+
+
+@register(
+    "pipeline_span_scrub",
+    oracle=f"""
+    WITH tkd AS (
+      SELECT doc_id, {_O_TOKS} AS toks FROM documents
+    ),
+    gk AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos + 1:pos + {_SPAN_N}], ' ')) AS gk
+      FROM (SELECT doc_id,
+                   CAST(unnest(range(1, len(toks) - {_SPAN_N} + 2)) AS BIGINT)
+                     - 1 AS pos,
+                   toks
+            FROM tkd)
+    ),
+    dup AS (
+      SELECT gk FROM gk GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, cpos FROM (
+        SELECT doc_id, pos + unnest(range({_SPAN_N})) AS cpos
+        FROM gk WHERE gk IN (SELECT gk FROM dup)
+      )
+    ),
+    {_O_SCRUB_TAIL}
+    """,
+)
+def pipeline_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal, the APPLY step paired with
+    `pipeline_span_dedup_coverage`: every token inside an N-token span
+    that occurs verbatim in at least one OTHER document is removed
+    from ALL documents carrying it, and the survivors re-join into
+    `clean_text` (the span-level dedup action — no doc is dropped, the
+    duplicated boilerplate is cut out of each).
+
+    Same stage shapes as the coverage query (positioned spans from one
+    array-slice transform, md5 span keys on the duplicate-count
+    shuffle, unhinted dup-set join) composed with the shared
+    doc_id-partitioned scrub tail. Docs with zero tokens or below the
+    span window pass through unmodified (clean_text = original
+    tokens)."""
+    d = t(spark, sf_dir, "documents")
+    tkd = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    gk = tkd.filter(F.size("toks") >= _SPAN_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {_SPAN_N}),"
+                f" i -> struct(CAST(i AS BIGINT) AS pos,"
+                f" md5(array_join(slice(toks, i + 1, {_SPAN_N}), ' ')) AS gk))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gk").alias("gk"))
+    dup = (
+        gk.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gk")
+    )
+    cov = (
+        gk.join(dup, "gk")
+        .select(
+            F.col("doc_id").alias("c_doc_id"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _SPAN_N - 1)
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    return _scrub_reassemble(tkd, cov)
+
+
+@register(
+    "pipeline_mixture_temperature",
+    # Temperature-scaled (alpha = 0.5) domain mixture. sqrt is the ONE
+    # transcendental-ish op and it is IEEE-exact-rounded on both
+    # engines (unlike pow(x, alpha), whose libm results can differ by
+    # an ulp — the reason alpha is hardwired to 0.5 here); its output
+    # is quantized to DECIMAL(18,9) before the order-sensitive
+    # normalization sum (the repo float policy).
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_O_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM g),
+    s AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / tot.total AS actual_frac,
+             CAST(sqrt(CAST(n_tokens AS DOUBLE) / tot.total)
+                  AS DECIMAL(18,9)) AS sd
+      FROM g CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(sd) AS zsum FROM s)
+    SELECT lang, n_docs, n_tokens, actual_frac,
+           CAST(sd AS DOUBLE) / CAST(z.zsum AS DOUBLE) AS target_frac,
+           (CAST(sd AS DOUBLE) / CAST(z.zsum AS DOUBLE)) / actual_frac
+             AS sample_weight
+    FROM s CROSS JOIN z
+    """,
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-LM sampling
+    rule: p_l^alpha renormalized, upweighting low-resource domains
+    without letting any dominate). alpha is hardwired to 0.5 — sqrt is
+    IEEE exact-rounded so both engines produce bit-identical scaled
+    masses, where a general pow(p, alpha) is only ~1 ulp reproducible
+    across libms; a deployment wanting a different alpha extends this with
+    the same quantize-before-sum policy and a tolerance check instead
+    of a hash oracle.
+
+    Shape mirror of `pipeline_domain_mixture`: one corpus aggregate to
+    the per-language table, then two 1-row aggregates (total tokens,
+    normalization constant) broadcast back onto it — the per-language
+    table is bounded by language cardinality, never corpus-scaled.
+    The sqrt outputs are DECIMAL(18,9)-quantized BEFORE the
+    normalization sum so the sum is order-independent."""
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    s = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("__total")).alias(
+            "actual_frac"
+        ),
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("__total"))
+        .cast("decimal(18,9)")
+        .alias("sd"),
+    )
+    z = s.agg(F.sum("sd").alias("__zsum"))
+    return s.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "actual_frac",
+        (F.col("sd").cast("double") / F.col("__zsum").cast("double")).alias(
+            "target_frac"
+        ),
+        (
+            (F.col("sd").cast("double") / F.col("__zsum").cast("double"))
+            / F.col("actual_frac")
+        ).alias("sample_weight"),
+    )
+
+
+@register(
+    "pipeline_source_overlap",
+    # Source-by-source shared-content matrix in SQL: normalized
+    # content key → distinct (key, source) → within-key source pairs
+    # (ordered a < b) → per-pair distinct-content counts. Pure
+    # integer/string arithmetic.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT source,
+             md5(array_to_string({_O_TOKS}, ' ')) AS ck
+      FROM documents WHERE len({_O_TOKS}) > 0
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_contents
+    FROM h a JOIN h b ON a.ck = b.ck AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (the provenance/governance
+    signal: which sources mirror each other's content, and how much) —
+    for every ordered source pair (src_a < src_b), the number of
+    distinct normalized document contents present in BOTH. Downstream
+    use: pick a canonical source per mirrored pair before dedup, or
+    drop a source that is a strict subset of another.
+
+    Shape: content identity is one md5 over the normalized token
+    stream (same normalization as exact content dedup), deduplicated
+    to distinct (content, source) BEFORE the pair stage, so the
+    self-equi-join on the content key fans out at most
+    |sources|-per-key — bounded by source cardinality, never by how
+    many times a content repeats inside a source. The join and the
+    final aggregate both shuffle on bounded-width keys (32-hex md5,
+    source names); zero-token docs are excluded (an empty content
+    string is not 'shared content')."""
+    d = t(spark, sf_dir, "documents")
+    h = (
+        d.select(
+            "source",
+            F.md5(F.array_join(tokens(F.col("text")), " ")).alias("ck"),
+        )
+        .filter(F.length("ck").isNotNull() & (F.size(tokens(F.col("text"))) > 0))
+        .distinct()
+    )
+    a = h.select(F.col("ck"), F.col("source").alias("src_a"))
+    b = h.select(F.col("ck"), F.col("source").alias("src_b"))
+    return (
+        a.join(b, "ck")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+    )

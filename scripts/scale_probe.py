@@ -95,6 +95,10 @@ PIPELINE_PROBE = [
     "pipeline_end_to_end",
     "pipeline_lm_quality_score",
     "pipeline_span_dedup_coverage",
+    "pipeline_contamination_scrub",
+    "pipeline_span_scrub",
+    "pipeline_mixture_temperature",
+    "pipeline_source_overlap",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

@@ -104,6 +104,13 @@ TEXT_QUERIES = [
     # docs shorter than the span window have zero spans (empty range
     # on both engines), zero-token docs are dropped entirely
     "pipeline_span_dedup_coverage",
+    # scrubs must pass zero-token / sub-window docs through with
+    # clean_text = '' / original tokens, not drop or crash on them
+    "pipeline_contamination_scrub",
+    "pipeline_span_scrub",
+    # zero-token docs excluded; the srcY mirrors must appear (the
+    # non-vacuity test below pins that)
+    "pipeline_source_overlap",
 ]
 
 
@@ -157,6 +164,14 @@ def adversarial_dir():
         ("   \t  \n ", "en", "srcX"),  # whitespace-only
         ("solo", "en", "srcX"),        # single token < shingle window
         ("two tokens", "de", "srcX"),  # below 3-gram window
+    ]
+    # cross-source mirrors: two existing texts re-published under a
+    # source that does not otherwise exist — pipeline_source_overlap
+    # must report the (orig_source, srcY) pairs, and the span/LSH
+    # dedup queries must treat them as ordinary cross-doc duplicates
+    extras += [
+        (str(ddf["text"].iloc[0]), "en", "srcY"),
+        (str(ddf["text"].iloc[1]), "fr", "srcY"),
     ]
     drows = {
         "doc_id": list(ddf["doc_id"]) + [dmax + 1 + i for i in range(len(extras))],
@@ -348,3 +363,29 @@ def test_simhash_guard_bounds_boilerplate_bucket(spark):
     small = {(r["id_a"], r["id_b"]) for r in out}
     assert small == {(10_000, 10_001), (10_000, 10_002), (10_001, 10_002)}
     assert all(r["hamming"] == 0 for r in out)
+
+
+def test_source_overlap_not_vacuous(spark, adversarial_dir):
+    """pipeline_source_overlap returns 0 rows on the pristine testdata
+    (no cross-source exact duplicates exist there) — the srcY mirrors
+    in this fixture are what actually exercise the pair join, so pin
+    that they show up."""
+    from process_spark.queries.registry import REGISTRY
+
+    import pyarrow.parquet as pq
+
+    rows = (
+        REGISTRY["pipeline_source_overlap"].fn(spark, adversarial_dir).collect()
+    )
+    pairs = {(r["src_a"], r["src_b"]) for r in rows}
+    # derive the expected pairs from the fixture itself (the mirrored
+    # texts' original sources depend on driver-generated testdata)
+    ddf = pq.read_table(
+        os.path.join(adversarial_dir, "documents.parquet")
+    ).to_pandas()
+    mirrored_srcs = set(ddf["source"].iloc[:2])
+    expected = {tuple(sorted((s, "srcY"))) for s in mirrored_srcs}
+    assert pairs == expected, rows
+    assert all(b == "srcY" for _, b in pairs), rows
+    total_shared = sum(r["n_shared_contents"] for r in rows)
+    assert total_shared == 2, rows

@@ -59,6 +59,7 @@ CROSS_OK = {
     "vec_ivf_search_tuned",     # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_probe",     # broadcast cell/probe tables (k rows)
     "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
+    "pipeline_mixture_temperature",  # two 1-row aggregate broadcasts
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -171,6 +172,14 @@ BROADCAST_HINT_OK = {
         "1-row vocabulary-totals aggregate (n_cov, v) — a scalar "
         "subquery, not the vocabulary itself (which joins unhinted)"
     ),
+    "pipeline_contamination_scrub": (
+        "benchmark eval-suite 3-grams — same fixed external set as "
+        "pipeline_contamination_check, does not grow with the corpus"
+    ),
+    "pipeline_mixture_temperature": (
+        "1-row total-tokens and 1-row normalization-constant "
+        "aggregates onto the bounded per-language table"
+    ),
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
@@ -243,9 +252,11 @@ BROADCAST_SITES = {
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),
     "queries/pipeline.py": (
-        6,
-        "benchmark shingles + 1-row totals + bounded per-lang rates + "
-        "1-row keeper skip census + 1-row LM vocab-totals aggregate",
+        9,
+        "benchmark shingles (check + scrub) + 1-row totals + bounded "
+        "per-lang rates + 1-row keeper skip census + 1-row LM "
+        "vocab-totals aggregate + 2 1-row mixture-temperature "
+        "aggregates",
     ),
 }
 
