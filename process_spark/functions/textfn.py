@@ -172,3 +172,28 @@ def simhash64(toks: Column | str, base_hash: str = "xxhash64") -> Column:
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
     return sig
+
+
+#: GPT-2-style pretokenizer regex, simplified to the subset with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): ordered
+#: alternation, no lookaheads (RE2 has none — the upstream pattern's
+#: trailing-space lookahead is dropped), ASCII classes. Branches:
+#: contraction suffixes, space-prefixed letter runs, digit runs,
+#: punctuation runs, residual whitespace runs.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: the number of pretokenizer pieces under
+    BPE_SPLIT_PATTERN — the 'how many LLM tokens will this roughly be'
+    signal (an upper-ish bound: real BPE merges within pieces, never
+    across them). Pure Column expression, stays in codegen."""
+    return F.size(
+        F.regexp_extract_all(_c(text), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    )

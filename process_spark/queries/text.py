@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from process_spark.functions.textfn import (
+    bpe_token_count,
     language_guess,
     quality_signals,
     tokens,
@@ -943,3 +944,44 @@ def dedup_band_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 3 == 2), "doc_id", "text", **kw
     ).localCheckpoint(eager=False)
     return cand1.unionByName(probe_candidates(stored2, b2_idx, 2))
+
+
+@register(
+    "text_bpe_token_count",
+    # Whitespace vs word vs BPE-ish pretokenizer counts, all three as
+    # regex/list expressions DuckDB replays exactly (RE2 and Java regex
+    # agree on the lookahead-free ordered alternation — see
+    # functions/textfn.BPE_SPLIT_PATTERN).
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+           CAST(len({_O_TOKS}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+             AS BIGINT) AS n_bpe_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O73+ — token COUNTING three ways (the budget signals a training
+    pipeline sizes datasets with): whitespace split, word tokens (the
+    repo tokenizer), and a BPE-ish pretokenizer count
+    (functions/textfn.BPE_SPLIT_PATTERN — GPT-2-style ordered
+    alternation without the RE2-incompatible lookahead; real BPE
+    merges only WITHIN these pieces, so the piece count tracks the
+    LLM token count's shape). All three are pure Column expressions —
+    one codegen'd scan projection, no UDF, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0
+            )
+        ).cast("long").alias("n_ws_tokens"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

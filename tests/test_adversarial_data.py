@@ -111,6 +111,9 @@ TEXT_QUERIES = [
     # zero-token docs excluded; the srcY mirrors must appear (the
     # non-vacuity test below pins that)
     "pipeline_source_overlap",
+    # empty text → 0 everywhere; whitespace-only text → n_ws_tokens 0
+    # but n_bpe_tokens 1 (the residual \\s+ branch) on BOTH engines
+    "text_bpe_token_count",
 ]
 
 

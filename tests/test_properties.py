@@ -345,3 +345,36 @@ def test_iterative_ops_with_reliable_checkpoint_dir(spark, tmp_path):
     assert {(r["vec_id"], r["cell_id"]) for r in a1.collect()} == {
         (r["vec_id"], r["cell_id"]) for r in a2.collect()
     }
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # printable ASCII incl. space + the contraction apostrophe;
+            # exercises every alternation branch of BPE_SPLIT_PATTERN
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_token_count_matches_python(spark, texts):
+    """Three-way agreement on the BPE-ish pretokenizer: the Spark
+    Column expression (Java regex) must match Python's `re` on the
+    same pattern (the DuckDB/RE2 side is pinned by the
+    text_bpe_token_count oracle) — ordered alternation without
+    lookaheads is the portable subset all three engines share."""
+    import re
+
+    from process_spark.functions.textfn import (
+        BPE_SPLIT_PATTERN,
+        bpe_token_count,
+    )
+
+    got = _col_eval(spark, texts, "x string", bpe_token_count)
+    pat = re.compile(BPE_SPLIT_PATTERN)
+    for s, g in zip(texts, got):
+        assert g == len(pat.findall(s)), repr(s)
