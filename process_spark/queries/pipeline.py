@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from process_spark.functions.textfn import tokens, word_ngrams
+from process_spark.functions.textfn import bpe_token_count, tokens, word_ngrams
 from process_spark.operators.dedup import (
     connected_components,
     jaccard_pairs,
@@ -442,6 +442,46 @@ def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_reason_expr() -> "F.Column":
+    """The quality gate's first-failing-rule CASE over the metric
+    columns (nc, n_tokens, n_distinct, mean_token_len) — shared by
+    pipeline_quality_filter and pipeline_source_quality_report so the
+    two can never disagree on what 'keep' means."""
+    return (
+        F.when(F.col("nc") < 100, "too_short")
+        .when(F.col("n_tokens") < 20, "too_few_tokens")
+        .when(
+            (F.col("mean_token_len") < 2.0) | (F.col("mean_token_len") > 12.0),
+            "weird_tokens",
+        )
+        .when(
+            F.col("n_distinct").cast("double") / F.col("n_tokens") < 0.3,
+            "repetitive",
+        )
+        .otherwise("keep")
+    )
+
+
+def _quality_metrics(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-doc quality metric projection feeding _quality_reason_expr
+    (one scan, pure per-row expressions)."""
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        *extra_cols,
+        F.length("text").alias("nc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast(
+                "double"
+            )
+            / F.size(toks),
+        ).alias("mean_token_len"),
+    )
+
+
 @register(
     "pipeline_quality_filter",
     oracle=f"""
@@ -481,28 +521,8 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rule cuts agree bitwise across engines; one scan, no shuffle
     at all (pure per-row expressions)."""
     d = t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    m = d.select(
-        "doc_id",
-        F.length("text").alias("nc"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.when(
-            F.size(toks) > 0,
-            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
-            / F.size(toks),
-        ).alias("mean_token_len"),
-    )
-    reason = (
-        F.when(F.col("nc") < 100, "too_short")
-        .when(F.col("n_tokens") < 20, "too_few_tokens")
-        .when(
-            (F.col("mean_token_len") < 2.0) | (F.col("mean_token_len") > 12.0),
-            "weird_tokens",
-        )
-        .when(F.col("n_distinct").cast("double") / F.col("n_tokens") < 0.3, "repetitive")
-        .otherwise("keep")
-    )
+    m = _quality_metrics(d)
+    reason = _quality_reason_expr()
     return m.select(
         "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
     )
@@ -1522,4 +1542,143 @@ def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+    )
+
+
+_STRAT_K = 50  # per-stratum sample budget
+
+
+@register(
+    "pipeline_stratified_sample",
+    # Deterministic per-language top-k by content-keyed hash rank —
+    # the whole selection is one QUALIFY-style window DuckDB replays
+    # exactly (md5 over the stringified id is engine-identical, and
+    # the trailing doc_id order key makes the rank total even under
+    # hash collisions).
+    oracle=f"""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {_STRAT_K}
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: exactly K documents per
+    language, chosen by md5-of-id rank — the 'carve a fixed eval/dev
+    set per stratum' step. Content-keyed and PRNG-free like
+    `pipeline_mixture_sample` (same contract: identical on every
+    run/engine, re-executed partitions cannot change the pick), but
+    with an EXACT per-stratum count where the rate-based sampler only
+    hits its budget in expectation.
+
+    Scale shape: row_number over (lang) would naively stream whole
+    languages through single tasks, but the `rank <= K` filter
+    compiles to WindowGroupLimit (Spark takes per-PARTITION top-K
+    before the lang shuffle), so the exchange carries at most
+    K rows per (language, input partition) — the same plan shape the
+    ANN top-k relies on. The trailing doc_id order key keeps the rank
+    total under md5 collisions."""
+    from process_spark.operators.relational import topk_per_group
+
+    d = t(spark, sf_dir, "documents")
+    ranked = topk_per_group(
+        d.select("doc_id", "lang"),
+        ["lang"],
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        _STRAT_K,
+        rank_col="sample_rank",
+        keep_rank=True,
+    )
+    return ranked.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+@register(
+    "pipeline_source_quality_report",
+    # Per-source audit card, all counts integers: doc/token/BPE-token
+    # totals, quality-gate pass count (the same CASE as
+    # pipeline_quality_filter's oracle), exact-duplicate membership
+    # (content md5 seen >= 2 times corpus-wide).
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             LENGTH(text) AS nc,
+             {_O_TOKS} AS toks,
+             CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+               AS BIGINT) AS n_bpe,
+             {_O_KEEP} AS keep,
+             md5(array_to_string({_O_TOKS}, ' ')) AS ck
+      FROM documents
+    ),
+    dup AS (
+      SELECT ck FROM base WHERE len(toks) > 0
+      GROUP BY ck HAVING COUNT(*) >= 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_pass,
+           CAST(SUM(CASE WHEN len(toks) > 0
+                          AND ck IN (SELECT ck FROM dup)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+    FROM base GROUP BY source
+    """,
+)
+def pipeline_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data audit card — the governance table a pipeline
+    owner reads before deciding which sources to keep, reweight, or
+    re-crawl: document/word-token/BPE-token budgets, how many docs
+    clear the quality gate (the SAME first-failing-rule predicate as
+    `pipeline_quality_filter`, via the shared helper), and how many
+    participate in an exact-duplicate group corpus-wide.
+
+    Shape: one metric projection per doc (scan-fused, no UDF), one
+    hash aggregate on the content key for the duplicate census, one
+    equi-join to mark members (AQE may broadcast the dup-key set — no
+    hint, duplicate cardinality grows with the corpus), one final
+    per-source aggregate. Zero-token docs count toward docs/tokens but
+    can never be 'exact duplicates' of each other (an empty token
+    stream is not shared content — same rule as
+    pipeline_source_overlap)."""
+    d = t(spark, sf_dir, "documents")
+    # ONE fused projection — joining separate metric/content
+    # projections of the same table back on doc_id would shuffle the
+    # whole corpus for nothing.
+    base = _quality_metrics(
+        d.withColumn("n_bpe", bpe_token_count(F.col("text")).cast("long"))
+        .withColumn("ck", F.md5(F.array_join(tokens(F.col("text")), " "))),
+        "source",
+        "n_bpe",
+        "ck",
+    ).select(
+        "*",
+        (_quality_reason_expr() == "keep").alias("keep"),
+        (F.col("n_tokens") > 0).alias("has_toks"),
+    )
+    dup = (
+        base.filter(F.col("has_toks"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("ck", F.lit(True).alias("is_dup"))
+    )
+    marked = base.join(dup, "ck", "left")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_bpe").alias("n_bpe_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias(
+            "n_quality_pass"
+        ),
+        F.sum(
+            F.when(F.col("has_toks") & F.col("is_dup").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_exact_dup"),
     )

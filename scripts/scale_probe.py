@@ -99,6 +99,8 @@ PIPELINE_PROBE = [
     "pipeline_span_scrub",
     "pipeline_mixture_temperature",
     "pipeline_source_overlap",
+    "pipeline_stratified_sample",
+    "pipeline_source_quality_report",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

@@ -114,6 +114,13 @@ TEXT_QUERIES = [
     # empty text → 0 everywhere; whitespace-only text → n_ws_tokens 0
     # but n_bpe_tokens 1 (the residual \\s+ branch) on BOTH engines
     "text_bpe_token_count",
+    # per-source counts over degenerate docs; zero-token docs are
+    # never exact-dup members (srcX holds two of them — they must NOT
+    # pair on the empty content key)
+    "pipeline_source_quality_report",
+    # deterministic per-lang top-k unaffected by appended rows beyond
+    # rank shifts — both engines agree on the md5 order
+    "pipeline_stratified_sample",
 ]
 
 

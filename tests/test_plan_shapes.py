@@ -369,3 +369,26 @@ def test_registered_band_index_probe_prunes_partitions(spark):
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "band_bucket" in pf, plan
     assert df.count() > 0
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """pipeline_stratified_sample's rank <= K filter must compile to a
+    PARTIAL WindowGroupLimit below the lang exchange (map-side top-K:
+    at most K rows per (lang, input partition) cross the shuffle) —
+    otherwise the per-language window streams whole languages through
+    single tasks at 100 TB."""
+    from process_spark.queries.registry import REGISTRY
+
+    plan = (
+        REGISTRY["pipeline_stratified_sample"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    partial = plan.index(", Partial")
+    exchange = plan.index("Exchange hashpartitioning(lang")
+    # plan prints top-down: the Partial group-limit sits BELOW (after)
+    # the exchange line
+    assert partial > exchange, plan
