@@ -1326,3 +1326,98 @@ def pq_search(
             & ~F.isnan("score")
         )
     )
+
+
+def sq8_train(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> "tuple[list, list]":
+    """O68 — SCALAR-QUANTIZATION calibration: per-DIMENSION min/max
+    over the corpus (the affine int8 quantization grid — the simplest
+    of the compressed-index family, 4× smaller than float32 with no
+    codebook training). Returns (mins, maxes) as plain float lists of
+    length d. The collect is d rows — bounded by the vector dimension
+    BY CONSTRUCTION, never by corpus size (the aggregate itself is a
+    map-side-combined groupBy over the exploded elements)."""
+    expl = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+    )
+    rows = (
+        expl.groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def _sq8_code(vec: Column, mins: list, maxes: list) -> Column:
+    """Affine-quantize a vector Column to integer codes 0..255 against
+    the (mins, maxes) grid: floor((x-mn)/(mx-mn)*255 + 0.5), constant
+    dims → 0. Every step is one IEEE double op on identical operands,
+    so the codes are bit-identical across engines (the property the
+    SQL oracle relies on)."""
+    mn_l, mx_l = F.lit(mins), F.lit(maxes)
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x, i: F.when(
+            F.element_at(mx_l, i + 1) > F.element_at(mn_l, i + 1),
+            F.floor(
+                (x - F.element_at(mn_l, i + 1))
+                / (F.element_at(mx_l, i + 1) - F.element_at(mn_l, i + 1))
+                * 255.0
+                + 0.5
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def sq8_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mins: list,
+    maxes: list,
+    k: int = 10,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """O68 — int8 ADC k-NN: both sides quantize onto the shared grid
+    and score with an INTEGER dot product over the codes (exact
+    arithmetic — unlike float ADC, the ranking is reproducible
+    bit-for-bit and SQL-checkable end to end). The corpus codes never
+    shuffle: the bounded query side broadcasts (same contract as
+    brute_force_knn), each corpus partition scores map-side, and the
+    rank <= k filter compiles to a partial WindowGroupLimit so only k
+    rows per (query, partition) cross the exchange. Self-matches are
+    excluded. For recall-critical use, exact re-rank of the ADC top-C
+    composes exactly like pq_search's phase 2."""
+    from process_spark.operators.relational import topk_per_group
+
+    qq = queries.select(
+        query_id, _sq8_code(F.col(query_vec), mins, maxes).alias("__qq")
+    )
+    qc = corpus.select(
+        corpus_id, _sq8_code(F.col(corpus_vec), mins, maxes).alias("__qc")
+    )
+    scored = (
+        qc.crossJoin(F.broadcast(qq))
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            F.aggregate(
+                F.zip_with("__qq", "__qc", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("adc_score"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        [query_id],
+        [F.desc("adc_score"), F.col(corpus_id)],
+        k,
+        rank_col="rn",
+        keep_rank=True,
+    ).withColumn("rn", F.col("rn").cast("long"))

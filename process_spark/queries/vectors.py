@@ -1319,3 +1319,67 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+@register(
+    "vec_sq8_knn",
+    # The WHOLE scalar-quantization lifecycle replayed in SQL:
+    # per-dim min/max grid → affine int8 codes (floor half-up over
+    # identical IEEE double ops) → integer ADC dot product → top-k.
+    # Integer scores make this the one compressed-index variant with
+    # an exact hash oracle (PQ's float ADC is rows-only).
+    oracle="""
+    WITH ed AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT vec_id, i, emb[i] AS x
+      FROM (SELECT vec_id, emb,
+                   CAST(unnest(range(1, len(emb) + 1)) AS BIGINT) AS i
+            FROM ed)
+    ),
+    mmx AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM expl GROUP BY i),
+    qc AS (
+      SELECT e.vec_id, e.i,
+             CASE WHEN m.mx > m.mn
+                  THEN CAST(FLOOR((e.x - m.mn) / (m.mx - m.mn) * 255.0 + 0.5)
+                            AS BIGINT)
+                  ELSE 0 END AS qv
+      FROM expl e JOIN mmx m ON m.i = e.i
+    ),
+    qq AS (SELECT * FROM qc WHERE vec_id % 100 = 0),
+    adc AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             CAST(SUM(q.qv * c.qv) AS BIGINT) AS adc_score
+      FROM qq q JOIN qc c ON q.i = c.i AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT q_id, vec_id, adc_score, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY adc_score DESC, vec_id
+      ) AS BIGINT) AS rn FROM adc
+    ) WHERE rn <= 10
+    """,
+)
+def vec_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 — SCALAR-QUANTIZATION (int8) k-NN, the third compressed
+    index beside IVF and PQ: per-dimension affine quantization to one
+    byte (4× smaller than float32, no codebook training), integer ADC
+    scoring. Because the codes AND the dot products are exact
+    integers, the ENTIRE lifecycle — calibration grid, encoding,
+    scoring, ranking — hash-matches a DuckDB replay; PQ can't do that
+    (float ADC), which is why this variant carries the family's
+    end-to-end oracle. Scale: corpus codes never shuffle (bounded
+    query broadcast + map-side integer fold + partial WindowGroupLimit
+    before the q_id exchange); the d-row min/max collect is bounded by
+    the vector DIMENSION, not the corpus."""
+    from process_spark.operators.similarity import sq8_search, sq8_train
+
+    e = t(spark, sf_dir, "embeddings")
+    mins, maxes = sq8_train(e)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return sq8_search(q, e, mins, maxes, k=10)

@@ -101,6 +101,7 @@ PIPELINE_PROBE = [
     "pipeline_source_overlap",
     "pipeline_stratified_sample",
     "pipeline_source_quality_report",
+    "vec_sq8_knn",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -112,6 +113,9 @@ QUADRATIC_BY_DESIGN = {
     "vec_knn_bruteforce": "both query set and corpus grow 10x; "
     "brute-force scoring is O(|Q| x |C|) BY DEFINITION - the bucketed "
     "ANN path (vec_ann_srp_bucketed) is the scale answer",
+    "vec_sq8_knn": "same O(|Q| x |C|) scoring shape as brute force - "
+    "the int8 codes cut bytes-per-pair 4x, not the pair count; compose "
+    "with IVF cell pruning when the corpus outgrows full scans",
     "dedup_connected_components": "replicated docs are true near-dups; "
     "the edge set (exact Jaccard pairs within blocks) grows "
     "~quadratically per duplicated doc before components form",

@@ -68,6 +68,9 @@ VEC_QUERIES = [
     "vec_pq_knn",
     "vec_ivf_stored_probe",
     "pipeline_semantic_dedup_ivf_soft",
+    # int8 ADC over degenerate vectors: constant dims quantize to 0
+    # on both engines, the integer oracle must stay hash-green
+    "vec_sq8_knn",
 ]
 
 # Text queries over the degenerate-documents table: empty text,

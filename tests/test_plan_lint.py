@@ -60,6 +60,7 @@ CROSS_OK = {
     "vec_ivf_stored_probe",     # broadcast cell/probe tables (k rows)
     "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
     "pipeline_mixture_temperature",  # two 1-row aggregate broadcasts
+    "vec_sq8_knn",              # broadcast query side (bounded sample)
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -180,6 +181,7 @@ BROADCAST_HINT_OK = {
         "1-row total-tokens and 1-row normalization-constant "
         "aggregates onto the bounded per-language table"
     ),
+    "vec_sq8_knn": "query side (fixed 1% id sample, bounded)",
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
@@ -234,11 +236,12 @@ BROADCAST_SITES = {
         "and jaccard_pairs block guard — same contract)",
     ),
     "operators/similarity.py": (
-        10,
+        11,
         "k-row cell/probe/centroid tables + bounded query side "
         "(incl. 1 docstring mention of the contract; +2 in "
         "ivf_tune_n_probe, +1 in soft_assign_cells, +1 in pq_search's "
-        "re-rank: same k-row / bounded-query broadcasts)",
+        "re-rank, +1 in sq8_search: same k-row / bounded-query "
+        "broadcasts)",
     ),
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
