@@ -1257,9 +1257,9 @@ _O_SCRUB_TAIL = """
 """
 
 
-@register(
-    "pipeline_contamination_scrub",
-    oracle=f"""
+#: The full contamination-scrub statement (also embedded as a
+#: subquery by pipeline_scrubbed_pack's composite oracle).
+_O_CONTAMINATION_SCRUB = f"""
     WITH alltk AS (
       SELECT doc_id, source, {_O_TOKS} AS toks FROM documents
     ),
@@ -1283,7 +1283,12 @@ _O_SCRUB_TAIL = """
       )
     ),
     {_O_SCRUB_TAIL}
-    """,
+"""
+
+
+@register(
+    "pipeline_contamination_scrub",
+    oracle=_O_CONTAMINATION_SCRUB,
 )
 def pipeline_contamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination, the APPLY step: where
@@ -1681,4 +1686,89 @@ def pipeline_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(
             F.when(F.col("has_toks") & F.col("is_dup").isNotNull(), 1).otherwise(0)
         ).cast("long").alias("n_exact_dup"),
+    )
+
+
+@register(
+    "pipeline_scrubbed_pack",
+    # Composite: the contamination-scrub statement rides verbatim as a
+    # subquery; the quality CASE and the packing window then run over
+    # the CLEANED text — the hash checks the hand-offs (scrubbed token
+    # streams feeding the gate, the gate's survivors feeding the
+    # offsets), not just each stage alone.
+    oracle=f"""
+    WITH scrubbed AS (
+      SELECT * FROM ({_O_CONTAMINATION_SCRUB})
+    ),
+    q AS (
+      SELECT s.doc_id, d.source, s.clean_text AS text
+      FROM scrubbed s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    kept AS (
+      SELECT doc_id, source, CAST(len({_O_TOKS}) AS BIGINT) AS n_tokens
+      FROM q WHERE {_O_KEEP}
+    ),
+    offs AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM kept
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // {_PACK_CAP} AS first_chunk,
+           CASE WHEN n_tokens = 0 THEN start_offset // {_PACK_CAP}
+                ELSE (start_offset + n_tokens - 1) // {_PACK_CAP}
+           END AS last_chunk
+    FROM offs
+    """,
+)
+def pipeline_scrubbed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminate-then-pack: the training-set build a benchmark-
+    hygiene-conscious pipeline runs — contamination scrub (every
+    token inside a benchmark-shared 3-gram removed), quality gate
+    re-evaluated on the CLEANED text (a doc that was mostly benchmark
+    contamination now fails too_short/too_few_tokens — exactly the
+    intended behavior), and sequence packing of the survivors' cleaned
+    token counts. Complements `pipeline_end_to_end` (quality → dedup →
+    pack on raw text): here the scrub CHANGES the text between stages,
+    so the oracle's hash proves the cleaned token streams — not the
+    originals — are what the gate and the offsets consume.
+
+    Scale shape: union of the component queries' shapes (bounded
+    benchmark broadcast, doc_id-partitioned scrub tail, scan-fused
+    gate metrics, per-source packing window — the sharded pack variant
+    composes the same way when one source outgrows a task)."""
+    d = t(spark, sf_dir, "documents")
+    scrubbed = pipeline_contamination_scrub(spark, sf_dir)
+    q = scrubbed.select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).join(d.select("doc_id", "source"), "doc_id")
+    m = _quality_metrics(q, "source")
+    kept = m.filter(_quality_reason_expr() == "keep").select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = kept.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return offs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {_PACK_CAP}").alias("first_chunk"),
+        F.when(
+            F.col("n_tokens") == 0,
+            F.expr(f"start_offset div {_PACK_CAP}"),
+        )
+        .otherwise(
+            F.expr(f"(start_offset + n_tokens - 1) div {_PACK_CAP}")
+        )
+        .alias("last_chunk"),
     )

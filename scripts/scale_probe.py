@@ -102,6 +102,7 @@ PIPELINE_PROBE = [
     "pipeline_stratified_sample",
     "pipeline_source_quality_report",
     "vec_sq8_knn",
+    "pipeline_scrubbed_pack",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

@@ -111,6 +111,7 @@ TEXT_QUERIES = [
     # clean_text = '' / original tokens, not drop or crash on them
     "pipeline_contamination_scrub",
     "pipeline_span_scrub",
+    "pipeline_scrubbed_pack",
     # zero-token docs excluded; the srcY mirrors must appear (the
     # non-vacuity test below pins that)
     "pipeline_source_overlap",

@@ -182,6 +182,10 @@ BROADCAST_HINT_OK = {
         "aggregates onto the bounded per-language table"
     ),
     "vec_sq8_knn": "query side (fixed 1% id sample, bounded)",
+    "pipeline_scrubbed_pack": (
+        "benchmark eval-suite 3-grams via the embedded "
+        "pipeline_contamination_scrub stage — same bounded set"
+    ),
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
