@@ -1324,37 +1324,34 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vec_sq8_knn",
     # The WHOLE scalar-quantization lifecycle replayed in SQL:
-    # per-dim min/max grid → affine int8 codes (floor half-up over
-    # identical IEEE double ops) → integer ADC dot product → top-k.
-    # Integer scores make this the one compressed-index variant with
-    # an exact hash oracle (PQ's float ADC is rows-only).
-    oracle="""
-    WITH ed AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    # unit-normalize (the proven left-fold norm) → fixed symmetric
+    # 127-step integer grid (floor half-up over identical IEEE double
+    # ops) → integer ADC dot product → top-k. Integer scores make this
+    # the one compressed-index variant with an exact hash oracle (PQ's
+    # float ADC is rows-only).
+    oracle=f"""
+    WITH nv AS (
+      SELECT vec_id, embedding, {_o_norm('embedding')} AS nrm
       FROM embeddings
     ),
-    expl AS (
-      SELECT vec_id, i, emb[i] AS x
-      FROM (SELECT vec_id, emb,
-                   CAST(unnest(range(1, len(emb) + 1)) AS BIGINT) AS i
-            FROM ed)
+    codes AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5)
+                         AS BIGINT)
+             ) AS code
+      FROM nv WHERE nrm > 0
     ),
-    mmx AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM expl GROUP BY i),
-    qc AS (
-      SELECT e.vec_id, e.i,
-             CASE WHEN m.mx > m.mn
-                  THEN CAST(FLOOR((e.x - m.mn) / (m.mx - m.mn) * 255.0 + 0.5)
-                            AS BIGINT)
-                  ELSE 0 END AS qv
-      FROM expl e JOIN mmx m ON m.i = e.i
-    ),
-    qq AS (SELECT * FROM qc WHERE vec_id % 100 = 0),
     adc AS (
       SELECT q.vec_id AS q_id, c.vec_id,
-             CAST(SUM(q.qv * c.qv) AS BIGINT) AS adc_score
-      FROM qq q JOIN qc c ON q.i = c.i AND c.vec_id <> q.vec_id
-      GROUP BY 1, 2
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(q.code) + 1),
+                   i -> q.code[CAST(i AS INT)] * c.code[CAST(i AS INT)])),
+               (a, x) -> a + x) AS BIGINT) AS adc_score
+      FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
     )
     SELECT q_id, vec_id, adc_score, rn FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (
@@ -1365,21 +1362,21 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vec_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O68 — SCALAR-QUANTIZATION (int8) k-NN, the third compressed
-    index beside IVF and PQ: per-dimension affine quantization to one
-    byte (4× smaller than float32, no codebook training), integer ADC
-    scoring. Because the codes AND the dot products are exact
-    integers, the ENTIRE lifecycle — calibration grid, encoding,
-    scoring, ranking — hash-matches a DuckDB replay; PQ can't do that
-    (float ADC), which is why this variant carries the family's
-    end-to-end oracle. Scale: corpus codes never shuffle (bounded
+    index beside IVF and PQ: unit vectors on a fixed symmetric
+    127-step grid (1 byte/dim — 4× smaller than float32, and NO
+    training/calibration pass), integer ADC scoring. One global scale
+    keeps the integer dot exactly proportional to the decoded dot (∝
+    cosine + quantization noise; recall@10 = 0.95 vs exact cosine at
+    sf0.1 — SCALE.md), and because codes AND scores are exact
+    integers, the ENTIRE lifecycle hash-matches a DuckDB replay, which
+    PQ's float ADC cannot. Scale: corpus codes never shuffle (bounded
     query broadcast + map-side integer fold + partial WindowGroupLimit
-    before the q_id exchange); the d-row min/max collect is bounded by
-    the vector DIMENSION, not the corpus."""
-    from process_spark.operators.similarity import sq8_search, sq8_train
+    before the q_id exchange); zero-norm vectors are excluded on both
+    sides (the unit_with contract)."""
+    from process_spark.operators.similarity import sq8_search
 
     e = t(spark, sf_dir, "embeddings")
-    mins, maxes = sq8_train(e)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return sq8_search(q, e, mins, maxes, k=10)
+    return sq8_search(q, e, k=10)
