@@ -164,6 +164,9 @@ EXTRA_AUDIT = [
     "sample_hash_deterministic",
     "pipeline_dedup_keeper_lsh",
     "dedup_band_index_probe",
+    "vec_sq8_knn",
+    "pipeline_scrubbed_pack",
+    "pipeline_stratified_sample",
 ]
 
 
