@@ -985,3 +985,39 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "text_heavy_hitters",
+    # The sketch+verify output is EXACT (sketch only bounds memory, the
+    # verify pass restores true counts), so the oracle is the direct
+    # frequency filter at the same strictly-greater-than-total/capacity
+    # threshold — no approximation appears in the result.
+    oracle=f"""
+    WITH tk AS (SELECT unnest({_O_TOKS}) AS tok FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(tot.n // 32 + 1 AS BIGINT) AS threshold
+    FROM tk CROSS JOIN tot
+    GROUP BY tok, tot.n
+    HAVING COUNT(*) >= tot.n // 32 + 1
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream (the '1/k most frequent
+    items' primitive — stopword discovery, boilerplate token alarms,
+    skew-key detection) via Misra-Gries sketch + exact verify
+    (operators/sketch.py): per-partition bounded-memory summaries,
+    a driver merge of capacity-sized tables, then a literal-IN exact
+    second pass. Capacity 32 puts the total/32 bar INSIDE the testdata
+    frequency range (29 of 31 tokens clear it — a real cut, not pass-
+    everything); the eviction path, which the 31-token vocabulary
+    cannot trigger, is pinned by a 500-distinct-token guarantee test
+    (tests/test_edge_cases.py). At 100 TB with an unbounded
+    vocabulary, no executor ever holds more than 32 counters and the
+    output is still the true counts of every token above the bar."""
+    from process_spark.operators.sketch import frequent_items
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return frequent_items(tk, "tok", capacity=32)

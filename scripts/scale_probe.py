@@ -103,6 +103,7 @@ PIPELINE_PROBE = [
     "pipeline_source_quality_report",
     "vec_sq8_knn",
     "pipeline_scrubbed_pack",
+    "text_heavy_hitters",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

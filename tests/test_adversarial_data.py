@@ -118,6 +118,9 @@ TEXT_QUERIES = [
     # empty text → 0 everywhere; whitespace-only text → n_ws_tokens 0
     # but n_bpe_tokens 1 (the residual \\s+ branch) on BOTH engines
     "text_bpe_token_count",
+    # sketch+verify over degenerate docs: the threshold moves with the
+    # appended tokens, output stays exactly the oracle's filter
+    "text_heavy_hitters",
     # per-source counts over degenerate docs; zero-token docs are
     # never exact-dup members (srcX holds two of them — they must NOT
     # pair on the empty content key)

@@ -479,3 +479,38 @@ def test_fetch_blobs_by_uri_pluggable_fetcher(spark):
     }
     assert bytes(got[1]) == b"payload:a"
     assert got[2] is None and got[3] is None and got[4] is None
+
+
+def test_frequent_items_guarantee_under_eviction(spark):
+    """Misra-Gries sketch+verify must return EXACTLY the items at or
+    above total//capacity + 1 even when the distinct-value count far
+    exceeds the sketch capacity (the testdata vocabulary never
+    triggers eviction, so this fixture does: 500 distinct tokens vs
+    capacity 16, with planted heavy hitters and near-threshold
+    decoys)."""
+    from collections import Counter
+
+    from process_spark.operators.sketch import frequent_items
+
+    rows = []
+    # planted heavy hitters: far above the bar
+    for i, n in enumerate((900, 700, 500)):
+        rows += [(f"heavy{i}",)] * n
+    # 500 distinct light tokens, 5-12 occurrences each
+    for j in range(500):
+        rows += [(f"tail{j}",)] * (5 + j % 8)
+    # a decoy that lands below the threshold (total ≈ 6.9k → bar ≈ 430)
+    rows += [("decoy",)] * 300
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+
+    out = {
+        r["tok"]: (r["cnt"], r["threshold"])
+        for r in frequent_items(df, "tok", capacity=16).collect()
+    }
+    counts = Counter(v for (v,) in rows)
+    total = sum(counts.values())
+    thr = total // 16 + 1
+    expected = {k: c for k, c in counts.items() if c >= thr}
+    assert set(out) == set(expected), (thr, sorted(out), sorted(expected))
+    for k, (c, t_) in out.items():
+        assert c == expected[k] and t_ == thr, (k, c, t_, expected[k], thr)
