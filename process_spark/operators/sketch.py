@@ -9,7 +9,11 @@ computes exact counts of just the candidates. The output is therefore
 EXACT — SQL-oracle-checkable — while no executor ever holds more than
 ``capacity`` counters, no matter how many distinct items the stream
 carries. That is the production shape: the sketch bounds memory, the
-verify pass restores exactness.
+verify pass restores exactness. Because Misra-Gries summaries are
+MERGEABLE (Agarwal et al., "Mergeable Summaries", PODS 2012 — public
+method), the same construction works one micro-batch at a time: see
+:func:`mg_partition_summaries` + :func:`mg_merge` composed by the
+streaming twin in queries/streaming.py.
 """
 
 from __future__ import annotations
@@ -20,29 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def frequent_items(
-    df: DataFrame, col: str, capacity: int = 16
-) -> DataFrame:
-    """Heavy hitters via Misra-Gries + exact verify: every value of
-    ``col`` whose global frequency is at least ``total // capacity +
-    1``, with its EXACT count.
-
-    Pass 1 runs a Misra-Gries summary of ``capacity`` counters per
-    partition inside mapInPandas (each partition also emits one
-    NULL-keyed row carrying its raw row count, so the total needs no
-    second scan). The per-partition summaries — at most ``capacity``
-    rows each, bounded BY CONSTRUCTION — are merged driver-side with
-    the standard mergeable-summaries rule (sum counters, subtract the
-    (capacity+1)-th largest, drop non-positives; Agarwal et al.,
-    "Mergeable Summaries", PODS 2012 — public method), which preserves
-    the MG guarantee: any item with global frequency > total/capacity
-    survives the merge. Because the output threshold is STRICTLY
-    greater than total/capacity, the candidate set provably contains
-    every qualifying item, and pass 2 — a literal IN filter pushed to
-    the scan, then an exact hash aggregate — restores exact counts.
-    The only driver-side state is capacity × n_partitions counter rows
-    and the ≤ capacity-item candidate list.
-    """
+def mg_partition_summaries(df: DataFrame, col: str, capacity: int) -> list:
+    """Pass 1 of Misra-Gries: one ``capacity``-counter summary per
+    partition via mapInPandas, collected. Each partition also emits a
+    NULL-keyed row carrying its raw row count, so the stream total
+    needs no second scan. The collect is ≤ capacity × n_partitions
+    rows + one total row per partition — bounded BY CONSTRUCTION."""
     import pandas as pd  # noqa: PLC0415
 
     def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -72,22 +59,55 @@ def frequent_items(
             }
         )
 
-    summaries = (
+    return (
         df.select(col)
         .mapInPandas(mg, schema=f"{col} string, c long")
         .collect()
     )
+
+
+def mg_merge(counters: dict, capacity: int) -> dict:
+    """The mergeable-summaries rule: given pointwise-summed counters,
+    subtract the (capacity+1)-th largest value and drop non-positives.
+    Preserves the MG guarantee — any item with TRUE frequency >
+    total/capacity over everything summed so far survives."""
+    if len(counters) > capacity:
+        sub = sorted(counters.values(), reverse=True)[capacity]
+        counters = {k: v - sub for k, v in counters.items() if v - sub > 0}
+    return counters
+
+
+def frequent_items(df: DataFrame, col: str, capacity: int = 16) -> DataFrame:
+    """Heavy hitters via Misra-Gries + exact verify: every value of
+    ``col`` whose global frequency is at least ``total // capacity +
+    1``, with its EXACT count.
+
+    Pass 1 = :func:`mg_partition_summaries`; the per-partition
+    summaries merge driver-side via :func:`mg_merge`, which preserves
+    the MG guarantee: any item with global frequency > total/capacity
+    survives. Because the output threshold is STRICTLY greater than
+    total/capacity, the candidate set provably contains every
+    qualifying item, and pass 2 — a literal IN filter pushed to the
+    scan, then an exact hash aggregate — restores exact counts. The
+    only driver-side state is capacity × n_partitions counter rows and
+    the ≤ capacity-item candidate list."""
+    summaries = mg_partition_summaries(df, col, capacity)
     total = sum(r["c"] for r in summaries if r[col] is None)
     merged: dict = {}
     for r in summaries:
         if r[col] is not None:
             merged[r[col]] = merged.get(r[col], 0) + r["c"]
-    if len(merged) > capacity:
-        sub = sorted(merged.values(), reverse=True)[capacity]
-        merged = {k: v - sub for k, v in merged.items() if v - sub > 0}
-    candidates = list(merged.keys())
-    thr = total // capacity + 1
+    merged = mg_merge(merged, capacity)
+    return exact_verify(df, col, list(merged.keys()), total, capacity)
 
+
+def exact_verify(
+    df: DataFrame, col: str, candidates: list, total: int, capacity: int
+) -> DataFrame:
+    """Pass 2: exact counts of the ≤ capacity candidates (literal IN
+    pushed to the scan), filtered at the strictly-above-total/capacity
+    bar the sketch guarantees coverage for."""
+    thr = total // capacity + 1
     exact = (
         df.filter(F.col(col).isin(candidates))
         .groupBy(col)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from process_spark.queries._util import t
 from process_spark.queries.registry import register
-from process_spark.queries.text import _minhash_md5_ctes
+from process_spark.queries.text import _O_HEAVY_HITTERS, _minhash_md5_ctes
 from process_spark.schemas import TABLES
 
 _MEM_SEQ = 0
@@ -828,4 +828,95 @@ def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out_dir)
         .groupBy("id_a", "id_b")
         .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "stream_heavy_hitters",
+    # Batch-twin oracle = text_heavy_hitters' statement VERBATIM: MG
+    # summaries are mergeable, so however the source batches the
+    # files, the merged candidate set still covers every token above
+    # the total/capacity bar, and the final exact verify over the full
+    # corpus returns the same rows — batch-count-INVARIANT by theorem,
+    # hash-checked here.
+    oracle=_O_HEAVY_HITTERS,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O95 + sketch — heavy hitters over CONTINUOUS ingestion: the
+    documents table replayed as a file stream (availableNow,
+    maxFilesPerTrigger=1 → multiple micro-batches); each micro-batch,
+    inside foreachBatch, contributes one bounded Misra-Gries summary
+    (mg_partition_summaries — ≤ capacity counters per partition, one
+    driver merge per batch via the mergeable-summaries rule), and the
+    accumulated summary + running total persist across batches. After
+    the stream drains, one exact-verify pass over the full corpus
+    restores true counts of the ≤ capacity candidates.
+
+    The merge rule preserves the coverage guarantee ACROSS batches
+    (any token with whole-stream frequency > total/capacity survives),
+    so the emitted rows equal the batch query's exactly, no matter how
+    the source happened to batch the files — the oracle is
+    text_heavy_hitters' statement verbatim. The cross-batch state here
+    is a ≤ capacity-entry dict on the driver; a restartable deployment
+    writes it to a parquet state table per batch exactly like
+    incremental_dedup_sink persists its band index."""
+    import shutil
+
+    from process_spark.functions.textfn import tokens
+    from process_spark.operators.sketch import (
+        exact_verify,
+        mg_merge,
+        mg_partition_summaries,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.text import _HH_CAPACITY
+
+    base = os.path.join(_SCRATCH, "stream_heavy_hitters")
+    src_dir = os.path.join(base, "incoming")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    state: dict = {"counters": {}, "total": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tk = batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        summ = mg_partition_summaries(tk, "tok", _HH_CAPACITY)
+        state["total"] += sum(r["c"] for r in summ if r["tok"] is None)
+        for r in summ:
+            if r["tok"] is not None:
+                state["counters"][r["tok"]] = (
+                    state["counters"].get(r["tok"], 0) + r["c"]
+                )
+        state["counters"] = mg_merge(state["counters"], _HH_CAPACITY)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    tk_all = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return exact_verify(
+        tk_all,
+        "tok",
+        list(state["counters"].keys()),
+        state["total"],
+        _HH_CAPACITY,
     )

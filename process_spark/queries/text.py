@@ -987,22 +987,29 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_heavy_hitters",
-    # The sketch+verify output is EXACT (sketch only bounds memory, the
-    # verify pass restores true counts), so the oracle is the direct
-    # frequency filter at the same strictly-greater-than-total/capacity
-    # threshold — no approximation appears in the result.
-    oracle=f"""
+#: Sketch capacity for the heavy-hitters queries (batch + streaming
+#: twin): 32 puts the total/32 bar inside the testdata frequency range.
+_HH_CAPACITY = 32
+
+#: The sketch+verify output is EXACT (the sketch only bounds memory,
+#: the verify pass restores true counts), so the oracle is the direct
+#: frequency filter at the same strictly-greater-than-total/capacity
+#: threshold — no approximation appears in the result. Shared with the
+#: streaming twin (queries/streaming.py): MG summaries are mergeable,
+#: so the final exact output is batch-count-INVARIANT and this same
+#: statement checks it.
+_O_HEAVY_HITTERS = f"""
     WITH tk AS (SELECT unnest({_O_TOKS}) AS tok FROM documents),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk)
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(tot.n // 32 + 1 AS BIGINT) AS threshold
+           CAST(tot.n // {_HH_CAPACITY} + 1 AS BIGINT) AS threshold
     FROM tk CROSS JOIN tot
     GROUP BY tok, tot.n
-    HAVING COUNT(*) >= tot.n // 32 + 1
-    """,
-)
+    HAVING COUNT(*) >= tot.n // {_HH_CAPACITY} + 1
+"""
+
+
+@register("text_heavy_hitters", oracle=_O_HEAVY_HITTERS)
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over the token stream (the '1/k most frequent
     items' primitive — stopword discovery, boilerplate token alarms,
@@ -1020,4 +1027,4 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     tk = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    return frequent_items(tk, "tok", capacity=32)
+    return frequent_items(tk, "tok", capacity=_HH_CAPACITY)

@@ -104,6 +104,7 @@ PIPELINE_PROBE = [
     "vec_sq8_knn",
     "pipeline_scrubbed_pack",
     "text_heavy_hitters",
+    "stream_heavy_hitters",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

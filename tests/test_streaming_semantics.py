@@ -386,3 +386,51 @@ def test_incremental_dedup_sink_hot_bucket_guard(spark, tmp_path):
     assert pairs.filter(
         (F.col("id_a") == 3) & (F.col("id_b") == 200)
     ).count() == 1
+
+
+def test_stream_heavy_hitters_merges_across_batches(spark):
+    """A token heavy over the WHOLE stream but split so that no single
+    micro-batch alone makes it a clear leader must still be reported:
+    the per-batch Misra-Gries summaries merge with the mergeable-
+    summaries rule, preserving the coverage guarantee across batches.
+    Drives the foreachBatch sink directly with hand-built batches (500
+    distinct tokens vs capacity 8, the heavy one split 50/50)."""
+    from process_spark.operators.sketch import (
+        exact_verify,
+        mg_merge,
+        mg_partition_summaries,
+    )
+
+    cap = 8
+    state = {"counters": {}, "total": 0}
+
+    def sink(batch_df, batch_id):
+        summ = mg_partition_summaries(batch_df, "tok", cap)
+        state["total"] += sum(r["c"] for r in summ if r["tok"] is None)
+        for r in summ:
+            if r["tok"] is not None:
+                state["counters"][r["tok"]] = (
+                    state["counters"].get(r["tok"], 0) + r["c"]
+                )
+        state["counters"] = mg_merge(state["counters"], cap)
+
+    half = [("heavy",)] * 400
+    noise1 = [(f"a{j}",) for j in range(500) for _ in range(2)]
+    noise2 = [(f"b{j}",) for j in range(500) for _ in range(2)]
+    b1 = spark.createDataFrame(half + noise1, "tok string").repartition(4)
+    b2 = spark.createDataFrame(half + noise2, "tok string").repartition(4)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    total = len(half) * 2 + len(noise1) + len(noise2)
+    assert state["total"] == total
+    thr = total // cap + 1  # 4800//8+1 = 601
+    assert 800 >= thr, "fixture must put 'heavy' above the bar"
+    full = spark.createDataFrame(half + half + noise1 + noise2, "tok string")
+    out = {
+        r["tok"]: r["cnt"]
+        for r in exact_verify(
+            full, "tok", list(state["counters"]), state["total"], cap
+        ).collect()
+    }
+    assert out == {"heavy": 800}, out
