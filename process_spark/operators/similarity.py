@@ -395,6 +395,24 @@ def _assign_cells(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    cells: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    scorer: str = "expr",
+) -> DataFrame:
+    """O68 — the incremental-index APPEND step: assign NEW vectors to
+    an EXISTING (already-refined) cell table, no retrain — exactly
+    what continuous ingestion does between periodic rebuilds. Returns
+    (corpus_id, vec_col, cell_id) rows, partition-consistent with
+    ivf_build's assignments, so appending them
+    ``partitionBy(cell_id)`` extends a stored IVF index in place (the
+    lifecycle vec_ivf_stored_append registers and oracle-checks).
+    Centroid drift is the rebuild trigger, not this step's job."""
+    return _pick_assigner(scorer)(corpus, cells, corpus_id, vec_col)
+
+
 def _assign_cells_arrow(
     corpus: DataFrame, cells: DataFrame, corpus_id: str, vec_col: str
 ) -> DataFrame:

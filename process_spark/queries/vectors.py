@@ -876,17 +876,19 @@ def _o_cell_score(tv: str, tc: str) -> str:
     return f"(1 + {tv} * {tc}) / sqrt(1 + {tc} * {tc})"
 
 
-@register(
-    "vec_ivf_knn_md5_idset",
-    # The ENTIRE IVF chain in SQL: md5-keyed seed pick → assign to
-    # nearest seed → per-cell mean (CAST AS REAL — the engine rounds
-    # refined centroids to float32, and rounding the oracle's mean the
-    # same way makes the assignment operands bit-identical) → reassign
-    # → probe 2 cells per query → exact re-rank. Under the 2-d
-    # margin-guarded fixture every ranking gap dwarfs the remaining
-    # op-order ULPs, so an APPROXIMATE index carries an exact id-set
-    # oracle end to end (seed hashing included).
-    oracle=f"""
+def _ivf_md5_oracle(build_where: str = "TRUE") -> str:
+    """The ENTIRE IVF chain in SQL: md5-keyed seed pick → assign to
+    nearest seed → per-cell mean (CAST AS REAL — the engine rounds
+    refined centroids to float32, and rounding the oracle's mean the
+    same way makes the assignment operands bit-identical) → reassign →
+    probe 2 cells per query → exact re-rank. Under the 2-d
+    margin-guarded fixture every ranking gap dwarfs the remaining
+    op-order ULPs, so an APPROXIMATE index carries an exact id-set
+    oracle end to end (seed hashing included). ``build_where``
+    restricts the BUILD population (seeds + Lloyd refinement) — the
+    append-lifecycle twin trains on half the corpus and assigns ALL of
+    it, exactly what an incremental index does."""
+    return f"""
     WITH h AS (
       SELECT vec_id,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
@@ -894,10 +896,11 @@ def _o_cell_score(tv: str, tc: str) -> str:
              {_O_T32} AS tv
       FROM embeddings
     ),
+    hb AS (SELECT * FROM h WHERE {build_where}),
     seeds AS (
       SELECT vec_id, tv,
              ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
-      FROM h
+      FROM hb
       QUALIFY cell_id < 8
     ),
     assign0 AS (
@@ -906,7 +909,7 @@ def _o_cell_score(tv: str, tc: str) -> str:
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                  ORDER BY {_o_cell_score('v.tv', 's.tv')} DESC, s.cell_id
                ) AS rn
-        FROM h v CROSS JOIN seeds s
+        FROM hb v CROSS JOIN seeds s
       ) WHERE rn = 1
     ),
     refined AS (
@@ -949,7 +952,13 @@ def _o_cell_score(tv: str, tc: str) -> str:
     SELECT q_id,
            array_to_string(list(vec_id ORDER BY vec_id), ',') AS neighbor_ids
     FROM topk GROUP BY q_id
-    """,
+    """
+
+
+@register(
+    "vec_ivf_knn_md5_idset",
+    # see _ivf_md5_oracle — the whole chain replayed in SQL
+    oracle=_ivf_md5_oracle(),
 )
 def vec_ivf_knn_md5_idset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O68 (oracle-backed END-TO-END IVF): the full
@@ -1380,3 +1389,75 @@ def vec_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return sq8_search(q, e, k=10)
+
+
+@register(
+    "vec_ivf_stored_append",
+    # Same chain as the md5 oracle but the BUILD population (seed pick
+    # + Lloyd refinement) is the even half only, while assignment and
+    # search cover everything — exactly what the engine's
+    # write(even) → append(assign(odd)) → probe lifecycle computes.
+    oracle=_ivf_md5_oracle(build_where="vec_id % 2 = 0"),
+)
+def vec_ivf_stored_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 — the stored IVF index's APPEND lifecycle (the IVF twin of
+    dedup_band_index_append): build cells on the even half of the
+    corpus, write its assignments partitionBy(cell_id); a second batch
+    (the odd half) arrives, is assigned to the EXISTING refined cells
+    via ivf_assign (no retrain) and APPENDED partition-consistently;
+    the probe then searches the stored, twice-written index with the
+    probed-cell IN-set pushed as PartitionFilters. The oracle replays
+    the whole thing in SQL — seeds and Lloyd over the even half only,
+    assignment over everything — so the hash proves the appended batch
+    lands in exactly the cells a one-shot assignment would give it,
+    and storage layout stays semantics-free. One file per touched cell
+    dir per write (asserted in tests/test_plan_shapes.py)."""
+    import os as _os
+    import shutil as _shutil
+
+    from process_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivf_probe_cells,
+        ivf_search,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    e_even = e.filter(F.col("vec_id") % 2 == 0)
+    e_odd = e.filter(F.col("vec_id") % 2 == 1)
+    cells, assign_even = ivf_build(e_even, n_cells=8, seed_hash="md5")
+
+    path = _os.path.join(_SCRATCH, "ivf_cell_index_append")
+    _shutil.rmtree(path, ignore_errors=True)
+    assign_even.repartition(8, F.col("cell_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(path)
+    ivf_assign(e_odd, cells).repartition(8, F.col("cell_id")).write.mode(
+        "append"
+    ).partitionBy("cell_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = sorted(  # bounded: cell domain is n_cells=8
+        r["cell_id"]
+        for r in ivf_probe_cells(cells, q, n_probe=2)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    pruned = stored.filter(F.col("cell_id").isin(probed))
+    knn = ivf_search(q, cells, pruned, k=5, n_probe=2)
+    return knn.groupBy("q_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("neighbor_ids")
+    )

@@ -105,6 +105,7 @@ PIPELINE_PROBE = [
     "pipeline_scrubbed_pack",
     "text_heavy_hitters",
     "stream_heavy_hitters",
+    "vec_ivf_stored_append",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

@@ -71,6 +71,9 @@ VEC_QUERIES = [
     # int8 ADC over degenerate vectors: constant dims quantize to 0
     # on both engines, the integer oracle must stay hash-green
     "vec_sq8_knn",
+    # append lifecycle over degenerate vectors: the md5-chain oracle
+    # (build on evens, assign everything) must stay hash-green
+    "vec_ivf_stored_append",
 ]
 
 # Text queries over the degenerate-documents table: empty text,

@@ -28,6 +28,7 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_tuned",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_search_tuned",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_stored_probe",  # same ivf_build seed window (n_cells rows)
+    "vec_ivf_stored_append",  # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -58,6 +59,7 @@ CROSS_OK = {
     "vec_ivf_tuned",            # broadcast cell/probe tables (k rows)
     "vec_ivf_search_tuned",     # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_probe",     # broadcast cell/probe tables (k rows)
+    "vec_ivf_stored_append",    # broadcast cell/probe tables (k rows)
     "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
     "pipeline_mixture_temperature",  # two 1-row aggregate broadcasts
     "vec_sq8_knn",              # broadcast query side (bounded sample)
@@ -168,6 +170,7 @@ BROADCAST_HINT_OK = {
     ),
     "vec_ivf_search_tuned": "cell/probe tables (k rows) + bounded query sample",
     "vec_ivf_stored_probe": "cell/probe tables (k rows)",
+    "vec_ivf_stored_append": "cell/probe tables (k rows)",
     "vec_pq_knn": "bounded query side in the exact re-rank join",
     "pipeline_lm_quality_score": (
         "1-row vocabulary-totals aggregate (n_cov, v) — a scalar "

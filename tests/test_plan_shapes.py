@@ -392,3 +392,29 @@ def test_stratified_sample_uses_window_group_limit(spark):
     # plan prints top-down: the Partial group-limit sits BELOW (after)
     # the exchange line
     assert partial > exchange, plan
+
+
+def test_ivf_stored_append_prunes_and_stays_one_file_per_write(spark):
+    """vec_ivf_stored_append: the probe over the twice-written index
+    must still push the probed-cell IN-set as PartitionFilters, and
+    each cell dir must hold at most one file PER WRITE (build + append
+    = ≤ 2) — the small-files discipline that keeps a 100 TB index's
+    file count proportional to append batches, not shuffle width."""
+    import os
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["vec_ivf_stored_append"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "cell_id" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert df.count() > 0
+
+    root = os.path.join(_SCRATCH, "ivf_cell_index_append")
+    for cell_dir in os.listdir(root):
+        cp = os.path.join(root, cell_dir)
+        if not os.path.isdir(cp):
+            continue
+        files = [f for f in os.listdir(cp) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 2, f"{cell_dir}: {len(files)} files"
