@@ -167,6 +167,8 @@ EXTRA_AUDIT = [
     "vec_sq8_knn",
     "pipeline_scrubbed_pack",
     "pipeline_stratified_sample",
+    "text_heavy_hitters",
+    "vec_ivf_stored_append",
 ]
 
 
