@@ -1772,3 +1772,47 @@ def pipeline_scrubbed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("last_chunk"),
     )
+
+
+@register(
+    "pipeline_dedup_cluster_stats",
+    # The keeper-chain statement rides verbatim as a subquery; the
+    # stats are two integer aggregates over its component labels —
+    # so this report is hash-checked against the exact same dedup
+    # graph the keeper query writes out.
+    oracle=f"""
+    WITH k AS (SELECT * FROM ({_keeper_lsh_oracle(_KEEPER_LSH_CAP)})),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM k GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_redundant
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def pipeline_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the corpus — the report a pipeline owner
+    reads BEFORE deciding dedup policy: for each duplicate-cluster
+    size, how many clusters exist, how many documents they hold, and
+    how many of those are redundant (size − 1 per cluster — what a
+    keep-one policy would delete). Built on the registered
+    guarded-LSH keeper chain's component labels (the same dedup graph
+    `pipeline_dedup_keeper_lsh` writes out), plus two integer
+    aggregates — cluster_size is bounded by the guard cap's reach, so
+    the final histogram is tiny however large the corpus."""
+    k = pipeline_dedup_keeper_lsh(spark, sf_dir)
+    sizes = k.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("long")
+        .alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
+        .cast("long")
+        .alias("n_redundant"),
+    )

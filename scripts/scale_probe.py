@@ -106,6 +106,7 @@ PIPELINE_PROBE = [
     "text_heavy_hitters",
     "stream_heavy_hitters",
     "vec_ivf_stored_append",
+    "pipeline_dedup_cluster_stats",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

@@ -124,6 +124,9 @@ TEXT_QUERIES = [
     # sketch+verify over degenerate docs: the threshold moves with the
     # appended tokens, output stays exactly the oracle's filter
     "text_heavy_hitters",
+    # cluster histogram over the degenerate graph (empty-shingle docs
+    # band nowhere → singletons) must match the keeper chain's oracle
+    "pipeline_dedup_cluster_stats",
     # per-source counts over degenerate docs; zero-token docs are
     # never exact-dup members (srcX holds two of them — they must NOT
     # pair on the empty content key)
