@@ -107,6 +107,7 @@ PIPELINE_PROBE = [
     "stream_heavy_hitters",
     "vec_ivf_stored_append",
     "pipeline_dedup_cluster_stats",
+    "vec_ivf_sq8_knn",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by

@@ -74,6 +74,9 @@ VEC_QUERIES = [
     # append lifecycle over degenerate vectors: the md5-chain oracle
     # (build on evens, assign everything) must stay hash-green
     "vec_ivf_stored_append",
+    # rows-only: IVF×SQ8 composition must complete over zero/underflow
+    # vectors (both excluded by the __cn > 0 gates)
+    "vec_ivf_sq8_knn",
 ]
 
 # Text queries over the degenerate-documents table: empty text,

@@ -29,6 +29,7 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_search_tuned",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_stored_probe",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_stored_append",  # same ivf_build seed window (n_cells rows)
+    "vec_ivf_sq8_knn",        # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -60,6 +61,7 @@ CROSS_OK = {
     "vec_ivf_search_tuned",     # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_probe",     # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_append",    # broadcast cell/probe tables (k rows)
+    "vec_ivf_sq8_knn",          # broadcast cell/probe tables (k rows)
     "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
     "pipeline_mixture_temperature",  # two 1-row aggregate broadcasts
     "vec_sq8_knn",              # broadcast query side (bounded sample)
@@ -171,6 +173,10 @@ BROADCAST_HINT_OK = {
     "vec_ivf_search_tuned": "cell/probe tables (k rows) + bounded query sample",
     "vec_ivf_stored_probe": "cell/probe tables (k rows)",
     "vec_ivf_stored_append": "cell/probe tables (k rows)",
+    "vec_ivf_sq8_knn": (
+        "cell/probe tables (k rows) + bounded probe-code broadcast "
+        "(≤ |Q|·n_probe rows)"
+    ),
     "vec_pq_knn": "bounded query side in the exact re-rank join",
     "pipeline_lm_quality_score": (
         "1-row vocabulary-totals aggregate (n_cov, v) — a scalar "
@@ -255,9 +261,10 @@ BROADCAST_SITES = {
     "queries/streaming.py": (2, "constant event-type weights table"),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (
-        6,
+        7,
         "bounded query-band/query/centroid sides (+2 tuner sample "
-        "broadcasts, +1 soft-assign k-row cell broadcast)",
+        "broadcasts, +1 soft-assign k-row cell broadcast, +1 "
+        "ivf_sq8 probe-code broadcast ≤ |Q|·n_probe rows)",
     ),
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),
