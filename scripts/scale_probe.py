@@ -122,6 +122,10 @@ QUADRATIC_BY_DESIGN = {
     "vec_sq8_knn": "same O(|Q| x |C|) scoring shape as brute force - "
     "the int8 codes cut bytes-per-pair 4x, not the pair count; compose "
     "with IVF cell pruning when the corpus outgrows full scans",
+    "vec_ivf_sq8_knn": "both query set and corpus grow 10x; pair count "
+    "is O(|Q| x |C| x n_probe/n_cells) - the probe fraction is the "
+    "recall/cost knob, and the isotropic worst case pins the default "
+    "at 6/8 cells (a clustered corpus tunes it down via ivf_tune_n_probe)",
     "dedup_connected_components": "replicated docs are true near-dups; "
     "the edge set (exact Jaccard pairs within blocks) grows "
     "~quadratically per duplicated doc before components form",
