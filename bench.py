@@ -44,6 +44,7 @@ HEADLINE = [
     "pipeline_minhash_dedup_components",
     "text_lsh_hot_bucket_guard",
     "pipeline_lm_quality_score",
+    "pipeline_scrubbed_pack",
 ]
 
 #: Each query is run once un-timed at the bench SF before the timed
