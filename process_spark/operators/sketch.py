@@ -13,57 +13,25 @@ verify pass restores exactness. Because Misra-Gries summaries are
 MERGEABLE (Agarwal et al., "Mergeable Summaries", PODS 2012 — public
 method), the same construction works one micro-batch at a time: see
 :func:`mg_partition_summaries` + :func:`mg_merge` composed by the
-streaming twin in queries/streaming.py.
+streaming twin in queries/streaming.py, and the durable per-batch
+state table (:func:`mg_save_batch_summary` / :func:`mg_load_state`)
+that makes the streaming twin restartable.
+
+Pass 1 is VECTORIZED: each Arrow batch contributes an exact
+``value_counts()`` table (itself a zero-error summary), merged into the
+running counters with the mergeable-summaries rule — never a per-row
+Python loop. NULL values are excluded by contract (their frequency is
+not defined for the literal-IN verify pass); they do not count toward
+the total either.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import os
+from typing import Iterator, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-
-def mg_partition_summaries(df: DataFrame, col: str, capacity: int) -> list:
-    """Pass 1 of Misra-Gries: one ``capacity``-counter summary per
-    partition via mapInPandas, collected. Each partition also emits a
-    NULL-keyed row carrying its raw row count, so the stream total
-    needs no second scan. The collect is ≤ capacity × n_partitions
-    rows + one total row per partition — bounded BY CONSTRUCTION."""
-    import pandas as pd  # noqa: PLC0415
-
-    def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        counters: dict = {}
-        n_rows = 0
-        for pdf in batches:
-            for v in pdf[col]:
-                if v is None:
-                    continue
-                n_rows += 1
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    dead = []
-                    for k2 in counters:
-                        counters[k2] -= 1
-                        if counters[k2] == 0:
-                            dead.append(k2)
-                    for k2 in dead:
-                        del counters[k2]
-        yield pd.DataFrame(
-            {
-                col: list(counters.keys()) + [None],
-                "c": list(counters.values()) + [n_rows],
-            }
-        )
-
-    return (
-        df.select(col)
-        .mapInPandas(mg, schema=f"{col} string, c long")
-        .collect()
-    )
 
 
 def mg_merge(counters: dict, capacity: int) -> dict:
@@ -77,27 +45,79 @@ def mg_merge(counters: dict, capacity: int) -> dict:
     return counters
 
 
+def mg_partition_summaries(
+    df: DataFrame, col: str, capacity: int
+) -> Tuple[dict, int]:
+    """Pass 1 of Misra-Gries, vectorized: one ``capacity``-counter
+    summary per partition via mapInPandas, each Arrow batch folded in
+    as an exact ``value_counts()`` table (a zero-error summary) merged
+    under the mergeable-summaries rule — the per-item work is
+    per-DISTINCT-item-per-batch, never per row. Each partition emits
+    exactly ONE typed row ``(items array<T>, counts array<long>,
+    part_total long)`` where ``T`` is derived from ``df.schema`` — no
+    string coercion, no NULL-keyed sentinel. NULL values are excluded
+    from both candidates and the total by contract (documented in the
+    module docstring). Returns ``(summed_counters, total_non_null)``;
+    the collect is one row per partition — bounded BY CONSTRUCTION."""
+    import pandas as pd  # noqa: PLC0415
+
+    elem_t = df.schema[col].dataType.simpleString()
+    cap = capacity
+
+    def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts(dropna=True)
+            n_rows += int(vc.sum())
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            counters = mg_merge(counters, cap)
+        yield pd.DataFrame(
+            {
+                "items": [list(counters.keys())],
+                "counts": [list(counters.values())],
+                "part_total": [n_rows],
+            }
+        )
+
+    rows = (
+        df.select(col)
+        .mapInPandas(
+            mg,
+            schema=(
+                f"items array<{elem_t}>, counts array<long>,"
+                " part_total long"
+            ),
+        )
+        .collect()
+    )
+    merged: dict = {}
+    total = 0
+    for r in rows:
+        total += r["part_total"]
+        for k, c in zip(r["items"] or [], r["counts"] or []):
+            merged[k] = merged.get(k, 0) + c
+    return merged, total
+
+
 def frequent_items(df: DataFrame, col: str, capacity: int = 16) -> DataFrame:
     """Heavy hitters via Misra-Gries + exact verify: every value of
     ``col`` whose global frequency is at least ``total // capacity +
     1``, with its EXACT count.
 
-    Pass 1 = :func:`mg_partition_summaries`; the per-partition
-    summaries merge driver-side via :func:`mg_merge`, which preserves
-    the MG guarantee: any item with global frequency > total/capacity
-    survives. Because the output threshold is STRICTLY greater than
-    total/capacity, the candidate set provably contains every
-    qualifying item, and pass 2 — a literal IN filter pushed to the
-    scan, then an exact hash aggregate — restores exact counts. The
-    only driver-side state is capacity × n_partitions counter rows and
-    the ≤ capacity-item candidate list."""
-    summaries = mg_partition_summaries(df, col, capacity)
-    total = sum(r["c"] for r in summaries if r[col] is None)
-    merged: dict = {}
-    for r in summaries:
-        if r[col] is not None:
-            merged[r[col]] = merged.get(r[col], 0) + r["c"]
-    merged = mg_merge(merged, capacity)
+    Pass 1 = :func:`mg_partition_summaries` (already pointwise-summed
+    across partitions); :func:`mg_merge` bounds the driver table at
+    ``capacity`` while preserving the MG guarantee: any item with
+    global frequency > total/capacity survives. Because the output
+    threshold is STRICTLY greater than total/capacity, the candidate
+    set provably contains every qualifying item, and pass 2 — a
+    literal IN filter pushed to the scan, then an exact hash
+    aggregate — restores exact counts. The only driver-side state is
+    one array row per partition and the ≤ capacity-item candidate
+    list."""
+    counters, total = mg_partition_summaries(df, col, capacity)
+    merged = mg_merge(counters, capacity)
     return exact_verify(df, col, list(merged.keys()), total, capacity)
 
 
@@ -116,3 +136,80 @@ def exact_verify(
     return exact.filter(F.col("cnt") >= thr).withColumn(
         "threshold", F.lit(thr).cast("long")
     )
+
+
+# ---------------------------------------------------------------------
+# Durable streaming state: per-batch summary table
+#
+# A restartable streaming deployment cannot keep the MG counters in a
+# driver dict — a driver restart wipes them while the checkpoint marks
+# the consumed files done, silently undercounting on resume. The
+# durable shape: each micro-batch writes its OWN summary (pre-merge —
+# the batch's exact/MG counters plus the batch's row total) to a
+# batch_id-keyed subdirectory with mode=overwrite. Because the write
+# is keyed by batch_id and overwritten whole, a replayed batch (the
+# at-least-once foreachBatch contract) rewrites the same directory
+# instead of double-counting — the documented exactly-once-via-batchId
+# pattern. Reload = read every batch row, pointwise-sum, mg_merge:
+# exact by the mergeable-summaries theorem, regardless of how many
+# times the driver died in between.
+# ---------------------------------------------------------------------
+
+
+def mg_save_batch_summary(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    counters: dict,
+    batch_total: int,
+    elem_type: str = "string",
+) -> None:
+    """Persist ONE micro-batch's MG summary as a single typed row under
+    ``state_dir/batch_id=<id>/`` (mode=overwrite → idempotent under
+    foreachBatch replay). The row is the same arrays shape pass 1
+    emits; state volume is one tiny file per batch, compacted away by
+    reload's mg_merge."""
+    import pandas as pd  # noqa: PLC0415
+
+    pdf = pd.DataFrame(
+        {
+            "items": [list(counters.keys())],
+            "counts": [[int(v) for v in counters.values()]],
+            "batch_total": [int(batch_total)],
+        }
+    )
+    sdf = spark.createDataFrame(
+        pdf,
+        schema=(
+            f"items array<{elem_type}>, counts array<long>,"
+            " batch_total long"
+        ),
+    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def mg_load_state(
+    spark: SparkSession, state_dir: str, capacity: int
+) -> Tuple[dict, int]:
+    """Reconstruct the cross-batch MG state from the per-batch summary
+    table: pointwise-sum every stored batch summary, then one
+    :func:`mg_merge`. Exact by mergeability — the result covers every
+    item above total/capacity over EVERYTHING ingested so far, no
+    matter how many restarts interleaved the batches. Returns
+    ``({}, 0)`` when no state exists yet. The collect is one row per
+    batch — bounded by batch count, never by data volume."""
+    try:
+        rows = spark.read.option("basePath", state_dir).parquet(
+            os.path.join(state_dir, "batch_id=*")
+        ).collect()
+    except Exception:
+        return {}, 0
+    merged: dict = {}
+    total = 0
+    for r in rows:
+        total += r["batch_total"]
+        for k, c in zip(r["items"] or [], r["counts"] or []):
+            merged[k] = merged.get(k, 0) + c
+    return mg_merge(merged, capacity), total

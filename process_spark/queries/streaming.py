@@ -831,6 +831,34 @@ def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mg_state_sink(state_dir: str, capacity: int):
+    """foreachBatch sink factory for RESTARTABLE streaming heavy
+    hitters: each micro-batch tokenizes itself, computes its own
+    bounded MG summary (mg_partition_summaries — vectorized, ≤
+    capacity counters per partition), and persists that summary to a
+    batch_id-keyed subdirectory of the parquet state table
+    (mg_save_batch_summary, mode=overwrite → idempotent under
+    foreachBatch's at-least-once replay). NO driver dict survives
+    between batches — kill the driver at any point and the next run
+    reconstructs the exact cross-batch state from the table
+    (mg_load_state), because MG summaries are mergeable."""
+    from process_spark.functions.textfn import tokens
+    from process_spark.operators.sketch import (
+        mg_partition_summaries,
+        mg_save_batch_summary,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tk = batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        counters, batch_total = mg_partition_summaries(tk, "tok", capacity)
+        mg_save_batch_summary(
+            batch_df.sparkSession, state_dir, batch_id, counters,
+            batch_total,
+        )
+
+    return sink
+
+
 @register(
     "stream_heavy_hitters",
     # Batch-twin oracle = text_heavy_hitters' statement VERBATIM: MG
@@ -842,38 +870,37 @@ def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_O_HEAVY_HITTERS,
 )
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O95 + sketch — heavy hitters over CONTINUOUS ingestion: the
-    documents table replayed as a file stream (availableNow,
-    maxFilesPerTrigger=1 → multiple micro-batches); each micro-batch,
-    inside foreachBatch, contributes one bounded Misra-Gries summary
-    (mg_partition_summaries — ≤ capacity counters per partition, one
-    driver merge per batch via the mergeable-summaries rule), and the
-    accumulated summary + running total persist across batches. After
-    the stream drains, one exact-verify pass over the full corpus
-    restores true counts of the ≤ capacity candidates.
+    """O95 + sketch — heavy hitters over CONTINUOUS ingestion, with
+    DURABLE cross-batch state: the documents table replayed as a file
+    stream (availableNow, maxFilesPerTrigger=1 → multiple micro-
+    batches); each micro-batch, inside foreachBatch, persists its own
+    bounded Misra-Gries summary to a batch_id-keyed parquet state
+    table (mg_state_sink — mode=overwrite per batch_id, so a replayed
+    batch rewrites rather than double-counts). Nothing survives on the
+    driver between batches: after the stream drains, the cross-batch
+    state is RECONSTRUCTED from the table (mg_load_state — pointwise
+    sum + one mergeable-summaries merge) and one exact-verify pass
+    over the full corpus restores true counts of the ≤ capacity
+    candidates. Kill-and-resume (two availableNow runs sharing
+    checkpoint + state dir) is pinned in
+    tests/test_streaming_semantics.py.
 
     The merge rule preserves the coverage guarantee ACROSS batches
     (any token with whole-stream frequency > total/capacity survives),
     so the emitted rows equal the batch query's exactly, no matter how
     the source happened to batch the files — the oracle is
-    text_heavy_hitters' statement verbatim. The cross-batch state here
-    is a ≤ capacity-entry dict on the driver; a restartable deployment
-    writes it to a parquet state table per batch exactly like
-    incremental_dedup_sink persists its band index."""
+    text_heavy_hitters' statement verbatim."""
     import shutil
 
     from process_spark.functions.textfn import tokens
-    from process_spark.operators.sketch import (
-        exact_verify,
-        mg_merge,
-        mg_partition_summaries,
-    )
+    from process_spark.operators.sketch import exact_verify, mg_load_state
     from process_spark.queries.io_udf import _SCRATCH
     from process_spark.queries.text import _HH_CAPACITY
 
     base = os.path.join(_SCRATCH, "stream_heavy_hitters")
     src_dir = os.path.join(base, "incoming")
     ckpt = os.path.join(base, "ckpt")
+    state_dir = os.path.join(base, "mg_state")
     shutil.rmtree(base, ignore_errors=True)
 
     d = t(spark, sf_dir, "documents")
@@ -885,26 +912,13 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(src_dir)
 
-    state: dict = {"counters": {}, "total": 0}
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        tk = batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
-        summ = mg_partition_summaries(tk, "tok", _HH_CAPACITY)
-        state["total"] += sum(r["c"] for r in summ if r["tok"] is None)
-        for r in summ:
-            if r["tok"] is not None:
-                state["counters"][r["tok"]] = (
-                    state["counters"].get(r["tok"], 0) + r["c"]
-                )
-        state["counters"] = mg_merge(state["counters"], _HH_CAPACITY)
-
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
     q = (
-        stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(mg_state_sink(state_dir, _HH_CAPACITY))
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
         .start()
@@ -912,11 +926,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
 
+    counters, total = mg_load_state(spark, state_dir, _HH_CAPACITY)
     tk_all = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    return exact_verify(
-        tk_all,
-        "tok",
-        list(state["counters"].keys()),
-        state["total"],
-        _HH_CAPACITY,
-    )
+    return exact_verify(tk_all, "tok", list(counters.keys()), total,
+                        _HH_CAPACITY)

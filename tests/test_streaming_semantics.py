@@ -405,13 +405,10 @@ def test_stream_heavy_hitters_merges_across_batches(spark):
     state = {"counters": {}, "total": 0}
 
     def sink(batch_df, batch_id):
-        summ = mg_partition_summaries(batch_df, "tok", cap)
-        state["total"] += sum(r["c"] for r in summ if r["tok"] is None)
-        for r in summ:
-            if r["tok"] is not None:
-                state["counters"][r["tok"]] = (
-                    state["counters"].get(r["tok"], 0) + r["c"]
-                )
+        counters, batch_total = mg_partition_summaries(batch_df, "tok", cap)
+        state["total"] += batch_total
+        for k, c in counters.items():
+            state["counters"][k] = state["counters"].get(k, 0) + c
         state["counters"] = mg_merge(state["counters"], cap)
 
     half = [("heavy",)] * 400
@@ -434,3 +431,134 @@ def test_stream_heavy_hitters_merges_across_batches(spark):
         ).collect()
     }
     assert out == {"heavy": 800}, out
+
+
+def test_stream_heavy_hitters_survives_driver_restart(spark, tmp_path):
+    """Durable MG state: run ONE availableNow pass over the first half
+    of the corpus, throw the driver-side objects away entirely (the
+    state lives only in the parquet state table), stage more files,
+    run a SECOND availableNow pass sharing the same checkpoint + state
+    dir — the reconstructed state must match the whole-corpus exact
+    answer, i.e. the restart lost nothing and the already-consumed
+    files are not re-counted."""
+    import pyspark.sql.functions as F
+
+    from process_spark.operators.sketch import (
+        exact_verify,
+        mg_load_state,
+    )
+    from process_spark.queries.streaming import mg_state_sink
+
+    cap = 8
+    base = str(tmp_path)
+    src = f"{base}/src"
+    ckpt = f"{base}/ckpt"
+    state_dir = f"{base}/state"
+
+    half = [(0, "heavy " * 50 + " ".join(f"a{j}" for j in range(300)))]
+    spark.createDataFrame(half, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(mg_state_sink(state_dir, cap))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()  # run 1: consumes file 1, persists its summary
+
+    # "driver restart": no python state carried over; stage file 2
+    half2 = [(1, "heavy " * 50 + " ".join(f"b{j}" for j in range(300)))]
+    spark.createDataFrame(half2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_stream()  # run 2: same checkpoint skips file 1, adds file 2
+
+    counters, total = mg_load_state(spark, state_dir, cap)
+    assert total == 100 + 600  # both halves counted exactly once
+    assert "heavy" in counters
+    from process_spark.functions.textfn import tokens
+
+    full = spark.read.parquet(src).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    out = {
+        r["tok"]: r["cnt"]
+        for r in exact_verify(
+            full, "tok", list(counters), total, cap
+        ).collect()
+    }
+    assert out == {"heavy": 100}, out
+
+
+def test_mg_save_batch_summary_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: persisting the SAME batch_id
+    twice (a mid-batch failure replay) must leave exactly one summary
+    — the second write overwrites, never double-counts."""
+    from process_spark.operators.sketch import (
+        mg_load_state,
+        mg_save_batch_summary,
+    )
+
+    state_dir = str(tmp_path / "state")
+    mg_save_batch_summary(spark, state_dir, 0, {"x": 7}, 10)
+    mg_save_batch_summary(spark, state_dir, 0, {"x": 7}, 10)  # replay
+    counters, total = mg_load_state(spark, state_dir, 8)
+    assert counters == {"x": 7} and total == 10
+
+
+def test_mg_summaries_batch_split_invariant_guarantee(spark):
+    """Property: however the rows are split into partitions/batches,
+    the merged MG candidate set still contains every item above the
+    total/capacity bar, and exact_verify returns identical rows. Pins
+    the vectorized value_counts pass-1 against the mergeable-summaries
+    theorem it relies on."""
+    from process_spark.operators.sketch import (
+        frequent_items,
+        mg_merge,
+        mg_partition_summaries,
+    )
+
+    cap = 4
+    rows = (
+        [("hot",)] * 300
+        + [(f"n{j}",) for j in range(200) for _ in range(2)]
+    )
+    base = None
+    for n_parts in (1, 3, 17):
+        df = spark.createDataFrame(rows, "tok string").repartition(n_parts)
+        counters, total = mg_partition_summaries(df, "tok", cap)
+        assert total == len(rows)
+        merged = mg_merge(counters, cap)
+        assert len(merged) <= cap
+        assert "hot" in merged  # 300 > 700/4 — must survive any split
+        out = sorted(
+            (r["tok"], r["cnt"], r["threshold"])
+            for r in frequent_items(df, "tok", capacity=cap).collect()
+        )
+        if base is None:
+            base = out
+        assert out == base, (n_parts, out)
+
+
+def test_mg_partition_summaries_typed_non_string(spark):
+    """ADVICE r7: the summary schema derives from the column's real
+    type — a bigint column round-trips as python ints, not coerced
+    strings, and exact_verify's IN filter matches."""
+    from process_spark.operators.sketch import frequent_items
+
+    rows = [(5,)] * 60 + [(i,) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "k long")
+    out = frequent_items(df, "k", capacity=8).collect()
+    got = {r["k"]: r["cnt"] for r in out}
+    assert got == {5: 60}
+    assert all(isinstance(r["k"], int) for r in out)
