@@ -1420,3 +1420,115 @@ def sq8_search(
         rank_col="rn",
         keep_rank=True,
     ).withColumn("rn", F.col("rn").cast("long"))
+
+
+def sq8_search_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """O68/O100 — the Arrow/numpy throughput twin of :func:`sq8_search`
+    (same SQ8 semantics, batch-matmul physical shape — the exact
+    relationship brute_force_knn_arrow has to brute_force_knn). The
+    interpreted zip_with/aggregate integer fold redoes O(d) expression
+    work per scored pair; here each Arrow batch quantizes onto the SAME
+    fixed symmetric grid (bit-identical to :func:`_sq8_unit_code`: the
+    float32 squares accumulate sequentially in float64 exactly as the
+    HOF fold does, then floor(x/norm*127+0.5)) and scores all pairs as
+    ONE (batch × d) @ (d × |Q|) matmul. Products ≤ 127² and sums ≤
+    d·127² keep every intermediate exactly representable in float64, so
+    the BLAS matmul returns EXACT integer scores — the twin is
+    id-set-EQUAL to the HOF path, not merely close (asserted in
+    tests/test_properties.py). Per-batch top-k uses the same total
+    order (score desc, id asc), so boundary ties cannot diverge either.
+
+    Corpus codes never shuffle: bounded query side broadcast as an int
+    matrix, per-batch top-k, then one ≤ k·|Q|-per-batch reduce."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def _codes(mat32: "np.ndarray") -> "tuple":
+        """(codes int64, keep mask) mirroring _sq8_unit_code exactly:
+        square in float32 (Spark float*float), accumulate the squares
+        SEQUENTIALLY in float64 (the HOF fold order), sqrt, then the
+        fixed-grid round — every step the same IEEE op on the same
+        operands."""
+        sq = mat32 * mat32  # float32 squares, as the HOF computes them
+        acc = np.zeros(len(mat32), dtype="float64")
+        for j in range(mat32.shape[1]):
+            acc += sq[:, j].astype("float64")
+        norm = np.sqrt(acc)
+        keep = norm > 0
+        codes = np.floor(
+            mat32[keep].astype("float64") / norm[keep, None] * 127.0 + 0.5
+        ).astype("int64")
+        return codes, keep
+
+    qpdf = queries.select(query_id, query_vec).toPandas()
+    qpdf = qpdf[qpdf[query_vec].notna()]
+    if len(qpdf):
+        qmat = np.stack(qpdf[query_vec].to_numpy()).astype("float32")
+        qcodes, qkeep = _codes(qmat)
+        qids = qpdf[query_id].to_numpy()[qkeep]
+    else:
+        qcodes, qids = np.zeros((0, 1), dtype="int64"), np.array([])
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qcodes))
+
+    def score_batches(batches):
+        ids_q, qc = bq.value
+        nq = len(ids_q)
+        for pdf in batches:
+            pdf = pdf[pdf[corpus_vec].notna()]
+            if not len(pdf) or nq == 0:
+                continue
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float32")
+            codes, keep = _codes(mat)
+            vids = pdf[corpus_id].to_numpy()[keep]
+            n = len(vids)
+            # float64 matmul of int codes: |v| ≤ 127, d ≤ 2^38 → every
+            # product/sum exact in f64; round-trip to int64 is lossless.
+            scores = (
+                codes.astype("float64") @ qc.astype("float64").T
+            ).astype("int64")  # (n, nq)
+            # self-pair exclusion, as the HOF path's q_id != vec_id
+            for qi in range(nq):
+                scores[vids == ids_q[qi], qi] = np.iinfo("int64").min
+            # composite key = score·n + (n-1-rank_by_id): argpartition
+            # then respects the SAME total order (score desc, id asc)
+            # the HOF window uses — boundary ties cannot diverge.
+            id_rank = np.empty(n, dtype="int64")
+            id_rank[np.argsort(vids, kind="stable")] = np.arange(n)
+            comp = scores * n + (n - 1 - id_rank)[:, None]
+            m = min(k, n)
+            idx = np.argpartition(-comp, m - 1, axis=0)[:m]
+            out_q, out_id, out_s = [], [], []
+            for qi in range(nq):
+                sel = idx[:, qi]
+                sel = sel[np.argsort(-comp[sel, qi])]
+                ok = scores[sel, qi] != np.iinfo("int64").min
+                sel = sel[ok]
+                out_q.extend([ids_q[qi]] * len(sel))
+                out_id.extend(vids[sel])
+                out_s.extend(scores[sel, qi])
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_id, "adc_score": out_s}
+            )
+
+    q_id_t = queries.schema[query_id].dataType.simpleString()
+    c_id_t = corpus.schema[corpus_id].dataType.simpleString()
+    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score_batches,
+        schema=f"{query_id} {q_id_t}, {corpus_id} {c_id_t}, adc_score long",
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .withColumn("rn", F.col("rn").cast("long"))
+    )

@@ -1330,15 +1330,16 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "vec_sq8_knn",
-    # The WHOLE scalar-quantization lifecycle replayed in SQL:
-    # unit-normalize (the proven left-fold norm) → fixed symmetric
-    # 127-step integer grid (floor half-up over identical IEEE double
-    # ops) → integer ADC dot product → top-k. Integer scores make this
-    # the one compressed-index variant with an exact hash oracle (PQ's
-    # float ADC is rows-only).
-    oracle=f"""
+# The WHOLE scalar-quantization lifecycle replayed in SQL:
+# unit-normalize (the proven left-fold norm) → fixed symmetric
+# 127-step integer grid (floor half-up over identical IEEE double
+# ops) → integer ADC dot product → top-k. Integer scores make this
+# the one compressed-index variant with an exact hash oracle (PQ's
+# float ADC is rows-only). SHARED by vec_sq8_knn (HOF fold) and
+# vec_sq8_knn_arrow (batch int matmul): the two physical layouts are
+# row-identical by construction (every matmul intermediate is an
+# exactly-representable integer), so one statement checks both.
+_O_SQ8_KNN = f"""
     WITH nv AS (
       SELECT vec_id, embedding, {_o_norm('embedding')} AS nrm
       FROM embeddings
@@ -1367,8 +1368,10 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY q_id ORDER BY adc_score DESC, vec_id
       ) AS BIGINT) AS rn FROM adc
     ) WHERE rn <= 10
-    """,
-)
+    """
+
+
+@register("vec_sq8_knn", oracle=_O_SQ8_KNN)
 def vec_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O68 — SCALAR-QUANTIZATION (int8) k-NN, the third compressed
     index beside IVF and PQ: unit vectors on a fixed symmetric
@@ -1389,6 +1392,31 @@ def vec_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return sq8_search(q, e, k=10)
+
+
+@register("vec_sq8_knn_arrow", oracle=_O_SQ8_KNN)
+def vec_sq8_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68/O100 — the Arrow/numpy THROUGHPUT twin of vec_sq8_knn: same
+    fixed-grid int8 quantization, same integer scores, but each Arrow
+    batch scores all pairs as one (batch × d) @ (d × |Q|) matmul
+    instead of the interpreted per-pair zip_with/aggregate fold — the
+    same ~8× physical win the float k-NN shoot-out measured
+    (SCALE.md). Because SQ8's grid codes are bit-identical across the
+    two layouts (the numpy path accumulates the float32 squares
+    sequentially in float64, mirroring the HOF fold) and every matmul
+    intermediate is an exactly-representable integer in float64, the
+    twin is row-IDENTICAL, ties included — so it shares vec_sq8_knn's
+    exact end-to-end hash oracle rather than settling for a rows-only
+    registration (row-for-row equality also pinned in
+    tests/test_properties.py). Corpus codes never shuffle; per-batch
+    top-k bounds the reduce at k·|Q| rows per batch."""
+    from process_spark.operators.similarity import sq8_search_arrow
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return sq8_search_arrow(q, e, k=10)
 
 
 @register(
@@ -1465,23 +1493,29 @@ def vec_ivf_stored_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("vec_ivf_sq8_knn", oracle=None)
 def vec_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O68 — IVF pruning composed with SQ8 compression: the two
-    orthogonal scale levers in one index. IVF's cell probing cuts the
-    PAIR COUNT (only n_probe/n_cells of the corpus is scored per
-    query); the fixed-grid int8 codes cut the BYTES PER PAIR 4× and
-    keep the scoring an exact-integer fold. This is the composition
-    the standalone operators' docstrings point at (vec_sq8_knn scans
-    every pair by design; vec_ivf_knn re-ranks float vectors) — the
-    shape a 100 TB deployment actually runs. Rows-only: each component
-    carries its own oracle (the md5 IVF chain end-to-end; SQ8's exact
-    integer lifecycle); their composition introduces no new arithmetic
-    — probe selection and candidate ranking reuse those kernels
-    verbatim; recall@10 = 0.88 at the default n_probe on the isotropic
-    worst case (float IVF: 0.91 — the 4× byte cut costs ~0.03,
-    SCALE.md). Corpus codes never shuffle: the probe table (≤
-    |Q|·n_probe rows, bounded) broadcasts onto the cell-pruned
-    candidates, the integer fold runs map-side, WindowGroupLimit takes
-    per-partition top-k before the q_id exchange."""
+    """O68 — IVF pruning composed with SQ8 compression plus an EXACT
+    re-rank: the three scale levers in one index. IVF's cell probing
+    cuts the PAIR COUNT (only n_probe/n_cells of the corpus is scored
+    per query); the fixed-grid int8 codes cut the BYTES PER PAIR 4×
+    and keep the candidate scoring an exact-integer fold; then — as in
+    pq_search's phase 2 — only the integer-ADC top-C (C = 4·k)
+    candidate ids join back to the float vectors for exact cosine, so
+    int8 quantization noise affects WHICH candidates surface, never
+    their final order. That re-rank closes the composed index's
+    quality gap: recall@10 at the default n_probe equals float IVF's
+    0.91 on the isotropic worst case (was 0.88 ADC-ranked — the 4×
+    byte cut is now free of recall cost, SCALE.md). This is the shape
+    a 100 TB deployment actually runs (pruned AND compressed AND
+    re-ranked). Rows-only: each component carries its own oracle (the
+    md5 IVF chain end-to-end; SQ8's exact integer lifecycle; the
+    re-rank is pq_search's oracle-adjacent phase 2 verbatim); their
+    composition introduces no new arithmetic. Corpus codes never
+    shuffle: the probe table (≤ |Q|·n_probe rows, bounded) broadcasts
+    onto the cell-pruned candidates, the integer fold runs map-side,
+    WindowGroupLimit takes per-partition top-C before the q_id
+    exchange, and the float corpus is only re-read for the ≤ C·|Q|
+    re-rank joins."""
+    from process_spark.functions.vectorfn import dot, unit_with
     from process_spark.operators.relational import topk_per_group
     from process_spark.operators.similarity import (
         _sq8_unit_code,
@@ -1530,11 +1564,36 @@ def vec_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_score"),
         )
     )
-    return topk_per_group(
+    # Integer-ADC top-C candidates (C = 4·k), then exact re-rank —
+    # pq_search's phase 2: only ≤ C·|Q| ids rejoin the float corpus.
+    k, rerank = 10, 40
+    cand = topk_per_group(
         scored,
         ["q_id"],
         [F.desc("adc_score"), F.col("vec_id")],
-        10,
+        rerank,
+    ).select("q_id", "vec_id")
+    uq = q.select(
+        "q_id", l2_norm("q_emb").alias("__qn"), F.col("q_emb")
+    ).select("q_id", unit_with("q_emb", "__qn").alias("q_emb"))
+    uc = e.select(
+        "vec_id", l2_norm("embedding").alias("__cn"), F.col("embedding")
+    ).select("vec_id", unit_with("embedding", "__cn").alias("embedding"))
+    rescored = (
+        cand.join(uc, "vec_id")
+        .join(F.broadcast(uq), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            dot(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+        .filter(F.col("score").isNotNull() & ~F.isnan("score"))
+    )
+    return topk_per_group(
+        rescored,
+        ["q_id"],
+        [F.desc("score"), F.col("vec_id")],
+        k,
         rank_col="rn",
         keep_rank=True,
     ).withColumn("rn", F.col("rn").cast("long"))

@@ -108,6 +108,7 @@ PIPELINE_PROBE = [
     "vec_ivf_stored_append",
     "pipeline_dedup_cluster_stats",
     "vec_ivf_sq8_knn",
+    "vec_sq8_knn_arrow",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -122,10 +123,14 @@ QUADRATIC_BY_DESIGN = {
     "vec_sq8_knn": "same O(|Q| x |C|) scoring shape as brute force - "
     "the int8 codes cut bytes-per-pair 4x, not the pair count; compose "
     "with IVF cell pruning when the corpus outgrows full scans",
+    "vec_sq8_knn_arrow": "row-identical twin of vec_sq8_knn - same "
+    "O(|Q| x |C|) pair count by definition; the matmul layout cuts the "
+    "per-pair constant ~2.7x (shoot-out below), not the asymptotics",
     "vec_ivf_sq8_knn": "both query set and corpus grow 10x; pair count "
     "is O(|Q| x |C| x n_probe/n_cells) - the probe fraction is the "
     "recall/cost knob, and the isotropic worst case pins the default "
-    "at 6/8 cells (a clustered corpus tunes it down via ivf_tune_n_probe)",
+    "at 6/8 cells (a clustered corpus tunes it down via ivf_tune_n_probe); "
+    "the exact re-rank tail is bounded at 4k ids/query",
     "dedup_connected_components": "replicated docs are true near-dups; "
     "the edge set (exact Jaccard pairs within blocks) grows "
     "~quadratically per duplicated doc before components form",
@@ -336,6 +341,7 @@ timings, engine session):
 | semantic near-dup, threshold 0.95 (`near_dup_embeddings[_arrow]`) | 58.1 s | 2.8 s | **21x** — per-block chunked matmul vs one interpreted fold per pair (90,000 pairs found by both; id-sets asserted equal) |
 | k-means k=8, 3 iters (`kmeans(scorer=...)`) | 7.9 s (x50) | 6.2 s (x50) | 1.3x locally, and structurally better: the fused `_refine_cells_arrow` kernel assigns AND partial-sums in one mapInPandas pass, so each iteration shuffles k·n_batches partial rows instead of posexploding corpus x dim into the hash aggregate — the gap widens with corpus and dim (x10: 1.07x; x50: 1.3x) |
 | IVF re-rank (`ivf_search[_arrow]`) | — | — | broadcast-probe dict + mapInPandas matmul; corpus never shuffles, cell filter prunes the scan (id-sets asserted equal) |
+| SQ8 int8 k-NN, k=10, 200 queries (`sq8_search[_arrow]`, round 8) | 7.2 s | 2.7 s | **2.7x** — per-batch f64 matmul of the int codes (every intermediate an exactly-representable integer) vs the interpreted per-pair integer fold; the twins are row-IDENTICAL incl. ties (shared exact hash oracle `vec_sq8_knn[_arrow]`; asserted in tests/test_properties.py), so the HOF form stays the oracle and the matmul is the throughput default |
 
 Near-dup chunking keeps worker memory at O(chunk x |block|); blocks
 must stay bounded (label / IVF cell), the same contract the pairwise

@@ -378,3 +378,32 @@ def test_bpe_token_count_matches_python(spark, texts):
     pat = re.compile(BPE_SPLIT_PATTERN)
     for s, g in zip(texts, got):
         assert g == len(pat.findall(s)), repr(s)
+
+
+def test_sq8_arrow_matmul_matches_hof_exactly(spark):
+    """sq8_search_arrow must match sq8_search ROW-FOR-ROW — ids,
+    integer scores, and ranks. Unlike the float twins (last-ULP
+    summation slack → id-set comparison), the SQ8 grid codes are
+    bit-identical by construction (sequential f64 accumulation of f32
+    squares mirrors the HOF fold) and every matmul intermediate is an
+    exactly-representable integer, so the twins agree exactly, ties
+    included."""
+    from process_spark.operators.similarity import (
+        sq8_search,
+        sq8_search_arrow,
+    )
+    from process_spark.sources.io import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    hof = {
+        (r["q_id"], r["vec_id"], r["adc_score"], r["rn"])
+        for r in sq8_search(q, e, k=5).collect()
+    }
+    arrow = {
+        (r["q_id"], r["vec_id"], r["adc_score"], r["rn"])
+        for r in sq8_search_arrow(q, e, k=5).collect()
+    }
+    assert hof == arrow
