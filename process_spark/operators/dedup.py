@@ -680,3 +680,66 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def compact_band_index(spark, path: str, n_write_tasks: int = 64) -> dict:
+    """Maintenance op for the STORED band index: rewrite every
+    (band_idx, band_bucket) partition directory to ONE file.
+
+    Appends accrete one file per touched dir per batch (the
+    one-file-per-write discipline), so after N ingest batches a probe
+    reads N files per pruned partition — the classic streaming-ingest
+    small-files decay. Compaction rewrites the whole index with the
+    rows hash-repartitioned on exactly the partition keys (each dir
+    written by one task → one file per dir) into a sibling directory,
+    then atomically swaps it in (rename, rename, remove). Probe
+    results are invariant by construction — the rows are untouched,
+    only the file layout changes (the lifecycle oracles already prove
+    storage-layout independence; invariance is also asserted directly
+    in tests/test_plan_shapes.py).
+
+    If the index carries a ``batch_id`` partition level (the
+    idempotent streaming layout — see incremental_dedup_sink), the
+    compacted history is SEALED as ``batch_id = -1``: future appends
+    keep their replay-overwrite semantics and future probes'
+    ``batch_id < current`` history filter still sees every sealed row.
+    Run it offline (between streaming runs / behind a catalog swap) —
+    the directory swap is not transactional against in-flight readers.
+
+    Returns ``{"files_before", "files_after", "rows"}``."""
+    import os
+    import shutil
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    files_before = _count_files(path)
+    df = spark.read.parquet(path)
+    part_cols = ["band_idx", "band_bucket"]
+    has_batch = "batch_id" in df.columns
+    if has_batch:
+        df = df.withColumn("batch_id", F.lit(-1))
+    n_rows = df.count()
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.repartition(n_write_tasks, *[F.col(c) for c in part_cols]).write.mode(
+        "overwrite"
+    ).partitionBy(*(part_cols + (["batch_id"] if has_batch else []))).parquet(
+        tmp
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(path),
+        "rows": n_rows,
+    }

@@ -663,7 +663,12 @@ def incremental_dedup_sink(
     Per micro-batch: band once (localCheckpoint), emit same-batch
     pairs (bands self-join) + batch×history pairs (stored-index probe
     with the bucket IN-set pushed as PartitionFilters), append the
-    batch's bands to the index partition-consistent.
+    batch's bands to the index partition-consistent. Both writes are
+    idempotent per batch_id (dynamic partition overwrite keyed on the
+    batch) so foreachBatch's at-least-once replay cannot duplicate
+    pairs or inflate the stored index; the index bootstrap must use
+    the same (band_idx, band_bucket, batch_id) layout — write history
+    with batch_id = -1.
 
     ``max_bucket_size`` is the hot-bucket guard for HOSTILE batches
     (boilerplate bursts): the batch's over-cap band buckets are cut
@@ -708,7 +713,13 @@ def incremental_dedup_sink(
             r["band_bucket"]
             for r in probe.select("band_bucket").distinct().collect()
         )
-        stored = ss.read.parquet(idx_dir)
+        # History = batches STRICTLY BEFORE this one. Without the
+        # filter, a replayed batch would probe its own already-appended
+        # bands (self-pairs + doubled cross pairs); with it, the probe
+        # is deterministic no matter how many times the batch replays.
+        stored = ss.read.parquet(idx_dir).filter(
+            F.col("batch_id") < F.lit(batch_id)
+        )
         cross = (
             stored.filter(F.col("band_bucket").isin(buckets))
             .join(probe, ["band_idx", "band_bucket", "band_hash"])
@@ -723,12 +734,26 @@ def incremental_dedup_sink(
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        pairs.write.mode("append").parquet(out_dir)
+        # Both writes are IDEMPOTENT per batch_id (foreachBatch is
+        # at-least-once: a mid-batch failure replays the whole batch).
+        # Dynamic partition overwrite keyed on batch_id — the
+        # documented exactly-once-via-batchId pattern — makes a replay
+        # REWRITE its own partitions instead of appending duplicates
+        # that would double n_shared_bands and permanently inflate the
+        # stored index for all future probes.
+        pairs.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_dir)
         # (4) history accretes: next batch's probe must see this one —
-        # the FULL band set, even under the guard
-        bidx.repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
-            "append"
-        ).partitionBy("band_idx", "band_bucket").parquet(idx_dir)
+        # the FULL band set, even under the guard. batch_id is the
+        # LAST partition level, so bucket pruning on probes is
+        # untouched while a replayed batch overwrites exactly its own
+        # leaf dirs (banding is deterministic → same dirs).
+        bidx.withColumn("batch_id", F.lit(batch_id)).repartition(
+            64, F.col("band_idx"), F.col("band_bucket")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("band_idx", "band_bucket", "batch_id").parquet(idx_dir)
         ss.catalog.refreshByPath(idx_dir)
 
     return sink
@@ -795,9 +820,14 @@ def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = minhash_band_index(
         d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", **kw
     )
-    hist.repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
-        "overwrite"
-    ).partitionBy("band_idx", "band_bucket").parquet(idx_dir)
+    # Bootstrap under the same 3-level layout the sink appends with
+    # (batch_id = -1 marks the pre-stream history) so partition
+    # discovery sees one consistent scheme.
+    hist.withColumn("batch_id", F.lit(-1)).repartition(
+        64, F.col("band_idx"), F.col("band_bucket")
+    ).write.mode("overwrite").partitionBy(
+        "band_idx", "band_bucket", "batch_id"
+    ).parquet(idx_dir)
 
     # Stage the stream: odd docs as two files → two micro-batches.
     docs = d.select("doc_id", "text")

@@ -947,6 +947,78 @@ def dedup_band_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_band_index_compact",
+    # Identical relation to dedup_band_index_probe's oracle: history =
+    # even docs (however many appends and compactions produced the
+    # stored files), probe = odd docs. Compaction is a pure storage-
+    # layout rewrite, so the probe result MUST equal the plain band
+    # equi-join — that invariance is exactly what the hash checks.
+    oracle=f"""
+    WITH {{ctes}},
+    hist AS (SELECT doc_id, band_idx, band_key FROM banded
+             WHERE doc_id % 2 = 0),
+    probe AS (SELECT doc_id AS probe_id, band_idx, band_key FROM banded
+              WHERE doc_id % 2 = 1)
+    SELECT p.probe_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM probe p JOIN hist h
+      ON h.band_idx = p.band_idx AND h.band_key = p.band_key
+    GROUP BY 1, 2
+    """.format(ctes=_minhash_md5_ctes(where="TRUE")),
+)
+def dedup_band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 STORED-INDEX lifecycle, MAINTENANCE phase — the op a
+    continuous-ingest deployment runs weekly: the historical index
+    accretes one file per partition dir per appended batch (three
+    ingest batches here → 3 files/dir), then
+    ``compact_band_index`` (operators/dedup.py) rewrites every
+    (band_idx, band_bucket) dir to ONE file and swaps it in. Without
+    it, a year of hourly micro-batches makes every pruned probe open
+    ~8,760 files per partition — the small-files decay that kills
+    stored-index latency at 100 TB. The probe AFTER compaction must
+    return exactly the plain band equi-join (the oracle) — compaction
+    moves bytes, never rows. File-count collapse (3 → 1 per dir) and
+    probe invariance are asserted in tests/test_plan_shapes.py."""
+    import os as _os
+
+    from process_spark.operators.dedup import (
+        compact_band_index,
+        minhash_band_index,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    kw = dict(
+        num_hashes=64, bands=16, base_hash="md5", band_key="concat",
+        n_buckets=16,
+    )
+    d = t(spark, sf_dir, "documents")
+    path = _os.path.join(_SCRATCH, "minhash_band_index_compact")
+
+    # three ingest batches of the historical (even) half
+    for i, mode in [(0, "overwrite"), (2, "append"), (4, "append")]:
+        minhash_band_index(
+            d.filter(F.col("doc_id") % 6 == i), "doc_id", "text", **kw
+        ).repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
+            mode
+        ).partitionBy("band_idx", "band_bucket").parquet(path)
+    compact_band_index(spark, path)
+
+    stored = spark.read.parquet(path)
+    probe = minhash_band_index(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", **kw
+    ).withColumnRenamed("doc_id", "probe_id").localCheckpoint(eager=False)
+    buckets = sorted(  # bounded: bucket domain ≤ n_buckets=16
+        r["band_bucket"]
+        for r in probe.select("band_bucket").distinct().collect()
+    )
+    pruned = stored.filter(F.col("band_bucket").isin(buckets))
+    return (
+        pruned.join(probe, ["band_idx", "band_bucket", "band_hash"])
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
     "text_bpe_token_count",
     # Whitespace vs word vs BPE-ish pretokenizer counts, all three as
     # regex/list expressions DuckDB replays exactly (RE2 and Java regex

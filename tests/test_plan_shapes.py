@@ -418,3 +418,84 @@ def test_ivf_stored_append_prunes_and_stays_one_file_per_write(spark):
             continue
         files = [f for f in os.listdir(cp) if f.endswith(".parquet")]
         assert 1 <= len(files) <= 2, f"{cell_dir}: {len(files)} files"
+
+
+def test_compact_band_index_collapses_files_probe_invariant(spark, tmp_path):
+    """compact_band_index: (a) every (band_idx, band_bucket) dir
+    collapses to ONE file regardless of how many appends built it;
+    (b) probe candidates are IDENTICAL before and after (compaction
+    moves bytes, not rows); (c) the batch_id streaming layout is
+    sealed to batch_id=-1 so future idempotent appends and the
+    history < batch filter keep working."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from process_spark.operators.dedup import (
+        compact_band_index,
+        minhash_band_index,
+    )
+    from process_spark.sources.io import load
+
+    d = load(spark, SF, "documents")
+    kw = dict(num_hashes=16, bands=4, n_buckets=8)
+    path = str(tmp_path / "band_index")
+    for i, mode in [(0, "overwrite"), (2, "append"), (4, "append")]:
+        minhash_band_index(
+            d.filter(F.col("doc_id") % 6 == i), "doc_id", **kw
+        ).repartition(8, F.col("band_idx"), F.col("band_bucket")).write.mode(
+            mode
+        ).partitionBy("band_idx", "band_bucket").parquet(path)
+
+    probe = minhash_band_index(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", **kw
+    ).withColumnRenamed("doc_id", "probe_id").localCheckpoint()
+
+    def candidates():
+        return sorted(
+            (r["probe_id"], r["doc_id"], r["n_shared_bands"])
+            for r in spark.read.parquet(path)
+            .join(probe, ["band_idx", "band_bucket", "band_hash"])
+            .groupBy("probe_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .collect()
+        )
+
+    def max_files_per_dir():
+        worst = 0
+        for root, _, fs in os.walk(path):
+            n = sum(1 for f in fs if f.endswith(".parquet"))
+            worst = max(worst, n)
+        return worst
+
+    before = candidates()
+    assert max_files_per_dir() >= 3, "fixture failed to fragment dirs"
+    stats = compact_band_index(spark, path, n_write_tasks=8)
+    assert stats["files_after"] < stats["files_before"]
+    assert max_files_per_dir() == 1
+    assert candidates() == before, "compaction changed probe results"
+
+    # (c) streaming layout: batch_id levels seal to -1
+    path2 = str(tmp_path / "band_index_batched")
+    for bid in (0, 1, 2):
+        minhash_band_index(
+            d.filter(F.col("doc_id") % 6 == 2 * bid), "doc_id", **kw
+        ).withColumn("batch_id", F.lit(bid)).repartition(
+            8, F.col("band_idx"), F.col("band_bucket")
+        ).write.mode("append").partitionBy(
+            "band_idx", "band_bucket", "batch_id"
+        ).parquet(path2)
+    n_rows = spark.read.parquet(path2).count()
+    compact_band_index(spark, path2, n_write_tasks=8)
+    sealed = spark.read.parquet(path2)
+    assert sealed.count() == n_rows
+    assert sealed.select("batch_id").distinct().collect()[0][0] == -1
+    # a post-compaction idempotent append still composes
+    minhash_band_index(
+        d.filter(F.col("doc_id") % 6 == 1), "doc_id", **kw
+    ).withColumn("batch_id", F.lit(7)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("band_idx", "band_bucket", "batch_id").parquet(path2)
+    assert spark.read.parquet(path2).filter(
+        F.col("batch_id") < F.lit(7)
+    ).count() == n_rows

@@ -348,9 +348,11 @@ def test_incremental_dedup_sink_hot_bucket_guard(spark, tmp_path):
         [(i, f"unique document number {i} with words {i * 7}") for i in range(6)],
         "doc_id long, text string",
     )
-    minhash_band_index(hist, "doc_id", "text", **kw).repartition(
-        8, F.col("band_idx"), F.col("band_bucket")
-    ).write.mode("overwrite").partitionBy("band_idx", "band_bucket").parquet(idx_dir)
+    minhash_band_index(hist, "doc_id", "text", **kw).withColumn(
+        "batch_id", F.lit(-1)
+    ).repartition(8, F.col("band_idx"), F.col("band_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx", "band_bucket", "batch_id").parquet(idx_dir)
 
     # hostile batch: 10 identical docs -> every bucket size 10 > cap 3
     batch = spark.createDataFrame(
@@ -364,7 +366,10 @@ def test_incremental_dedup_sink_hot_bucket_guard(spark, tmp_path):
 
     # no pair burst: either no parquet written or zero pair rows
     pair_files = [
-        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet")
     ] if os.path.isdir(out_dir) else []
     n_pairs = (
         spark.read.parquet(out_dir).count() if pair_files else 0
@@ -562,3 +567,71 @@ def test_mg_partition_summaries_typed_non_string(spark):
     got = {r["k"]: r["cnt"] for r in out}
     assert got == {5: 60}
     assert all(isinstance(r["k"], int) for r in out)
+
+
+def test_incremental_dedup_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the SAME micro-batch
+    (a mid-batch failure) must leave pairs AND the stored band index
+    exactly as a single delivery would — dynamic partition overwrite
+    keyed on batch_id rewrites instead of appending, so
+    n_shared_bands cannot double and future probes see each band
+    once."""
+    import os
+
+    from process_spark.operators.dedup import minhash_band_index
+    from process_spark.queries.streaming import incremental_dedup_sink
+
+    kw = dict(num_hashes=16, bands=4, base_hash="xxhash64",
+              band_key="hash", n_buckets=8)
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    hist = spark.createDataFrame(
+        [(i, f"unique document number {i} with words {i * 7}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    minhash_band_index(hist, "doc_id", "text", **kw).withColumn(
+        "batch_id", F.lit(-1)
+    ).repartition(8, F.col("band_idx"), F.col("band_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx", "band_bucket", "batch_id").parquet(idx_dir)
+
+    batch = spark.createDataFrame(
+        [(200, "unique document number 3 with words 21"),
+         (201, "unique document number 4 with words 28")],
+        "doc_id long, text string",
+    )
+    sink = incremental_dedup_sink(idx_dir, out_dir, kw)
+    sink(batch, 0)
+    once_pairs = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    once_idx = spark.read.parquet(idx_dir).count()
+    assert any(a == 3 and b == 200 for a, b, _ in once_pairs)
+
+    sink(batch, 0)  # REPLAY of the same batch_id
+    again_pairs = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    again_idx = spark.read.parquet(idx_dir).count()
+    assert again_pairs == once_pairs, "replay duplicated pair rows"
+    assert again_idx == once_idx, "replay inflated the stored index"
+
+    # and a LATER batch still probes the post-replay index correctly
+    batch2 = spark.createDataFrame(
+        [(300, "unique document number 3 with words 21")],
+        "doc_id long, text string",
+    )
+    sink(batch2, 1)
+    hits = spark.read.parquet(out_dir).filter(
+        (F.col("id_b") == 300) & F.col("id_a").isin(3, 200)
+    )
+    bands_seen = {
+        (r["id_a"], r["n_shared_bands"]) for r in hits.collect()
+    }
+    # doc 300 matches both doc 3 (history) and doc 200 (batch 0) on
+    # ALL bands exactly once — no double-counted n_shared_bands
+    assert bands_seen == {(3, kw["bands"]), (200, kw["bands"])}, bands_seen
