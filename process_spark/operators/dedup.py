@@ -522,13 +522,16 @@ def jaccard_pairs(
     templated source) is a single quadratic task at 100 TB. When set
     (requires ``block_col``), blocks over the cap are EXCLUDED from
     pair generation BEFORE the join — every join task is bounded at
-    ≤ max_block_size² intermediate rows by construction — and the
-    result carries an ``n_skipped_blocks`` column (constant per run),
-    plus a NULL-id sentinel row when blocks were skipped but no pair
-    survived, so truncation is visible in the OUTPUT even at 100% cut.
-    A pipeline routes skipped blocks' members to a cheaper tier
-    (banded LSH — minhash_lsh_pairs — whose cost is linear in the
-    bucket census, not quadratic in the block)."""
+    ≤ max_block_size² intermediate rows by construction. The output
+    schema and row semantics are MODE-INVARIANT: always exactly
+    (id_a, id_b, jaccard), one row per surviving pair, so guarded and
+    unguarded results union cleanly and no consumer needs a
+    NULL-sentinel filter. The skip census is OUT-OF-BAND — use
+    :func:`jaccard_pairs_with_census` when the pipeline must surface
+    the truncation (every registered guarded query does). A pipeline
+    routes skipped blocks' members to a cheaper tier (banded LSH —
+    minhash_lsh_pairs — whose cost is linear in the bucket census,
+    not quadratic in the block)."""
     if max_block_size is not None and block_col is None:
         raise ValueError("max_block_size requires block_col (the guard caps blocks)")
     n_part = df.sparkSession.sparkContext.defaultParallelism
@@ -541,22 +544,15 @@ def jaccard_pairs(
         )
         .localCheckpoint(eager=False)  # tokenize once, not per join side
     )
-    skipped = None
     if max_block_size is not None:
-        # Census partitioned on the SAME key the self-join shuffles on;
-        # checkpointed because three consumers read it (two join sides
-        # + the skipped-count branch) and Catalyst does not reuse the
-        # window exchange across them.
+        # Census partitioned on the SAME key the self-join shuffles
+        # on. The skipped-block COUNT is not computed here — use
+        # jaccard_pairs_with_census for the observable variant.
         wb = Window.partitionBy(block_col)
-        sized = toks.withColumn(
-            "__bn", F.count(F.lit(1)).over(wb)
-        ).localCheckpoint(eager=False)
-        toks = sized.filter(F.col("__bn") <= max_block_size).drop("__bn")
-        skipped = (
-            sized.filter(F.col("__bn") > max_block_size)
-            .select(block_col)
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n_skipped_blocks"))
+        toks = (
+            toks.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_block_size)
+            .drop("__bn")
         )
     a, b = toks.alias("a"), toks.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -574,28 +570,77 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
-    if skipped is None:
-        return pairs
-    # Same two-branch observability as minhash_lsh_pairs: every pair
-    # row carries the (1-row broadcast) skipped count, and an
-    # all-skipped run emits one NULL-id sentinel so the count survives
-    # an empty pair set. pairs feeds both branches → checkpoint once.
-    pairs = pairs.localCheckpoint(eager=False)
-    out = pairs.join(F.broadcast(skipped)).select(
-        "id_a", "id_b", "jaccard", "n_skipped_blocks"
-    )
-    id_type = dict(pairs.dtypes)["id_a"]
-    sentinel = (
-        skipped.filter(F.col("n_skipped_blocks") > 0)
-        .join(F.broadcast(pairs.select("id_a").limit(1)), F.lit(True), "left_anti")
-        .select(
-            F.lit(None).cast(id_type).alias("id_a"),
-            F.lit(None).cast(id_type).alias("id_b"),
-            F.lit(None).cast("double").alias("jaccard"),
-            F.col("n_skipped_blocks"),
+    return pairs
+
+
+def jaccard_pairs_with_census(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    min_jaccard: float = 0.0,
+    max_block_size: int | None = None,
+) -> tuple:
+    """Guarded :func:`jaccard_pairs` plus its skip census, OUT-OF-BAND:
+    returns ``(pairs, census)`` where ``pairs`` has the mode-invariant
+    (id_a, id_b, jaccard) schema and ``census`` is exactly one row
+    ``(n_skipped_blocks bigint)`` — 0 when nothing was cut, present
+    even when every block was cut and the pair set is empty. This
+    replaces the old in-band design (an ``n_skipped_blocks`` column on
+    every pair row plus a NULL-id sentinel when all blocks skipped),
+    which made the pair relation's schema depend on the guard mode and
+    forced every consumer to filter the sentinel. A pipeline that must
+    surface truncation (every registered guarded query) broadcasts the
+    1-row census onto its OWN output instead."""
+    if max_block_size is None:
+        raise ValueError(
+            "jaccard_pairs_with_census requires max_block_size; use "
+            "jaccard_pairs when nothing can be skipped"
         )
+    if block_col is None:
+        raise ValueError("max_block_size requires block_col (the guard caps blocks)")
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+            F.col(block_col),
+        )
+        .localCheckpoint(eager=False)
     )
-    return out.unionByName(sentinel)
+    # Census partitioned on the SAME key the self-join shuffles on;
+    # checkpointed because three consumers read it (two join sides +
+    # the skipped-count branch) and Catalyst does not reuse the window
+    # exchange across them.
+    wb = Window.partitionBy(block_col)
+    sized = toks.withColumn(
+        "__bn", F.count(F.lit(1)).over(wb)
+    ).localCheckpoint(eager=False)
+    kept = sized.filter(F.col("__bn") <= max_block_size).drop("__bn")
+    census = (
+        sized.filter(F.col("__bn") > max_block_size)
+        .select(block_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_skipped_blocks"))
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col(f"a.{block_col}") == F.col(f"b.{block_col}")
+    )
+    inter = F.size(F.array_intersect(F.col("a.__toks"), F.col("b.__toks")))
+    uni = F.size(F.array_union(F.col("a.__toks"), F.col("b.__toks")))
+    jac = F.when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(0.0)
+    pairs = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return pairs, census
 
 
 def connected_components(

@@ -725,6 +725,11 @@ def ivf_tune_n_probe(
     )
     n_q = queries.count()
     n_corpus = assignments.count()
+    # Recall denominator = the ACTUAL exact ground-truth row count, not
+    # n_q·k: a query with fewer than k non-self neighbors (tiny corpus,
+    # zero-norm queries) would otherwise cap measured recall below 1.0
+    # forever and silently force `chosen` to the most expensive rung.
+    n_exact = exact.count()
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
     )
@@ -737,7 +742,7 @@ def ivf_tune_n_probe(
             .select(query_id, corpus_id)
         )
         hits = topk.join(exact, [query_id, corpus_id]).count()
-        recall = hits / max(1, n_q * k)
+        recall = hits / max(1, n_exact)
         frac = sub.count() / max(1, n_q * (n_corpus - 1))
         rows.append((p, recall, frac))
     cleared = [p for p, r, _ in rows if r >= target_recall]
@@ -1146,12 +1151,28 @@ def pq_train(
         .collect()
     )
     mat = np.array([list(r[vec_col]) for r in sample], dtype="float64")
+    _empty_msg = (
+        "pq_train: no trainable vectors — the sample is empty or every "
+        "sampled vector has zero/underflow norm (the cosine contract "
+        "trains on unit vectors; zero-norm vectors are excluded)"
+    )
+    if mat.size == 0:
+        raise ValueError(_empty_msg)
     # COSINE contract: train on UNIT vectors — ADC approximates angular
     # distance only if magnitude is normalized out on both sides (a
     # raw-norm corpus would let ||x||² dominate the L2 ranking).
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    if mat.shape[0] == 0:
+        raise ValueError(_empty_msg)
     n, d = mat.shape
+    if n < k:
+        raise ValueError(
+            f"pq_train: sample holds only {n} unit vectors but k={k} "
+            "centroids per subspace were requested — raise sample_cap, "
+            "lower k, or pass a larger corpus (training would otherwise "
+            "silently return fewer than k centroids per codebook)"
+        )
     if d % m:
         raise ValueError(f"dim {d} must split evenly into m={m} subspaces")
     sub_d = d // m

@@ -174,27 +174,25 @@ def pipeline_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-edge stage is BOUNDED: blocks over ``_KEEPER_BLOCK_CAP``
     are cut before the all-pairs join (every task ≤ cap² intermediate
     rows) and the cut is visible in the output — each row carries
-    ``n_skipped_blocks``, and skipped blocks' members surface as CC
+    ``n_skipped_blocks`` from the OUT-OF-BAND census
+    (jaccard_pairs_with_census: the pair relation keeps its
+    mode-invariant (id_a, id_b, jaccard) schema, the 1-row census
+    rides a broadcast), and skipped blocks' members surface as CC
     singletons. The unbounded-quadratic variant this replaces was the
     one registered query a user could walk into at 100 TB; the LSH
     keeper chain (``pipeline_dedup_keeper_lsh``) remains the
     production path for corpora where whole blocks exceed the cap."""
+    from process_spark.operators.dedup import jaccard_pairs_with_census
+
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     blocked = d.withColumn("__blk", F.concat_ws("|", "lang", "source"))
-    edges_all = jaccard_pairs(
+    edges, skipcnt = jaccard_pairs_with_census(
         blocked,
         "doc_id",
         "text",
         block_col="__blk",
         min_jaccard=0.2,
         max_block_size=_KEEPER_BLOCK_CAP,
-    ).localCheckpoint(eager=False)  # feeds the edge AND skip-count branches
-    edges = edges_all.filter(F.col("id_a").isNotNull())
-    # Constant-per-run census: max() over the carried column survives
-    # an empty pair set via the guard's sentinel row; coalesce covers
-    # the nothing-skipped-and-no-pairs corner.
-    skipcnt = edges_all.agg(
-        F.coalesce(F.max("n_skipped_blocks"), F.lit(0)).alias("n_skipped_blocks")
     )
     comp = connected_components(
         edges, src="id_a", dst="id_b", vertices=d, id_col="doc_id"

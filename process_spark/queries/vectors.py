@@ -488,6 +488,12 @@ def ann_srp_tune(
     )
     n_q = q.count()
     n_corpus = e.count()
+    # Recall denominator = the ACTUAL exact ground-truth row count, not
+    # n_q·k — a query with fewer than k non-self neighbors would
+    # otherwise cap measured recall below target forever and silently
+    # force `chosen` to the most expensive rung (same rule as
+    # ivf_tune_n_probe).
+    n_exact = exact.count()
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     rows = []
     for b in ladder:
@@ -498,7 +504,7 @@ def ann_srp_tune(
             .select("q_id", "vec_id")
         )
         hits = topk.join(exact, ["q_id", "vec_id"]).count()
-        recall = hits / max(1, n_q * k)
+        recall = hits / max(1, n_exact)
         frac = sub.count() / max(1, n_q * (n_corpus - 1))
         rows.append((b, recall, frac))
     cleared = [b for b, r, _ in rows if r >= target_recall]

@@ -252,3 +252,59 @@ def test_pq_search_recall_clustered(clustered):
         for qq, ids in exact.items()
     ) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_pq_train_validates_sample(spark):
+    """ADVICE r7: pq_train must fail DESCRIPTIVELY, not with an opaque
+    IndexError, when the post-normalization sample is empty, and must
+    refuse n < k rather than silently training short codebooks."""
+    import pytest
+
+    from process_spark.operators.similarity import pq_train
+
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="zero/underflow norm"):
+        pq_train(zeros, m=2, k=4)
+
+    empty = zeros.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="no trainable vectors"):
+        pq_train(empty, m=2, k=4)
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="lower k"):
+        pq_train(tiny, m=2, k=16)
+
+
+def test_tuner_recall_denominator_is_exact_count(spark):
+    """ADVICE r7: recall uses the exact ground truth's ROW COUNT, not
+    n_q*k — on a corpus where each query has fewer than k non-self
+    neighbors, a full-probe search finds ALL of them and the tuner
+    must measure recall 1.0 (and therefore choose a cheap rung), not
+    an unreachable hits/(n_q*k) < 1."""
+    from process_spark.operators.similarity import (
+        ivf_build,
+        ivf_tune_n_probe,
+    )
+
+    # 6 vectors, k=10: every query has only 5 non-self neighbors
+    rows = [
+        (i, [float(i % 3 == 0) + 1.0, float(i) / 10.0, 1.0, 0.0])
+        for i in range(6)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    cells, assignments = ivf_build(e, n_cells=2)
+    stats = ivf_tune_n_probe(q, cells, assignments, k=10)
+    full = max(r["n_probe"] for r in stats.collect())
+    full_recall = [
+        r["recall"] for r in stats.collect() if r["n_probe"] == full
+    ][0]
+    assert full_recall == 1.0, (
+        f"full probe must measure recall 1.0, got {full_recall}"
+    )

@@ -168,42 +168,63 @@ def test_dedup_edges(spark):
 
 def test_jaccard_pairs_block_guard(spark):
     """max_block_size mirrors the LSH hot-bucket guard contract: blocks
-    over the cap are cut BEFORE the all-pairs join, the cut is counted
-    in every output row, and an all-skipped run emits the NULL-id
-    sentinel instead of silently returning nothing."""
+    over the cap are cut BEFORE the all-pairs join. The pair relation's
+    schema is MODE-INVARIANT — always (id_a, id_b, jaccard), no census
+    column, no NULL-id sentinel — so guarded and unguarded outputs
+    union cleanly; the skip count comes out-of-band from
+    jaccard_pairs_with_census."""
     import pytest as _pytest
 
-    from process_spark.operators.dedup import jaccard_pairs
+    from process_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_with_census,
+    )
 
     rows = [(i, "common tokens shared by every doc", "hot") for i in range(5)]
     rows += [(10, "zebra quark", "cold"), (11, "zebra quark", "cold")]
     df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
 
-    out = jaccard_pairs(
+    guarded = jaccard_pairs(
         df, "doc_id", "text", block_col="blk", min_jaccard=0.5, max_block_size=3
-    ).collect()
-    real = [r for r in out if r["id_a"] is not None]
+    )
+    unguarded = jaccard_pairs(
+        df, "doc_id", "text", block_col="blk", min_jaccard=0.5
+    )
+    # schema identical across modes; union needs no special handling
+    assert guarded.columns == unguarded.columns == ["id_a", "id_b", "jaccard"]
+    out = guarded.collect()
     # hot block (5 docs > cap 3) cut: only the cold pair survives
-    assert {(r["id_a"], r["id_b"]) for r in real} == {(10, 11)}
-    assert all(r["n_skipped_blocks"] == 1 for r in out)
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(10, 11)}
+    assert all(r["id_a"] is not None for r in out)  # no sentinel rows
+    assert guarded.unionByName(unguarded).count() == 1 + 11
 
-    # all-skipped: single over-cap block → one sentinel row, count kept
+    # census variant: pairs keep the same schema; the count is a
+    # separate 1-row relation — present even when ALL blocks are cut
+    pairs2, census2 = jaccard_pairs_with_census(
+        df, "doc_id", "text", block_col="blk", min_jaccard=0.5,
+        max_block_size=3,
+    )
+    assert pairs2.columns == ["id_a", "id_b", "jaccard"]
+    assert census2.collect()[0]["n_skipped_blocks"] == 1
+
     hot = df.filter(F.col("blk") == "hot")
-    out2 = jaccard_pairs(
-        hot, "doc_id", "text", block_col="blk", min_jaccard=0.5, max_block_size=3
-    ).collect()
-    assert len(out2) == 1
-    assert out2[0]["id_a"] is None and out2[0]["n_skipped_blocks"] == 1
+    pairs3, census3 = jaccard_pairs_with_census(
+        hot, "doc_id", "text", block_col="blk", min_jaccard=0.5,
+        max_block_size=3,
+    )
+    assert pairs3.count() == 0  # empty pair set, NOT a sentinel row
+    assert census3.collect()[0]["n_skipped_blocks"] == 1
 
-    # no cap exceeded → count 0, pairs intact
-    out3 = jaccard_pairs(
-        df, "doc_id", "text", block_col="blk", min_jaccard=0.5, max_block_size=99
-    ).collect()
-    assert all(r["n_skipped_blocks"] == 0 for r in out3)
-    assert len([r for r in out3 if r["id_a"] is not None]) == 10 + 1
+    _, census4 = jaccard_pairs_with_census(
+        df, "doc_id", "text", block_col="blk", min_jaccard=0.5,
+        max_block_size=99,
+    )
+    assert census4.collect()[0]["n_skipped_blocks"] == 0
 
     with _pytest.raises(ValueError):
         jaccard_pairs(df, "doc_id", "text", max_block_size=3)
+    with _pytest.raises(ValueError):
+        jaccard_pairs_with_census(df, "doc_id", "text", block_col="blk")
 
 
 def test_knn_edges(spark):
