@@ -31,14 +31,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-try:  # optional codec backend — absent in this container
-    import PIL.Image  # type: ignore[import-not-found]  # noqa: F401
-
-    _HAVE_PIL = True
-except Exception:  # pragma: no cover
-    _HAVE_PIL = False
-
-
 def attach_blob(
     df: DataFrame,
     payload: Column,
@@ -512,14 +504,18 @@ def decode_image_meta(
 
     schema = f"{id_col} bigint, width int, height int, channels int"
 
-    have_pil = _HAVE_PIL  # captured by value — see note below
-
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # The kernel must be import-free w.r.t. process_spark: a
         # worker closure that references a module-level helper is
         # pickled BY REFERENCE, and the grading driver's Python
         # workers may not have the repo on their path. Everything the
         # kernel needs is captured by value or stdlib.
+        #
+        # ALWAYS the deterministic stub, by contract — this is the
+        # oracle anchor (mm_decode_image_meta hash-matches a DuckDB
+        # md5 replay), so it must not change behavior with the
+        # environment. Real codec decoding lives in
+        # :func:`decode_image_meta_real`.
         import hashlib as _hl  # noqa: PLC0415
 
         def stub_dims(payload: bytes) -> tuple[int, int, int]:
@@ -527,10 +523,6 @@ def decode_image_meta(
             return 64 + h[0] * 4, 64 + h[1] * 4, 1 + h[2] % 4
 
         for pdf in batches:
-            if have_pil:  # pragma: no cover — codec not in container
-                raise NotImplementedError(
-                    "real codec path: PIL.Image.open over io.BytesIO per blob"
-                )
             dims = [stub_dims(bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
@@ -546,6 +538,84 @@ def decode_image_meta(
         df.select(id_col, blob_col)
         .repartition(n_part, F.col(id_col))
         .mapInPandas(decode, schema=schema)
+    )
+
+
+def _real_image_kernel(blob_col: str, id_col: str) -> Callable:
+    """Build the worker kernel for :func:`decode_image_meta_real` —
+    module-level factory so tests can drive the generator directly
+    (including with an injected fake PIL) without a Spark round-trip.
+    Import-free w.r.t. process_spark (pickled by reference is fine for
+    stdlib + the optional PIL import attempted INSIDE the worker)."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as _hl  # noqa: PLC0415
+        import io as _io  # noqa: PLC0415
+
+        import pandas as _pd  # noqa: PLC0415
+
+        try:  # the worker's own environment decides, not the driver's
+            from PIL import Image as _Image  # type: ignore  # noqa: PLC0415
+        except Exception:
+            _Image = None
+
+        def stub_dims(payload: bytes) -> tuple[int, int, int]:
+            h = _hl.md5(payload).digest()
+            return 64 + h[0] * 4, 64 + h[1] * 4, 1 + h[2] % 4
+
+        def one(payload: bytes) -> tuple[int, int, int, str]:
+            if _Image is not None:
+                try:
+                    with _Image.open(_io.BytesIO(payload)) as im:
+                        w, h = im.size
+                        return int(w), int(h), len(im.getbands()), "pil"
+                except Exception:
+                    pass  # unparseable by the codec → degrade, not abort
+            return (*stub_dims(payload), "stub")
+
+        for pdf in batches:
+            out = [one(bytes(b)) for b in pdf[blob_col]]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "width": [r[0] for r in out],
+                    "height": [r[1] for r in out],
+                    "channels": [r[2] for r in out],
+                    "decoder": [r[3] for r in out],
+                }
+            )
+
+    return decode
+
+
+def decode_image_meta_real(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode (width/height/channels) via the optional PIL
+    codec, Arrow-batched over mapInPandas — the tier for compressed
+    formats (JPEG, WebP, full PNG) whose geometry the stdlib header
+    parsers (:func:`decode_media_meta`) genuinely cannot reach.
+
+    Degradation contract, per blob: PIL present and the blob parses →
+    real dimensions, ``decoder='pil'``; PIL absent OR the blob is not
+    a decodable image → the deterministic stub dims, ``decoder='stub'``
+    — never an exception, because one corrupt file in a 100 TB corpus
+    must not abort the sweep, and an environment WITHOUT the codec
+    (this container) still produces a complete, typed result. The PIL
+    import happens INSIDE the worker (each executor's environment
+    decides), the per-blob parse is wrapped, and the ``decoder``
+    column makes the degradation visible instead of silent.
+    Rows-only by nature: real codec output has no SQL twin; the stub
+    tier (:func:`decode_image_meta`) remains the oracle anchor."""
+    schema = (
+        f"{id_col} bigint, width int, height int, channels int,"
+        " decoder string"
+    )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, blob_col)
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(_real_image_kernel(blob_col, id_col), schema=schema)
     )
 
 

@@ -106,6 +106,26 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(_blobs(spark, sf_dir))
 
 
+@register("mm_decode_image_real", oracle=None)
+def mm_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O70/O100 — the REAL-codec decode tier
+    (operators.multimodal.decode_image_meta_real): PIL inside the
+    worker when the executor environment has it, per-blob try/except
+    degradation to the deterministic stub otherwise — never an abort,
+    and the ``decoder`` column ('pil'/'stub') makes which path ran
+    visible per row. In THIS container PIL is absent, so every row
+    reports 'stub' and the values equal mm_decode_image_meta's
+    (asserted in tests); an environment with the codec gets real
+    dimensions for decodable blobs with the identical plan shape
+    (blob bytes stay worker-side, one Python crossing per Arrow
+    batch). Rows-only: real codec output has no SQL twin — the stub
+    tier above is the oracle anchor; the fake-PIL branch test in
+    tests/test_edge_cases.py pins the codec path's plumbing."""
+    from process_spark.operators.multimodal import decode_image_meta_real
+
+    return decode_image_meta_real(_blobs(spark, sf_dir))
+
+
 @register(
     "mm_decode_real_headers",
     # The fixture kernel builds REAL container bytes (valid BMP / P6
