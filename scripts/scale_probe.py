@@ -115,6 +115,15 @@ PIPELINE_PROBE = [
 #: design (replicated docs/vectors collide) — ratios are reported but
 #: flagged, because the growth is in the RESULT, not a plan defect.
 QUADRATIC_BY_DESIGN = {
+    "pipeline_contamination_check": "the x10 replica multiplies BOTH "
+    "sides of every shingle match - benchmark docs AND corpus docs - so "
+    "the matched (corpus shingle, bench doc) pair set grows ~100x "
+    "(measured r8: 118,780 -> 11,878,000 join rows); a ~3x wall ratio is "
+    "strongly SUB-linear against that, because the broadcast map-side "
+    "join absorbs the fan-out before the doc_id-bounded aggregate. In a "
+    "real deployment the benchmark is a FIXED eval suite that does not "
+    "grow with the corpus, so the production ratio tracks corpus size "
+    "only",
     "text_minhash_lsh_pairs": "replicated docs are true near-dups; "
     "pair output grows ~quadratically per duplicated doc",
     "vec_knn_bruteforce": "both query set and corpus grow 10x; "
@@ -280,6 +289,38 @@ def semantic_missed_pairs(spark) -> str:
         exact += j - i - 1
     hard = REGISTRY["pipeline_semantic_dedup_ivf"].fn(spark, SRC).count()
     soft = REGISTRY["pipeline_semantic_dedup_ivf_soft"].fn(spark, SRC).count()
+
+    # n_assign=3 rung (round-8 task): same soft pipeline, rn <= 3 —
+    # measured here to decide whether a registered top-3 variant is
+    # worth 3x block volume.
+    from pyspark.sql import Window
+
+    from process_spark.operators.similarity import (
+        ivf_build,
+        near_dup_embeddings_arrow,
+    )
+    from process_spark.queries.vectors import _t32
+
+    e3 = e.select("vec_id", F.array(F.lit(1.0), _t32()).alias("embedding"))
+    cells, _ = ivf_build(e3, n_cells=8, seed_hash="md5")
+    m = F.element_at(F.col("centroid"), 2).cast("double")
+    tvv = F.element_at(F.col("embedding"), 2).cast("double")
+    score = (F.lit(1.0) + tvv * m) / F.sqrt(F.lit(1.0) + m * m)
+    w3 = Window.partitionBy("vec_id").orderBy(score.desc(), F.col("cell_id"))
+    soft3_assign = (
+        e3.join(F.broadcast(cells))
+        .withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") <= 3)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    soft3 = (
+        near_dup_embeddings_arrow(
+            soft3_assign, threshold=0.9995, block_col="cell_id"
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
     return "\n".join([
         "",
         "## Label-free semantic dedup: measured missed-pair fraction "
@@ -290,20 +331,27 @@ def semantic_missed_pairs(spark) -> str:
         "`scripts/scale_probe.py:semantic_missed_pairs`); hard = top-1 "
         "IVF-cell",
         "blocking (`pipeline_semantic_dedup_ivf`), soft = top-2",
-        "(`pipeline_semantic_dedup_ivf_soft`). A planted-boundary-pair "
-        "test is in",
+        "(`pipeline_semantic_dedup_ivf_soft`), top-3 = the same "
+        "pipeline at",
+        "rn <= 3, measured inline. A planted-boundary-pair test is in",
         "tests/test_ann_tuning.py.",
         "",
-        "| variant | pairs found | missed vs exact |",
-        "| --- | --- | --- |",
-        f"| exact (angle sweep) | {exact:,} | — |",
-        f"| hard (top-1 cells) | {hard:,} | {1 - hard / exact:.1%} |",
-        f"| soft (top-2 cells) | {soft:,} | {1 - soft / exact:.1%} |",
+        "| variant | pairs found | missed vs exact | block volume |",
+        "| --- | --- | --- | --- |",
+        f"| exact (angle sweep) | {exact:,} | — | — |",
+        f"| hard (top-1 cells) | {hard:,} | {1 - hard / exact:.1%} | 1x |",
+        f"| soft (top-2 cells) | {soft:,} | {1 - soft / exact:.1%} | ~2x |",
+        f"| soft (top-3 cells) | {soft3:,} | {1 - soft3 / exact:.1%} "
+        "| ~3x |",
         "",
         "Soft assignment recovers pairs straddling ONE cell boundary at",
-        "~2x block volume; the residual misses straddle two boundaries",
-        "(raise n_assign, or fall back to the labeled/banded paths, if",
-        "the corpus warrants it).",
+        "~2x block volume. The top-3 rung (round-8 measurement) closes",
+        "the two-boundary residual completely — but that residual was 5",
+        "pairs in 163,403 (0.003%), bought with +50% block volume over",
+        "top-2, so the REGISTERED default stays top-2: the extra rung is",
+        "a one-line n_assign knob (rn <= 3), not a new query — raise it",
+        "only for corpora whose boundary census says the residual",
+        "matters.",
     ])
 
 
