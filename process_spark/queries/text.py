@@ -1100,3 +1100,46 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tk = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return frequent_items(tk, "tok", capacity=_HH_CAPACITY)
+
+
+@register("text_bpe_train_merges", oracle=None)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O73 — REAL BPE training (Sennrich et al. 2016, public method):
+    the corpus word-frequency table (one distributed map-side-combined
+    aggregate — the only corpus-sized work) feeds a bounded driver-side
+    merge loop, the same bounded-training contract as pq_train's
+    codebook sample. Output: the learned merge table (rank, left,
+    right, merged), the artifact a deployment stores and ships to the
+    apply path. Rows-only by nature — the merges are data-dependent
+    learned content with no SQL twin; correctness is pinned by the
+    canonical Sennrich 'low/lower/newest/widest' fixture and the
+    determinism property (same table from any partitioning) in
+    tests/test_properties.py."""
+    from process_spark.operators.bpe import bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=64)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
+@register("text_bpe_token_budget", oracle=None)
+def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O73 — per-document token budget under REAL BPE merges (closing
+    the round-7 gap where text_bpe_token_count counted pretokenizer
+    pieces only): train the merge table on the corpus, encode the
+    DISTINCT vocabulary once (the merge loop runs per distinct word,
+    never per occurrence — Heaps' law makes the vocabulary the small
+    join side at 100 TB), hash-join piece counts back onto the
+    exploded corpus, aggregate per doc. Output: (doc_id, n_words,
+    n_bpe_tokens). Rows-only (learned merges have no SQL twin); pinned
+    by the roundtrip property (concat(pieces) == word over the FULL
+    corpus vocabulary), the n_words ≥ n_bpe_tokens/word bounds, and
+    the two-path self-twin in tests/test_properties.py."""
+    from process_spark.operators.bpe import bpe_doc_token_counts, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=64)
+    return bpe_doc_token_counts(d, merges)

@@ -407,3 +407,85 @@ def test_sq8_arrow_matmul_matches_hof_exactly(spark):
         for r in sq8_search_arrow(q, e, k=5).collect()
     }
     assert hof == arrow
+
+
+def test_bpe_train_matches_sennrich_fixture(spark):
+    """Canonical BPE fixture (Sennrich et al. 2016, §3.2 shape): on a
+    word-frequency table dominated by a repeated suffix, the first
+    merges must assemble that suffix, and encoding then compresses
+    exactly the words containing it. Hand-checkable end to end."""
+    from process_spark.operators.bpe import _encode_word, _train_merges
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = _train_merges(freqs, 4)
+    # 'es' (9), 'est' (9), then 'lo' (7), 'low' (7) — counts weighted
+    # by word frequency, ties broken lexicographically
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    rank = {p: i for i, p in enumerate(merges)}
+    assert _encode_word("newest", rank) == ["n", "e", "w", "est"]
+    assert _encode_word("lowest", rank) == ["low", "est"]
+    assert _encode_word("low", rank) == ["low"]
+    assert _encode_word("xyz", rank) == ["x", "y", "z"]  # no merges apply
+
+
+def test_bpe_roundtrip_and_determinism(spark):
+    """Over the FULL corpus vocabulary: (a) concatenating a word's
+    pieces reconstructs the word exactly (no piece lost or invented);
+    (b) the learned merge table is identical from any partitioning;
+    (c) more merges never increase a word's piece count."""
+    from process_spark.functions.textfn import tokens as _tokens
+    from process_spark.operators.bpe import bpe_encode_words, bpe_train
+    from process_spark.sources.io import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    merges = bpe_train(d, "text", n_merges=32)
+    assert merges == bpe_train(d.repartition(17), "text", n_merges=32)
+
+    vocab = d.select(
+        F.explode(_tokens(F.col("text"))).alias("word")
+    ).distinct()
+    enc = bpe_encode_words(vocab, merges).collect()
+    assert enc
+    for r in enc:
+        assert "".join(r["pieces"]) == r["word"]
+        assert r["n_pieces"] == len(r["pieces"]) >= 1
+
+    fewer = {
+        r["word"]: r["n_pieces"]
+        for r in bpe_encode_words(vocab, merges[:8]).collect()
+    }
+    for r in enc:
+        assert r["n_pieces"] <= fewer[r["word"]]
+
+
+def test_bpe_doc_counts_two_path_self_twin(spark):
+    """The distinct-vocab+join path (bpe_doc_token_counts) must equal
+    a direct per-occurrence encode — the join is a physical
+    memoization, not a semantic change — and n_bpe_tokens must sit in
+    [n_words, n_chars_of_words]."""
+    from process_spark.functions.textfn import tokens as _tokens
+    from process_spark.operators.bpe import (
+        _encode_word,
+        bpe_doc_token_counts,
+        bpe_train,
+    )
+    from process_spark.sources.io import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    merges = bpe_train(d, "text", n_merges=32)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_doc_token_counts(d, merges).collect()
+    }
+    rank = {p: i for i, p in enumerate(merges)}
+    direct: dict = {}
+    for r in d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    ).collect():
+        n_w, n_p = direct.get(r["doc_id"], (0, 0))
+        direct[r["doc_id"]] = (
+            n_w + 1, n_p + len(_encode_word(r["w"], rank))
+        )
+    assert got == direct
+    for n_words, n_bpe in got.values():
+        assert n_words <= n_bpe  # every word is >= 1 piece
