@@ -727,9 +727,11 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
-def compact_band_index(spark, path: str, n_write_tasks: int = 64) -> dict:
-    """Maintenance op for the STORED band index: rewrite every
-    (band_idx, band_bucket) partition directory to ONE file.
+def compact_partitioned_index(
+    spark, path: str, part_cols: Sequence[str], n_write_tasks: int = 64
+) -> dict:
+    """Maintenance op for any STORED partitioned index: rewrite every
+    partition directory to ONE file.
 
     Appends accrete one file per touched dir per batch (the
     one-file-per-write discipline), so after N ingest batches a probe
@@ -765,8 +767,8 @@ def compact_band_index(spark, path: str, n_write_tasks: int = 64) -> dict:
 
     files_before = _count_files(path)
     df = spark.read.parquet(path)
-    part_cols = ["band_idx", "band_bucket"]
-    has_batch = "batch_id" in df.columns
+    part_cols = list(part_cols)
+    has_batch = "batch_id" in df.columns and "batch_id" not in part_cols
     if has_batch:
         df = df.withColumn("batch_id", F.lit(-1))
     n_rows = df.count()
@@ -788,3 +790,13 @@ def compact_band_index(spark, path: str, n_write_tasks: int = 64) -> dict:
         "files_after": _count_files(path),
         "rows": n_rows,
     }
+
+
+def compact_band_index(spark, path: str, n_write_tasks: int = 64) -> dict:
+    """:func:`compact_partitioned_index` specialized to the MinHash
+    band index's (band_idx, band_bucket) layout — see that docstring
+    for the contract. The IVF cell index compacts with the same op on
+    ``["cell_id"]`` (queries/vectors.py:vec_ivf_stored_compact)."""
+    return compact_partitioned_index(
+        spark, path, ["band_idx", "band_bucket"], n_write_tasks
+    )

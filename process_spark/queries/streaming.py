@@ -960,3 +960,104 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk_all = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return exact_verify(tk_all, "tok", list(counters.keys()), total,
                         _HH_CAPACITY)
+
+
+@register(
+    "stream_dedup_index_compacted",
+    # Same batch-count-invariant relation as stream_dedup_index_probe:
+    # the whole-corpus band join restricted to pairs with a streamed
+    # (odd) member. The driver restart between waves, the compaction
+    # (batch_ids sealed to -1, one file per dir), and the second
+    # wave's probe of the sealed index are all storage/lifecycle
+    # details the emitted pair union is invariant to — which is
+    # exactly what this hash checks.
+    oracle="""
+    WITH {ctes}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+    GROUP BY 1, 2
+    """.format(ctes=_minhash_md5_ctes(where="TRUE")),
+)
+def stream_dedup_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63+O95 — the FULL incremental-dedup production lifecycle in one
+    query: ingest wave 1 (availableNow), STOP the driver, run the
+    offline maintenance pass (compact_band_index — every partition dir
+    rewritten to one file, batch_ids sealed to -1), then RESUME wave 2
+    against the same checkpoint. Wave 2's probe reads the compacted,
+    sealed index (its ``batch_id < current`` history filter sees every
+    sealed row because -1 < everything) and must find wave-1 and
+    historical near-dups exactly as if no maintenance had run — the
+    oracle is the same whole-corpus band join stream_dedup_index_probe
+    checks, so the hash proves restart + compaction moved bytes, never
+    pairs. This is the weekly-compaction rhythm a continuous-ingest
+    deployment actually runs; without it, probes open one file per
+    ingested batch per partition forever."""
+    import shutil
+
+    from process_spark.operators.dedup import (
+        compact_band_index,
+        minhash_band_index,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    kw = dict(
+        num_hashes=64, bands=16, base_hash="md5", band_key="concat",
+        n_buckets=16,
+    )
+    base = os.path.join(_SCRATCH, "stream_dedup_index_compacted")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = t(spark, sf_dir, "documents")
+    hist = minhash_band_index(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", **kw
+    )
+    hist.withColumn("batch_id", F.lit(-1)).repartition(
+        64, F.col("band_idx"), F.col("band_bucket")
+    ).write.mode("overwrite").partitionBy(
+        "band_idx", "band_bucket", "batch_id"
+    ).parquet(idx_dir)
+
+    docs = d.select("doc_id", "text")
+
+    def run_wave() -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_dedup_sink(idx_dir, out_dir, kw)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: first half of the odd docs, then "driver stops"
+    docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    run_wave()
+    # offline maintenance between waves: one file per dir, seal history
+    compact_band_index(spark, idx_dir)
+    # wave 2: rest of the odd docs, same checkpoint (resume)
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_wave()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
+    )

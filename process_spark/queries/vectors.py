@@ -1497,6 +1497,79 @@ def vec_ivf_stored_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vec_ivf_stored_compact",
+    # Identical relation to vec_ivf_stored_append's oracle: the md5
+    # chain replays build-on-even + assign-everything; the append AND
+    # the compaction between it and the probe are storage details the
+    # result must be invariant to — exactly what the hash checks.
+    oracle=_ivf_md5_oracle(build_where="vec_id % 2 = 0"),
+)
+def vec_ivf_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 — the stored IVF index's MAINTENANCE phase (the IVF twin of
+    dedup_band_index_compact): build on the even half, append the odd
+    half (each cell dir now holds 2 files — one per write), then
+    ``compact_partitioned_index`` rewrites every cell dir to ONE file
+    and swaps it in; the probe then searches the compacted index with
+    the probed-cell IN-set still pushed as PartitionFilters. Same
+    small-files story as the band index: a year of hourly appends
+    means probes open thousands of files per pruned cell without this
+    op. The oracle is the append lifecycle's statement verbatim —
+    compaction moves bytes, never rows. File-count collapse is
+    asserted in tests/test_plan_shapes.py."""
+    import os as _os
+    import shutil as _shutil
+
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivf_probe_cells,
+        ivf_search,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    e_even = e.filter(F.col("vec_id") % 2 == 0)
+    e_odd = e.filter(F.col("vec_id") % 2 == 1)
+    cells, assign_even = ivf_build(e_even, n_cells=8, seed_hash="md5")
+
+    path = _os.path.join(_SCRATCH, "ivf_cell_index_compact")
+    _shutil.rmtree(path, ignore_errors=True)
+    assign_even.repartition(8, F.col("cell_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(path)
+    ivf_assign(e_odd, cells).repartition(8, F.col("cell_id")).write.mode(
+        "append"
+    ).partitionBy("cell_id").parquet(path)
+    compact_partitioned_index(spark, path, ["cell_id"], n_write_tasks=8)
+    stored = spark.read.parquet(path)
+
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = sorted(  # bounded: cell domain is n_cells=8
+        r["cell_id"]
+        for r in ivf_probe_cells(cells, q, n_probe=2)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    pruned = stored.filter(F.col("cell_id").isin(probed))
+    knn = ivf_search(q, cells, pruned, k=5, n_probe=2)
+    return knn.groupBy("q_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("neighbor_ids")
+    )
+
+
 @register("vec_ivf_sq8_knn", oracle=None)
 def vec_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O68 — IVF pruning composed with SQ8 compression plus an EXACT

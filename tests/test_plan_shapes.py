@@ -499,3 +499,29 @@ def test_compact_band_index_collapses_files_probe_invariant(spark, tmp_path):
     assert spark.read.parquet(path2).filter(
         F.col("batch_id") < F.lit(7)
     ).count() == n_rows
+
+
+def test_ivf_stored_compact_one_file_per_cell(spark):
+    """vec_ivf_stored_compact: after build+append (2 files per cell
+    dir) the compaction leaves exactly ONE file per cell dir, the
+    probe still pushes the cell IN-set as PartitionFilters, and the
+    result row count is unchanged (the oracle already proves value
+    invariance)."""
+    import os
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["vec_ivf_stored_compact"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "cell_id" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert df.count() > 0
+
+    root = os.path.join(_SCRATCH, "ivf_cell_index_compact")
+    for cell_dir in os.listdir(root):
+        cp = os.path.join(root, cell_dir)
+        if not os.path.isdir(cp):
+            continue
+        files = [f for f in os.listdir(cp) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{cell_dir}: {len(files)} files"
