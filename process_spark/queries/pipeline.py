@@ -1814,3 +1814,104 @@ def pipeline_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_redundant"),
     )
+
+
+@register(
+    "pipeline_token_budget_report",
+    # Exact throughout: counts and sums are integers; the median is
+    # the DISCRETE value at row ceil(n/2) under a total order
+    # (n_words, doc_id) — the same row in both engines, no
+    # interpolation; the corpus share is one IEEE division of
+    # identical integer operands, half-up scaled.
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, lang, source,
+             CAST(len({_O_TOKS}) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+               AS BIGINT) AS n_pretokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY n_words, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM per_doc
+    ),
+    grp AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS total_words,
+             CAST(SUM(n_pretokens) AS BIGINT) AS total_pretokens,
+             CAST(MAX(n_words) AS BIGINT) AS max_words,
+             CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_words END)
+                  AS BIGINT) AS p50_words
+      FROM ranked GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(n_words) AS DOUBLE) AS corpus_words
+            FROM per_doc)
+    SELECT lang, source, n_docs, total_words, total_pretokens,
+           max_words, p50_words,
+           CAST(FLOOR(CAST(total_words AS DOUBLE) / tot.corpus_words
+                      * 1000000.0 + 0.5) AS BIGINT) AS share_e6
+    FROM grp CROSS JOIN tot
+    """,
+)
+def pipeline_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning report — the table a training-mixture
+    designer reads before setting sampling weights: per (lang, source),
+    document count, total word tokens, total GPT-2-style pretokenizer
+    pieces (the 'roughly how many LLM tokens' budget), the max and
+    DISCRETE median per-doc length, and each group's share of the
+    corpus word budget (ppm). All integer arithmetic end to end —
+    the median is the value at row ceil(n/2) under (n_words, doc_id),
+    not an interpolation, so the whole report hash-matches.
+
+    Scale shape: one scan computes both per-doc counts as codegen'd
+    projections (no UDF, no explode — F.size over the split arrays);
+    the per-group window is partitioned by (lang, source); the corpus
+    total is a 1-row broadcast. Nothing is corpus-sized downstream of
+    the scan."""
+    d = t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_pretokens"),
+    )
+    wrk = Window.partitionBy("lang", "source").orderBy("n_words", "doc_id")
+    wn = Window.partitionBy("lang", "source")
+    ranked = per_doc.withColumn("rn", F.row_number().over(wrk)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    grp = ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_pretokens").cast("long").alias("total_pretokens"),
+        F.max("n_words").cast("long").alias("max_words"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("n_words")
+            )
+        ).cast("long").alias("p50_words"),
+    )
+    tot = per_doc.agg(
+        F.sum("n_words").cast("double").alias("corpus_words")
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_words",
+        "total_pretokens",
+        "max_words",
+        "p50_words",
+        F.floor(
+            F.col("total_words").cast("double")
+            / F.col("corpus_words")
+            * 1000000.0
+            + 0.5
+        ).cast("long").alias("share_e6"),
+    )
