@@ -29,6 +29,7 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_search_tuned",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_stored_probe",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_stored_append",  # same ivf_build seed window (n_cells rows)
+    "vec_ivf_stored_compact",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_sq8_knn",        # same ivf_build seed window (n_cells rows)
 }
 
@@ -61,7 +62,9 @@ CROSS_OK = {
     "vec_ivf_search_tuned",     # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_probe",     # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_append",    # broadcast cell/probe tables (k rows)
+    "vec_ivf_stored_compact",   # broadcast cell/probe tables (k rows)
     "vec_ivf_sq8_knn",          # broadcast cell/probe tables (k rows)
+    "pipeline_token_budget_report",  # 1-row corpus-words aggregate broadcast
     "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
     "pipeline_mixture_temperature",  # two 1-row aggregate broadcasts
     "vec_sq8_knn",              # broadcast query side (bounded sample)
@@ -173,6 +176,11 @@ BROADCAST_HINT_OK = {
     "vec_ivf_search_tuned": "cell/probe tables (k rows) + bounded query sample",
     "vec_ivf_stored_probe": "cell/probe tables (k rows)",
     "vec_ivf_stored_append": "cell/probe tables (k rows)",
+    "vec_ivf_stored_compact": "cell/probe tables (k rows)",
+    "pipeline_token_budget_report": (
+        "1-row corpus-words total aggregate broadcast onto the bounded "
+        "per-(lang,source) report"
+    ),
     "vec_ivf_sq8_knn": (
         "cell/probe tables (k rows) + bounded probe-code broadcast "
         "(≤ |Q|·n_probe rows)"
@@ -244,9 +252,10 @@ def test_broadcast_hint_allowlist_not_stale(analyzed_plans):
 # also worth a review on change).
 BROADCAST_SITES = {
     "operators/dedup.py": (
-        4,
-        "1-row skipped-count + ≤1-row sentinel probes (LSH bucket guard "
-        "and jaccard_pairs block guard — same contract)",
+        2,
+        "1-row skipped-count + ≤1-row sentinel probe (LSH bucket guard; "
+        "jaccard_pairs' in-band census/sentinel removed in r8 — its "
+        "census is out-of-band now, no broadcast inside the operator)",
     ),
     "operators/similarity.py": (
         11,
@@ -261,19 +270,21 @@ BROADCAST_SITES = {
     "queries/streaming.py": (2, "constant event-type weights table"),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (
-        7,
+        8,
         "bounded query-band/query/centroid sides (+2 tuner sample "
         "broadcasts, +1 soft-assign k-row cell broadcast, +1 "
-        "ivf_sq8 probe-code broadcast ≤ |Q|·n_probe rows)",
+        "ivf_sq8 probe-code broadcast ≤ |Q|·n_probe rows, +1 "
+        "ivf_sq8 exact-re-rank bounded unit-query broadcast)",
     ),
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),
     "queries/pipeline.py": (
-        9,
+        10,
         "benchmark shingles (check + scrub) + 1-row totals + bounded "
         "per-lang rates + 1-row keeper skip census + 1-row LM "
         "vocab-totals aggregate + 2 1-row mixture-temperature "
-        "aggregates",
+        "aggregates + 1-row corpus-words total in the token-budget "
+        "report",
     ),
 }
 
