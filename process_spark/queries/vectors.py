@@ -882,20 +882,13 @@ def _o_cell_score(tv: str, tc: str) -> str:
     return f"(1 + {tv} * {tc}) / sqrt(1 + {tc} * {tc})"
 
 
-def _ivf_md5_oracle(build_where: str = "TRUE") -> str:
-    """The ENTIRE IVF chain in SQL: md5-keyed seed pick → assign to
-    nearest seed → per-cell mean (CAST AS REAL — the engine rounds
-    refined centroids to float32, and rounding the oracle's mean the
-    same way makes the assignment operands bit-identical) → reassign →
-    probe 2 cells per query → exact re-rank. Under the 2-d
-    margin-guarded fixture every ranking gap dwarfs the remaining
-    op-order ULPs, so an APPROXIMATE index carries an exact id-set
-    oracle end to end (seed hashing included). ``build_where``
-    restricts the BUILD population (seeds + Lloyd refinement) — the
-    append-lifecycle twin trains on half the corpus and assigns ALL of
-    it, exactly what an incremental index does."""
-    return f"""
-    WITH h AS (
+def _ivf_md5_ctes(build_where: str = "TRUE") -> str:
+    """The shared CTE prefix of the md5-fixture IVF oracles: seed pick
+    → assign → float32-rounded refine → reassign (``assign1``) → 2-cell
+    ``probes`` per query. Tail queries compose scoring on top (exact
+    cosine re-rank in :func:`_ivf_md5_oracle`; integer SQ8 ADC in
+    ``vec_ivf_sq8_md5_idset``)."""
+    return f"""h AS (
       SELECT vec_id,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
                   AS BIGINT) AS h32,
@@ -940,7 +933,23 @@ def _ivf_md5_oracle(build_where: str = "TRUE") -> str:
         FROM h v CROSS JOIN refined r
         WHERE v.vec_id % 100 = 0
       ) WHERE rn <= 2
-    ),
+    )"""
+
+
+def _ivf_md5_oracle(build_where: str = "TRUE") -> str:
+    """The ENTIRE IVF chain in SQL: md5-keyed seed pick → assign to
+    nearest seed → per-cell mean (CAST AS REAL — the engine rounds
+    refined centroids to float32, and rounding the oracle's mean the
+    same way makes the assignment operands bit-identical) → reassign →
+    probe 2 cells per query → exact re-rank. Under the 2-d
+    margin-guarded fixture every ranking gap dwarfs the remaining
+    op-order ULPs, so an APPROXIMATE index carries an exact id-set
+    oracle end to end (seed hashing included). ``build_where``
+    restricts the BUILD population (seeds + Lloyd refinement) — the
+    append-lifecycle twin trains on half the corpus and assigns ALL of
+    it, exactly what an incremental index does."""
+    return f"""
+    WITH {_ivf_md5_ctes(build_where)},
     cand AS (
       SELECT p.q_id, a.vec_id,
              (1 + p.tq * a.tv)
@@ -1560,6 +1569,121 @@ def vec_ivf_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = stored.filter(F.col("cell_id").isin(probed))
     knn = ivf_search(q, cells, pruned, k=5, n_probe=2)
     return knn.groupBy("q_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("neighbor_ids")
+    )
+
+
+@register(
+    "vec_ivf_sq8_md5_idset",
+    # The COMPOSED index end to end in SQL: the shared md5 IVF chain
+    # (seed pick → float32-rounded refine → reassign → 2-cell probes)
+    # feeds SQ8 quantization (floor(x/norm·127 + 0.5) on the fixed
+    # symmetric grid — every step one IEEE double op on identical
+    # operands) and an INTEGER ADC top-k. Integer scores + replayed
+    # tie-break make the whole pruned+compressed search hash-exact —
+    # the oracle vec_ivf_sq8_knn's docstring could only point at per-
+    # component twins before.
+    oracle=f"""
+    WITH {{ctes}},
+    codes AS (
+      SELECT vec_id, cell_id,
+             CAST(FLOOR(1.0 / sqrt(1.0 + tv * tv) * 127.0 + 0.5)
+                  AS BIGINT) AS c0,
+             CAST(FLOOR(tv / sqrt(1.0 + tv * tv) * 127.0 + 0.5)
+                  AS BIGINT) AS c1
+      FROM assign1
+    ),
+    qcodes AS (
+      SELECT q_id, cell_id,
+             CAST(FLOOR(1.0 / sqrt(1.0 + tq * tq) * 127.0 + 0.5)
+                  AS BIGINT) AS q0,
+             CAST(FLOOR(tq / sqrt(1.0 + tq * tq) * 127.0 + 0.5)
+                  AS BIGINT) AS q1
+      FROM probes
+    ),
+    adc AS (
+      SELECT p.q_id, c.vec_id,
+             CAST(p.q0 * c.c0 + p.q1 * c.c1 AS BIGINT) AS adc_score
+      FROM qcodes p JOIN codes c ON c.cell_id = p.cell_id
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_score DESC, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= 5
+    )
+    SELECT q_id,
+           array_to_string(list(vec_id ORDER BY vec_id), ',') AS neighbor_ids
+    FROM topk GROUP BY q_id
+    """.replace("{ctes}", _ivf_md5_ctes()),
+)
+def vec_ivf_sq8_md5_idset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 (oracle-backed END-TO-END composed index): IVF cell pruning
+    × SQ8 int8 compression, the exact kernels vec_ivf_sq8_knn runs,
+    under the margin-guarded md5 fixture — DuckDB replays seed
+    hashing, Lloyd refinement, 2-cell probing, fixed-grid int8
+    quantization of BOTH sides, and the integer ADC top-k, so the
+    composed pruned+compressed search (not just its components) is
+    hash-checked. The production variant (vec_ivf_sq8_knn) adds the
+    exact float re-rank on top — the one stage with no integer form —
+    and stays rows-only with its recall contract (0.91 at default,
+    SCALE.md); this anchor proves everything beneath it. Same pattern
+    as vec_ivf_knn_md5_idset / vec_sq8_knn: fixture settings n_probe=2,
+    k=5, self-matches included on both sides."""
+    from process_spark.operators.relational import topk_per_group
+    from process_spark.operators.similarity import (
+        _sq8_unit_code,
+        ivf_build,
+        ivf_probe_cells,
+    )
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, assignments = ivf_build(e, n_cells=8, seed_hash="md5")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = ivf_probe_cells(cells, q, n_probe=2).select(
+        "q_id",
+        "cell_id",
+        _sq8_unit_code(F.col("q_emb"), F.lit(1.0)).alias("__qq"),
+    )
+    qc = (
+        assignments.select(
+            "vec_id",
+            "cell_id",
+            l2_norm("embedding").alias("__cn"),
+            F.col("embedding"),
+        )
+        .filter(F.col("__cn") > 0)
+        .select(
+            "vec_id",
+            "cell_id",
+            _sq8_unit_code(F.col("embedding"), F.col("__cn")).alias("__qc"),
+        )
+    )
+    scored = qc.join(F.broadcast(probes), "cell_id").select(
+        "q_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with("__qq", "__qc", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("adc_score"),
+    )
+    topk = topk_per_group(
+        scored, ["q_id"], [F.desc("adc_score"), F.col("vec_id")], 5
+    )
+    return topk.groupBy("q_id").agg(
         F.array_join(
             F.transform(
                 F.sort_array(F.collect_list("vec_id")),

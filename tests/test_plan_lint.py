@@ -31,6 +31,7 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_stored_append",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_stored_compact",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_sq8_knn",        # same ivf_build seed window (n_cells rows)
+    "vec_ivf_sq8_md5_idset",  # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -64,6 +65,7 @@ CROSS_OK = {
     "vec_ivf_stored_append",    # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_compact",   # broadcast cell/probe tables (k rows)
     "vec_ivf_sq8_knn",          # broadcast cell/probe tables (k rows)
+    "vec_ivf_sq8_md5_idset",    # broadcast cell/probe-code tables (k rows)
     "pipeline_token_budget_report",  # 1-row corpus-words aggregate broadcast
     "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
     "pipeline_mixture_temperature",  # two 1-row aggregate broadcasts
@@ -184,6 +186,10 @@ BROADCAST_HINT_OK = {
     "vec_ivf_sq8_knn": (
         "cell/probe tables (k rows) + bounded probe-code broadcast "
         "(≤ |Q|·n_probe rows)"
+    ),
+    "vec_ivf_sq8_md5_idset": (
+        "cell/probe tables (k rows) + bounded probe-code broadcast "
+        "(≤ |Q|·n_probe rows) — md5 oracle twin of vec_ivf_sq8_knn"
     ),
     "vec_pq_knn": "bounded query side in the exact re-rank join",
     "pipeline_lm_quality_score": (
