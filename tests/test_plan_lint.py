@@ -276,11 +276,12 @@ BROADCAST_SITES = {
     "queries/streaming.py": (2, "constant event-type weights table"),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (
-        8,
+        9,
         "bounded query-band/query/centroid sides (+2 tuner sample "
         "broadcasts, +1 soft-assign k-row cell broadcast, +1 "
         "ivf_sq8 probe-code broadcast ≤ |Q|·n_probe rows, +1 "
-        "ivf_sq8 exact-re-rank bounded unit-query broadcast)",
+        "ivf_sq8 exact-re-rank bounded unit-query broadcast, +1 "
+        "ivf_sq8 md5-twin probe-code broadcast — same bound)",
     ),
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),
