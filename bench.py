@@ -64,6 +64,16 @@ HEADLINE = [
 #: re-measured medians at sf0.1 span 0.52-0.69s with spreads up to
 #: 0.17s run-to-run — the r5/r6 delta sits well inside ambient
 #: variance. Named cause: measurement noise, no code change.
+#:
+#: Round-8 audit of the MinHash-family drift (text_minhash_lsh_pairs
+#: 1.25→1.3-1.8s, text_lsh_hot_bucket_guard 2.01→2.2-2.7s across three
+#: r8 runs): A/B-tested by checking out the UNCHANGED r7 snapshot
+#: (ba3eac9) on the same day and re-benching the same queries — the r7
+#: code measured 1.32s / 2.63s / 0.74s (spreads up to 0.85s), i.e. the
+#: same elevated numbers as the r8 tree. None of the drifted queries'
+#: code or plans changed in r8 (git diff confirms). Named cause:
+#: ambient host load drift between the r7 and r8 measurement windows;
+#: no code change, no regression.
 
 
 def main() -> None:
