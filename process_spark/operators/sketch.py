@@ -213,3 +213,105 @@ def mg_load_state(
         for k, c in zip(r["items"] or [], r["counts"] or []):
             merged[k] = merged.get(k, 0) + c
     return mg_merge(merged, capacity), total
+
+
+def mg_partition_summaries_by_group(
+    df: DataFrame, group_col: str, col: str, capacity: int
+) -> Tuple[dict, dict]:
+    """Pass 1 of GROUPED Misra-Gries: one ``capacity``-counter summary
+    per (partition, group) — the per-batch work is a single vectorized
+    ``groupby().value_counts()`` folded in under the mergeable-
+    summaries rule, never a per-row loop. Emits one typed row per
+    (partition, group); the collect and the executor memory are
+    bounded at ``capacity × |groups| × n_partitions`` counters, so the
+    CONTRACT is a bounded-domain group column (lang, source, shard —
+    never user_id). Returns ``(counters_by_group, totals_by_group)``
+    with NULL group keys and NULL values excluded (same exclusion
+    contract as :func:`mg_partition_summaries`)."""
+    import pandas as pd  # noqa: PLC0415
+
+    elem_t = df.schema[col].dataType.simpleString()
+    grp_t = df.schema[group_col].dataType.simpleString()
+    cap = capacity
+
+    def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(group_col, dropna=True)[col].value_counts(
+                dropna=True
+            )
+            for (g, v), c in vc.items():
+                d = counters.setdefault(g, {})
+                d[v] = d.get(v, 0) + int(c)
+                totals[g] = totals.get(g, 0) + int(c)
+            for g in counters:
+                counters[g] = mg_merge(counters[g], cap)
+        yield pd.DataFrame(
+            {
+                "grp": list(counters.keys()),
+                "items": [list(counters[g].keys()) for g in counters],
+                "counts": [list(counters[g].values()) for g in counters],
+                "part_total": [totals[g] for g in counters],
+            }
+        )
+
+    rows = (
+        df.select(group_col, col)
+        .mapInPandas(
+            mg,
+            schema=(
+                f"grp {grp_t}, items array<{elem_t}>,"
+                " counts array<long>, part_total long"
+            ),
+        )
+        .collect()
+    )
+    merged: dict = {}
+    totals: dict = {}
+    for r in rows:
+        g = r["grp"]
+        totals[g] = totals.get(g, 0) + r["part_total"]
+        d = merged.setdefault(g, {})
+        for k, c in zip(r["items"] or [], r["counts"] or []):
+            d[k] = d.get(k, 0) + c
+    return (
+        {g: mg_merge(d, capacity) for g, d in merged.items()},
+        totals,
+    )
+
+
+def frequent_items_by_group(
+    df: DataFrame, group_col: str, col: str, capacity: int = 16
+) -> DataFrame:
+    """GROUPED heavy hitters — sketch + exact verify PER GROUP: every
+    (group, value) whose within-group frequency is at least
+    ``group_total // capacity + 1``, with its EXACT count and the
+    group's threshold. The per-group MG guarantee is the ungrouped one
+    applied group-wise (each group's summary only ever merges rows of
+    that group), so coverage holds per group; pass 2 joins the bounded
+    (group, candidate) table — broadcast, ≤ capacity × |groups| rows —
+    back onto the corpus for exact counts, map-side combined. Same
+    bounded-group-domain contract as pass 1."""
+    merged, totals = mg_partition_summaries_by_group(
+        df, group_col, col, capacity
+    )
+    spark = df.sparkSession
+    grp_t = df.schema[group_col].dataType.simpleString()
+    elem_t = df.schema[col].dataType.simpleString()
+    cand = spark.createDataFrame(
+        [(g, k) for g, d in merged.items() for k in d],
+        f"{group_col} {grp_t}, {col} {elem_t}",
+    )
+    thr = spark.createDataFrame(
+        [(g, t // capacity + 1) for g, t in totals.items()],
+        f"{group_col} {grp_t}, threshold long",
+    )
+    exact = (
+        df.join(F.broadcast(cand), [group_col, col])
+        .groupBy(group_col, col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.join(F.broadcast(thr), group_col).filter(
+        F.col("cnt") >= F.col("threshold")
+    )

@@ -1915,3 +1915,110 @@ def pipeline_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.5
         ).cast("long").alias("share_e6"),
     )
+
+
+#: PII patterns in the Java-regex / RE2 common subset (no lookaround,
+#: no backrefs) so Spark's regexp_replace and DuckDB's RE2 engine
+#: match the SAME spans — the BPE_SPLIT_PATTERN discipline. Scrub
+#: order: URL first (contains dots and may contain @-free userinfo),
+#: then EMAIL, then IP — the placeholders contain no scrubbable text.
+_PII_URL = r"https?://[A-Za-z0-9./_-]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "pipeline_pii_scrub",
+    # The injection AND the redaction replayed in DuckDB: same
+    # deterministic PII construction (pure string/integer arithmetic),
+    # same common-subset regexes (RE2 side needs the 'g' flag Spark
+    # applies implicitly), so the SCRUBBED STRINGS hash-match — not
+    # just the counts.
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, lang, source,
+             CASE doc_id % 3
+               WHEN 0 THEN text || ' contact user' ||
+                           CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN 1 THEN text || ' from host 10.' ||
+                           CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+                           CAST(doc_id % 250 AS VARCHAR) || ' logged'
+               ELSE text || ' see https://host.example/' ||
+                    CAST(doc_id AS VARCHAR) || '/page for details'
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}'))
+                AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PII_URL}'))
+                AS BIGINT) AS n_urls,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_URL}', '<URL>', 'g'),
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS scrubbed
+    FROM injected
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pass every training corpus runs before
+    tokenization: find emails / IPv4 addresses / URLs and replace them
+    with typed placeholders, emitting per-doc detection counts beside
+    the scrubbed text. The synthetic corpus carries no PII, so the
+    query PLANTS deterministic spans first (every doc gets exactly one
+    of the three kinds, derived from doc_id — the
+    nmea_parse_constructed pattern: construct, then process, so the
+    kernel is exercised on known ground truth) and the oracle replays
+    injection AND redaction, hash-matching the scrubbed strings
+    themselves. All three patterns live in the Java-regex/RE2 common
+    subset so both engines agree on spans; scrub order
+    URL → EMAIL → IP keeps the rewrites non-overlapping. Scale shape:
+    one codegen'd projection per doc — no UDF, no shuffle, no joins;
+    at 100 TB this is a pure map stage fused into the scan."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did,
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" from host 10."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"), F.lit(" logged"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"), F.lit(" see https://host.example/"), did,
+                F.lit("/page for details"),
+            )
+        )
+        .alias("text"),
+    )
+    txt = F.col("text")
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(_PII_IP), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(txt, F.lit(_PII_URL), F.lit(0)))
+        .cast("long").alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(txt, _PII_URL, "<URL>"),
+                _PII_EMAIL, "<EMAIL>",
+            ),
+            _PII_IP, "<IP>",
+        ).alias("scrubbed"),
+    )

@@ -1143,3 +1143,38 @@ def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     merges = bpe_train(d, "text", n_merges=64)
     return bpe_doc_token_counts(d, merges)
+
+
+@register(
+    "text_heavy_hitters_by_lang",
+    # Sketch + exact verify is EXACT per group, so the oracle is the
+    # plain per-language frequency filter at each language's own
+    # total//capacity + 1 bar — no approximation reaches the output.
+    oracle=f"""
+    WITH tk AS (SELECT lang, unnest({_O_TOKS}) AS tok FROM documents),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+            GROUP BY lang)
+    SELECT tk.lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(tot.n // 48 + 1 AS BIGINT) AS threshold
+    FROM tk JOIN tot USING (lang)
+    GROUP BY tk.lang, tok, tot.n
+    HAVING COUNT(*) >= tot.n // 48 + 1
+    """,
+)
+def text_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED heavy hitters (operators/sketch.frequent_items_by_group):
+    each language's over-represented tokens at that language's OWN
+    total/48 bar — per-stratum stopword discovery / boilerplate alarms,
+    the grouped twin of text_heavy_hitters. Pass 1 holds ≤ capacity
+    counters per (partition, language) — the bounded-group-domain
+    contract (lang, never user_id) — via one vectorized
+    groupby().value_counts() per Arrow batch; pass 2 broadcasts the
+    ≤ capacity·|langs| candidate table back for exact counts, so the
+    output is EXACT and the oracle is the direct per-language
+    frequency filter. Eviction under a hostile per-group vocabulary is
+    pinned in tests/test_edge_cases.py."""
+    from process_spark.operators.sketch import frequent_items_by_group
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    return frequent_items_by_group(tk, "lang", "tok", capacity=48)

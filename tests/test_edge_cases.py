@@ -620,3 +620,42 @@ def test_decode_image_real_uses_pil_when_present():
         by_id.loc[1, "channels"],
     ) == (640, 480, 3)
     assert by_id.loc[2, "decoder"] == "stub"  # per-row degradation
+
+
+def test_grouped_frequent_items_guarantee_under_eviction(spark):
+    """Per-group MG guarantee: each group's heavy value must survive
+    that group's OWN eviction pressure — 500 distinct noise tokens per
+    group vs capacity 8, different heavy token per group, and a third
+    group that is pure noise (no heavy hitter at all)."""
+    from process_spark.operators.sketch import frequent_items_by_group
+
+    rows = (
+        [("en", "heavy_en")] * 300
+        + [("en", f"na{j}") for j in range(500)]
+        + [("de", "heavy_de")] * 200
+        + [("de", f"nb{j}") for j in range(300)]
+        + [("fr", f"nc{j}") for j in range(100) for _ in range(2)]
+    )
+    df = spark.createDataFrame(rows, "lang string, tok string").repartition(8)
+    out = frequent_items_by_group(df, "lang", "tok", capacity=8)
+    got = {(r["lang"], r["tok"]): (r["cnt"], r["threshold"]) for r in out.collect()}
+    # en: total 800, bar 101 — only heavy_en (300) clears it
+    # de: total 500, bar 63 — only heavy_de (200) clears it
+    # fr: total 200, bar 26 — nothing clears it (all tokens freq 2)
+    assert got == {
+        ("en", "heavy_en"): (300, 101),
+        ("de", "heavy_de"): (200, 63),
+    }, got
+
+
+def test_grouped_frequent_items_typed_group_and_value(spark):
+    """The grouped summary derives BOTH column types from the schema —
+    a bigint group key with bigint values round-trips as ints."""
+    from process_spark.operators.sketch import frequent_items_by_group
+
+    rows = [(1, 7)] * 40 + [(1, j) for j in range(100, 130)] + [(2, 9)] * 20
+    df = spark.createDataFrame(rows, "g long, v long")
+    out = frequent_items_by_group(df, "g", "v", capacity=8).collect()
+    got = {(r["g"], r["v"]): r["cnt"] for r in out}
+    assert got == {(1, 7): 40, (2, 9): 20}
+    assert all(isinstance(r["g"], int) and isinstance(r["v"], int) for r in out)

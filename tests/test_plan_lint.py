@@ -257,6 +257,13 @@ def test_broadcast_hint_allowlist_not_stale(analyzed_plans):
 # mentions count too: a mention documenting a broadcast contract is
 # also worth a review on change).
 BROADCAST_SITES = {
+    "operators/sketch.py": (
+        2,
+        "bounded (group, candidate) table ≤ capacity×|groups| rows + "
+        "per-group threshold table ≤ |groups| rows (grouped heavy "
+        "hitters pass 2; bounded-group-domain contract in the "
+        "docstrings)",
+    ),
     "operators/dedup.py": (
         2,
         "1-row skipped-count + ≤1-row sentinel probe (LSH bucket guard; "
