@@ -1178,3 +1178,76 @@ def text_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tk = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
     return frequent_items_by_group(tk, "lang", "tok", capacity=48)
+
+
+@register(
+    "text_repetition_filter",
+    # Integer shingle counts; the fraction reaches the output only as
+    # a half-up-scaled integer (the _util float policy) and the gate
+    # compares the SAME scaled integer on both sides.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' '))
+             WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+             ELSE CAST([] AS VARCHAR[]) END AS shingles
+      FROM (SELECT doc_id, {_O_TOKS} AS toks FROM documents)
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(shingles) AS BIGINT) AS n_shingles,
+             CAST(len(shingles) - len(list_distinct(shingles)) AS BIGINT)
+               AS n_dup_shingles
+      FROM sh
+    )
+    SELECT doc_id, n_shingles, n_dup_shingles,
+           CASE WHEN n_shingles > 0 THEN
+             CAST(FLOOR(CAST(n_dup_shingles AS DOUBLE) / n_shingles
+                        * 1000000.0 + 0.5) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS dup_frac_e6,
+           (CASE WHEN n_shingles > 0 THEN
+              CAST(FLOOR(CAST(n_dup_shingles AS DOUBLE) / n_shingles
+                         * 1000000.0 + 0.5) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END) <= 200000 AS keep
+    FROM c
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate (the Gopher/RefinedWeb
+    'duplicate n-gram fraction' quality rule): per doc, the fraction of
+    word 3-gram shingles that are repeats of an earlier shingle IN THE
+    SAME DOC — templated/looping text scores high and is cut at 20%.
+    Distinct from the cross-doc span coverage query
+    (pipeline_span_dedup_coverage): this one needs no join at all —
+    two array expressions per row, fused into the scan, which is the
+    whole point of running it FIRST in a quality cascade at 100 TB
+    (cheapest signal, no shuffle, prunes before the expensive dedup
+    stages). The fraction lands as a half-up-scaled integer and the
+    keep verdict compares that same integer on both engines."""
+    d = t(spark, sf_dir, "documents")
+    sh = word_ngrams(tokens("text"), 3)
+    c = d.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_shingles"),
+        (F.size(sh) - F.size(F.array_distinct(sh)))
+        .cast("long")
+        .alias("n_dup_shingles"),
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.floor(
+            F.col("n_dup_shingles").cast("double")
+            / F.col("n_shingles")
+            * 1000000.0
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return c.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup_shingles",
+        frac.alias("dup_frac_e6"),
+        (frac <= 200000).alias("keep"),
+    )

@@ -1800,3 +1800,109 @@ def vec_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rn",
         keep_rank=True,
     ).withColumn("rn", F.col("rn").cast("long"))
+
+
+@register(
+    "pipeline_semantic_keeper",
+    # The WHOLE label-free semantic keep-one policy in one statement:
+    # the hard-assignment pair chain (same CTEs as
+    # pipeline_semantic_dedup_ivf), a recursive min-label walk over
+    # those edges (the dedup_connected_components oracle shape), and
+    # the keeper verdict. Components are CELL-LOCAL by construction
+    # (every edge joins same-cell vectors), so the walk is bounded per
+    # cell and min-label propagation converges in a few hops.
+    oracle=f"""
+    WITH RECURSIVE h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h32,
+             {_O_T32} AS tv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, tv,
+             ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
+      FROM h
+      QUALIFY cell_id < 8
+    ),
+    assign0 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 's.tv')} DESC, s.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT cell_id, CAST(AVG(tv) AS REAL) AS m
+      FROM assign0 GROUP BY cell_id
+    ),
+    assign1 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN refined r
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign1 a JOIN assign1 b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE (1 + a.tv * b.tv)
+              / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.9995
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT vec_id, vec_id FROM h
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT vec_id, component, vec_id = component AS is_keeper
+    FROM comp
+    """,
+)
+def pipeline_semantic_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64+O68 composite, completed to the KEEP-ONE policy — the
+    semantic twin of pipeline_dedup_keeper: label-free IVF-blocked
+    near-dup pairs (the pipeline_semantic_dedup_ivf chain verbatim) →
+    distributed min-label connected components → one canonical vector
+    per cluster (the min vec_id — with min-label propagation the
+    component id IS that keeper, so the verdict is one comparison, no
+    extra window). This is the query that decides which EMBEDDED
+    documents a 100 TB semantic-dedup pass actually keeps. Scale
+    shape: every stage is blocked or bounded — cells bound the pair
+    join, components are CELL-LOCAL by construction (edges never cross
+    cells), so propagation converges in a few iterations and no
+    corpus-sized window exists anywhere. The oracle replays seed pick,
+    Lloyd refinement, the per-cell threshold self-join, the recursive
+    min-label walk, and the keeper verdict in one statement."""
+    from process_spark.operators.dedup import connected_components
+    from process_spark.operators.similarity import near_dup_embeddings_arrow
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    _, assign = ivf_build(e, n_cells=8, seed_hash="md5")
+    pairs = near_dup_embeddings_arrow(
+        assign.select("vec_id", "embedding", "cell_id"),
+        threshold=0.9995,
+        block_col="cell_id",
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", vertices=e, id_col="vec_id"
+    ).withColumnRenamed("id", "vec_id")
+    return comp.select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("is_keeper"),
+    )

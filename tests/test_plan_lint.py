@@ -205,6 +205,11 @@ BROADCAST_HINT_OK = {
         "aggregates onto the bounded per-language table"
     ),
     "vec_sq8_knn": "query side (fixed 1% id sample, bounded)",
+    "text_heavy_hitters_by_lang": (
+        "grouped-sketch pass-2 candidate table (≤ capacity×|langs| "
+        "rows) + per-language threshold table (≤ |langs| rows) — the "
+        "bounded-group-domain contract in operators/sketch.py"
+    ),
     "pipeline_scrubbed_pack": (
         "benchmark eval-suite 3-grams via the embedded "
         "pipeline_contamination_scrub stage — same bounded set"
