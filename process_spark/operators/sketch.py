@@ -315,3 +315,71 @@ def frequent_items_by_group(
     return exact.join(F.broadcast(thr), group_col).filter(
         F.col("cnt") >= F.col("threshold")
     )
+
+
+def mg_save_batch_summary_by_group(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    counters_by_group: dict,
+    totals_by_group: dict,
+    grp_type: str = "string",
+    elem_type: str = "string",
+) -> None:
+    """Grouped twin of :func:`mg_save_batch_summary`: one typed row per
+    GROUP under ``state_dir/batch_id=<id>/`` (mode=overwrite → the
+    whole batch directory is rewritten on a foreachBatch replay, so no
+    group double-counts). Row volume per batch = |groups| — bounded by
+    the same bounded-group-domain contract as pass 1."""
+    import pandas as pd  # noqa: PLC0415
+
+    groups = sorted(totals_by_group)
+    pdf = pd.DataFrame(
+        {
+            "grp": groups,
+            "items": [
+                list(counters_by_group.get(g, {}).keys()) for g in groups
+            ],
+            "counts": [
+                [int(v) for v in counters_by_group.get(g, {}).values()]
+                for g in groups
+            ],
+            "batch_total": [int(totals_by_group[g]) for g in groups],
+        }
+    )
+    sdf = spark.createDataFrame(
+        pdf,
+        schema=(
+            f"grp {grp_type}, items array<{elem_type}>,"
+            " counts array<long>, batch_total long"
+        ),
+    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def mg_load_state_by_group(
+    spark: SparkSession, state_dir: str, capacity: int
+) -> Tuple[dict, dict]:
+    """Reconstruct per-group MG state from the grouped batch-summary
+    table: pointwise-sum each group's stored summaries, then one
+    :func:`mg_merge` per group — exact per group by mergeability,
+    restart-proof for the same reason the ungrouped loader is.
+    Returns ``(counters_by_group, totals_by_group)``; ``({}, {})``
+    when no state exists. The collect is |groups| rows per batch."""
+    try:
+        rows = spark.read.option("basePath", state_dir).parquet(
+            os.path.join(state_dir, "batch_id=*")
+        ).collect()
+    except Exception:
+        return {}, {}
+    merged: dict = {}
+    totals: dict = {}
+    for r in rows:
+        g = r["grp"]
+        totals[g] = totals.get(g, 0) + r["batch_total"]
+        d = merged.setdefault(g, {})
+        for k, c in zip(r["items"] or [], r["counts"] or []):
+            d[k] = d.get(k, 0) + c
+    return {g: mg_merge(d, capacity) for g, d in merged.items()}, totals

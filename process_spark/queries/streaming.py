@@ -1061,3 +1061,109 @@ def stream_dedup_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
     )
+
+
+@register(
+    "stream_heavy_hitters_by_lang",
+    # Batch-twin oracle = text_heavy_hitters_by_lang's statement
+    # VERBATIM: per-group MG summaries are mergeable group-wise, so
+    # however the source batches the files, each language's merged
+    # candidate set still covers every token above that language's
+    # total/capacity bar, and the final per-group exact verify over
+    # the full corpus returns the same rows.
+    oracle=f"""
+    WITH tk AS (SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok FROM documents),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+            GROUP BY lang)
+    SELECT tk.lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(tot.n // 48 + 1 AS BIGINT) AS threshold
+    FROM tk JOIN tot USING (lang)
+    GROUP BY tk.lang, tok, tot.n
+    HAVING COUNT(*) >= tot.n // 48 + 1
+    """,
+)
+def stream_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O95 + grouped sketch — per-language heavy hitters over
+    CONTINUOUS ingestion with DURABLE per-group state: each micro-batch
+    persists one grouped MG summary row per language to the
+    batch_id-keyed parquet state table
+    (mg_save_batch_summary_by_group — overwrite per batch → replay-
+    idempotent), nothing survives on the driver; after the stream
+    drains, per-language state reconstructs from the table
+    (mg_load_state_by_group) and one exact-verify pass restores each
+    language's true counts at its OWN total/capacity bar. Group-wise
+    mergeability makes the output batch-count-invariant, so the oracle
+    is text_heavy_hitters_by_lang's statement verbatim — the grouped
+    composition of the stream_heavy_hitters durability story."""
+    import shutil
+
+    from process_spark.functions.textfn import tokens
+    from process_spark.operators.sketch import (
+        frequent_items_by_group,
+        mg_load_state_by_group,
+        mg_partition_summaries_by_group,
+        mg_save_batch_summary_by_group,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    cap = 48
+    base = os.path.join(_SCRATCH, "stream_heavy_hitters_by_lang")
+    src_dir = os.path.join(base, "incoming")
+    ckpt = os.path.join(base, "ckpt")
+    state_dir = os.path.join(base, "mg_state")
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "lang", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tk = batch_df.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        counters, totals = mg_partition_summaries_by_group(
+            tk, "lang", "tok", cap
+        )
+        mg_save_batch_summary_by_group(
+            batch_df.sparkSession, state_dir, batch_id, counters, totals
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    counters, totals = mg_load_state_by_group(spark, state_dir, cap)
+    # exact verify, per group: bounded candidate + threshold tables
+    tk_all = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    cand = spark.createDataFrame(
+        [(g, k) for g, dd in counters.items() for k in dd]
+        or [("", "")],
+        "lang string, tok string",
+    )
+    thr = spark.createDataFrame(
+        [(g, t // cap + 1) for g, t in totals.items()] or [("", 1)],
+        "lang string, threshold long",
+    )
+    exact = (
+        tk_all.join(F.broadcast(cand), ["lang", "tok"])
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.join(F.broadcast(thr), "lang").filter(
+        F.col("cnt") >= F.col("threshold")
+    )

@@ -210,6 +210,10 @@ BROADCAST_HINT_OK = {
         "rows) + per-language threshold table (≤ |langs| rows) — the "
         "bounded-group-domain contract in operators/sketch.py"
     ),
+    "stream_heavy_hitters_by_lang": (
+        "same grouped-sketch pass-2 candidate/threshold broadcasts as "
+        "text_heavy_hitters_by_lang (state-table reload side)"
+    ),
     "pipeline_scrubbed_pack": (
         "benchmark eval-suite 3-grams via the embedded "
         "pipeline_contamination_scrub stage — same bounded set"
@@ -285,7 +289,11 @@ BROADCAST_SITES = {
     ),
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
-    "queries/streaming.py": (2, "constant event-type weights table"),
+    "queries/streaming.py": (
+        4,
+        "constant event-type weights table + grouped-sketch pass-2 "
+        "candidate/threshold tables (≤ capacity×|langs| / |langs| rows)",
+    ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (
         9,
