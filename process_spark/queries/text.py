@@ -1210,7 +1210,7 @@ def text_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CASE WHEN n_shingles > 0 THEN
               CAST(FLOOR(CAST(n_dup_shingles AS DOUBLE) / n_shingles
                          * 1000000.0 + 0.5) AS BIGINT)
-            ELSE CAST(0 AS BIGINT) END) <= 200000 AS keep
+            ELSE CAST(0 AS BIGINT) END) <= 20000 AS keep
     FROM c
     """,
 )
@@ -1218,7 +1218,11 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition gate (the Gopher/RefinedWeb
     'duplicate n-gram fraction' quality rule): per doc, the fraction of
     word 3-gram shingles that are repeats of an earlier shingle IN THE
-    SAME DOC — templated/looping text scores high and is cut at 20%.
+    SAME DOC — templated/looping text scores high. The bar is a
+    corpus-tuned knob: real web text runs 10-20%; this synthetic
+    corpus tops out at 7.1% dup fraction, so the registered gate sits
+    at 2% to stay DISCRIMINATING (4 docs cut at sf0.01 — a real cut,
+    not pass-everything).
     Distinct from the cross-doc span coverage query
     (pipeline_span_dedup_coverage): this one needs no join at all —
     two array expressions per row, fused into the scan, which is the
@@ -1249,5 +1253,5 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_dup_shingles",
         frac.alias("dup_frac_e6"),
-        (frac <= 200000).alias("keep"),
+        (frac <= 20000).alias("keep"),
     )
