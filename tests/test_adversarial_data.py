@@ -77,6 +77,16 @@ VEC_QUERIES = [
     # rows-only: IVF×SQ8 composition must complete over zero/underflow
     # vectors (both excluded by the __cn > 0 gates)
     "vec_ivf_sq8_knn",
+    # round-8: the int8-matmul twin shares vec_sq8_knn's exact oracle
+    # and must stay hash-green with degenerate vectors excluded the
+    # same way; the composed md5 idset and the compaction lifecycle
+    # replay their chains over the degenerate rows too
+    "vec_sq8_knn_arrow",
+    "vec_ivf_sq8_md5_idset",
+    "vec_ivf_stored_compact",
+    # keep-one policy over degenerate vectors: zero/underflow rows pair
+    # with nothing, so each must survive as its own keeper
+    "pipeline_semantic_keeper",
 ]
 
 # Text queries over the degenerate-documents table: empty text,
@@ -118,6 +128,18 @@ TEXT_QUERIES = [
     "pipeline_contamination_scrub",
     "pipeline_span_scrub",
     "pipeline_scrubbed_pack",
+    # round-8: maintenance, gates, redaction and budgets over
+    # degenerate docs — empty/whitespace texts band to empty shingle
+    # sets (compaction must not choke on them), the repetition gate
+    # keeps zero-shingle docs, PII injection appends to '' cleanly,
+    # the budget report's discrete median covers 1-doc groups, and
+    # the cascade composes all of it
+    "dedup_band_index_compact",
+    "text_repetition_filter",
+    "pipeline_pii_scrub",
+    "pipeline_token_budget_report",
+    "pipeline_quality_cascade",
+    "text_heavy_hitters_by_lang",
     # zero-token docs excluded; the srcY mirrors must appear (the
     # non-vacuity test below pins that)
     "pipeline_source_overlap",
