@@ -109,6 +109,18 @@ PIPELINE_PROBE = [
     "pipeline_dedup_cluster_stats",
     "vec_ivf_sq8_knn",
     "vec_sq8_knn_arrow",
+    "vec_ivf_sq8_md5_idset",
+    "vec_ivf_stored_compact",
+    "dedup_band_index_compact",
+    "stream_dedup_index_compacted",
+    "text_bpe_token_budget",
+    "pipeline_token_budget_report",
+    "text_repetition_filter",
+    "pipeline_pii_scrub",
+    "pipeline_quality_cascade",
+    "pipeline_semantic_keeper",
+    "text_heavy_hitters_by_lang",
+    "stream_heavy_hitters_by_lang",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -135,6 +147,13 @@ QUADRATIC_BY_DESIGN = {
     "vec_sq8_knn_arrow": "row-identical twin of vec_sq8_knn - same "
     "O(|Q| x |C|) pair count by definition; the matmul layout cuts the "
     "per-pair constant ~2.7x (shoot-out below), not the asymptotics",
+    "vec_ivf_sq8_md5_idset": "same O(|Q| x |C| x n_probe/n_cells) pair "
+    "count as vec_ivf_sq8_knn - the md5 oracle twin runs the identical "
+    "pruned+compressed scoring, just with the fixture chain",
+    "pipeline_semantic_keeper": "replicated vectors are true semantic "
+    "dups; the cell-local pair set grows ~quadratically per duplicated "
+    "vector before components collapse them (same growth as "
+    "pipeline_semantic_dedup_ivf, which feeds it)",
     "vec_ivf_sq8_knn": "both query set and corpus grow 10x; pair count "
     "is O(|Q| x |C| x n_probe/n_cells) - the probe fraction is the "
     "recall/cost knob, and the isotropic worst case pins the default "
