@@ -1515,23 +1515,32 @@ def sq8_search_arrow(
             scores = (
                 codes.astype("float64") @ qc.astype("float64").T
             ).astype("int64")  # (n, nq)
-            # self-pair exclusion, as the HOF path's q_id != vec_id
+            # self-pair exclusion, as the HOF path's q_id != vec_id.
+            # The mask lands on the COMPOSITE key, never the raw
+            # scores: a pre-multiplied int64.min sentinel wraps under
+            # ·n (for even n, min·n ≡ 0 mod 2^64), re-entering the
+            # top-m as if the self row scored 0 and displacing a real
+            # candidate whose score ≤ 0. The sentinel is min+1, not
+            # min, because argpartition below negates the key and
+            # -int64.min wraps back to int64.min — which would sort
+            # the self row FIRST instead of last.
+            self_mask = np.zeros((n, nq), dtype=bool)
             for qi in range(nq):
-                scores[vids == ids_q[qi], qi] = np.iinfo("int64").min
+                self_mask[vids == ids_q[qi], qi] = True
             # composite key = score·n + (n-1-rank_by_id): argpartition
             # then respects the SAME total order (score desc, id asc)
             # the HOF window uses — boundary ties cannot diverge.
             id_rank = np.empty(n, dtype="int64")
             id_rank[np.argsort(vids, kind="stable")] = np.arange(n)
             comp = scores * n + (n - 1 - id_rank)[:, None]
+            comp[self_mask] = np.iinfo("int64").min + 1
             m = min(k, n)
             idx = np.argpartition(-comp, m - 1, axis=0)[:m]
             out_q, out_id, out_s = [], [], []
             for qi in range(nq):
                 sel = idx[:, qi]
                 sel = sel[np.argsort(-comp[sel, qi])]
-                ok = scores[sel, qi] != np.iinfo("int64").min
-                sel = sel[ok]
+                sel = sel[~self_mask[sel, qi]]
                 out_q.extend([ids_q[qi]] * len(sel))
                 out_id.extend(vids[sel])
                 out_s.extend(scores[sel, qi])

@@ -409,6 +409,48 @@ def test_sq8_arrow_matmul_matches_hof_exactly(spark):
     assert hof == arrow
 
 
+def test_sq8_arrow_negative_topk_even_batch(spark):
+    """Adversarial fixture for the self-pair sentinel: an EVEN-sized
+    Arrow batch whose every non-self candidate scores NEGATIVE
+    (antipodal corpus). A sentinel pre-multiplied into the composite
+    key wraps int64 (min·n ≡ 0 mod 2^64 for even n) and re-enters the
+    top-m as a fake score-0 row, displacing a legitimate negative-score
+    candidate that the ok-filter can never restore — the arrow twin
+    would emit k-1 rows where the HOF path emits k. Asserts exact
+    row identity (ids, scores, ranks) on the hostile corpus."""
+    from process_spark.operators.similarity import (
+        sq8_search,
+        sq8_search_arrow,
+    )
+
+    d = 64
+    rows = []
+    for i in range(6):  # even n — the wrap case
+        v = [0.0] * d
+        if i == 0:
+            v[0] = 1.0
+        else:
+            v[0] = -1.0
+            v[i] = 0.01  # keep vectors distinct, scores still < 0 vs v0
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    hof = {
+        (r["q_id"], r["vec_id"], r["adc_score"], r["rn"])
+        for r in sq8_search(q, e, k=5).collect()
+    }
+    arrow = {
+        (r["q_id"], r["vec_id"], r["adc_score"], r["rn"])
+        for r in sq8_search_arrow(q.coalesce(1), e.coalesce(1), k=5).collect()
+    }
+    assert hof == arrow
+    # the boundary really is sub-zero: every neighbor of q0 antipodal
+    q0_scores = [s for (qi, _, s, _) in hof if qi == 0]
+    assert len(q0_scores) == 5 and all(s < 0 for s in q0_scores)
+
+
 def test_bpe_train_matches_sennrich_fixture(spark):
     """Canonical BPE fixture (Sennrich et al. 2016, §3.2 shape): on a
     word-frequency table dominated by a repeated suffix, the first
