@@ -208,13 +208,20 @@ def bpe_doc_token_counts(
     (id, n_words, n_bpe_tokens). At 100 TB the vocabulary table is the
     small side (Heaps' law) — Spark/AQE picks the broadcast when it
     fits; the corpus-side explode+join+agg is all map-side-combinable
-    JVM work."""
+    JVM work.
+
+    EVERY input doc gets a budget row: a zero-word document (empty or
+    whitespace-only text) explodes to no rows, so the aggregate alone
+    would silently drop it from the report — instead the aggregate is
+    left-joined back onto the doc-id spine with coalesce(0), and the
+    doc reports (n_words=0, n_bpe_tokens=0). A budget report that
+    loses rows undercounts corpus coverage, not just tokens."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     )
     vocab = toks.select("word").distinct()
     encoded = bpe_encode_words(vocab, merges).select("word", "n_pieces")
-    return (
+    counts = (
         toks.join(encoded, "word")
         .groupBy(id_col)
         .agg(
@@ -222,3 +229,35 @@ def bpe_doc_token_counts(
             F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
         )
     )
+    return df.select(id_col).join(counts, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_save_merges(
+    spark, merges: Sequence, path: str
+) -> None:
+    """Persist a learned merge table as the engine's standard stored
+    artifact — parquet rows ``(rank int, left string, right string)``.
+    Token budgets are only comparable ACROSS runs when the merges are
+    pinned; every other trained artifact in the engine (IVF cells,
+    band indexes) already has a stored lifecycle, and this closes the
+    train-once / apply-many gap for BPE. One coalesced file: the merge
+    table is bounded by n_merges (hundreds to ~100k rows), driver-side
+    by construction — never corpus-sized."""
+    rows = [(i, p[0], p[1]) for i, p in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "rank int, left string, right string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load_merges(spark, path: str) -> list:
+    """Load a stored merge table back into the rank-ordered
+    ``[(left, right), ...]`` list ``bpe_encode_words`` consumes. The
+    driver-side collect is bounded by n_merges (the artifact is tiny
+    by construction). Round-trips :func:`bpe_save_merges` exactly —
+    byte-identical merges, hence identical encodings and budgets."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

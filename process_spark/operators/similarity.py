@@ -884,12 +884,32 @@ def near_dup_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """O64 — semantic dedup: pairs above a cosine threshold, blocked to
     bound the pair count (block by label/IVF cell at scale). Vectors
     are normalized ONCE in the pre-join projection; the pair score is
     then a plain dot — O(pairs) folds instead of 3x that (cosine(a,b)
-    re-derives both norms per pair)."""
+    re-derives both norms per pair).
+
+    ``max_block_size`` is the same guard contract as
+    :func:`~process_spark.operators.dedup.jaccard_pairs`: the per-block
+    self-join is O(|block|²), and real embedding corpora have
+    boilerplate clusters (near-identical template docs) that land in
+    one IVF cell — an unguarded hot cell is a single quadratic task at
+    100 TB. Blocks over the cap are EXCLUDED before the join (requires
+    ``block_col``); output schema stays mode-invariant
+    (id_a, id_b, cosine_sim). Skip census is OUT-OF-BAND — use
+    :func:`near_dup_embeddings_arrow_with_census`."""
+    if max_block_size is not None and block_col is None:
+        raise ValueError("max_block_size requires block_col (the guard caps blocks)")
+    if max_block_size is not None:
+        wb = Window.partitionBy(block_col)
+        emb = (
+            emb.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_block_size)
+            .drop("__bn")
+        )
     sel = [F.col(id_col), F.col(vec_col)]
     if block_col:
         sel.append(F.col(block_col))
@@ -940,17 +960,27 @@ def near_dup_embeddings_arrow(
     vec_col: str = "embedding",
     block_col: str = "label",
     chunk: int = 1024,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """O64 — the Arrow/BLAS twin of :func:`near_dup_embeddings`: one
     ``applyInPandas`` per block computes the block's pair cosines as
     chunked matmuls (``(chunk × d) @ (d × n)``) instead of one
     interpreted fold per pair — the same >5x win as the kNN scorer.
 
-    Blocks must be BOUNDED (labels here; IVF cells at scale) — the
-    same contract the pairwise join already imposes on its output
-    size. Memory stays O(chunk · |block|) via row-chunking, never
-    O(|block|²). Zero-norm vectors are excluded (NULL-unit twin).
-    Returns (block, id_a, id_b, cosine_sim) with id_a < id_b.
+    Blocks must be BOUNDED (labels here; IVF cells at scale). The
+    bound is now ENFORCEABLE, not just a contract on the caller:
+    ``max_block_size`` cuts over-cap blocks BEFORE the grouped map —
+    the same hot-block guard ``jaccard_pairs`` applies to its text
+    twin — so one boilerplate-heavy IVF cell can no longer run a
+    quadratic-output pair scan as a single straggler task. Output
+    schema is MODE-INVARIANT: (block, id_a, id_b, cosine_sim) with
+    id_a < id_b in either mode; skipped blocks' members simply emit no
+    pairs (a downstream components stage sees them as singletons). The
+    skip census is OUT-OF-BAND — use
+    :func:`near_dup_embeddings_arrow_with_census` when the pipeline
+    must surface the truncation. Memory stays O(chunk · |block|) via
+    row-chunking, never O(|block|²). Zero-norm vectors are excluded
+    (NULL-unit twin).
     """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
@@ -1009,15 +1039,75 @@ def near_dup_embeddings_arrow(
     # otherwise keep a NULL-label group and pair its members.
     blk_t = emb.schema[block_col].dataType.simpleString()
     id_t = emb.schema[id_col].dataType.simpleString()
-    return (
-        emb.select(id_col, vec_col, block_col)
-        .filter(F.col(block_col).isNotNull())
-        .groupBy(block_col)
-        .applyInPandas(
-            pairs,
-            schema=f"block {blk_t}, id_a {id_t}, id_b {id_t}, cosine_sim double",
-        )
+    base = emb.select(id_col, vec_col, block_col).filter(
+        F.col(block_col).isNotNull()
     )
+    if max_block_size is not None:
+        # Sized on the SAME key the grouped map shuffles on; over-cap
+        # blocks never reach the Python worker at all (the guard is a
+        # JVM-side window + filter, so the cut costs one count, not a
+        # partial pair scan).
+        wb = Window.partitionBy(block_col)
+        base = (
+            base.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_block_size)
+            .drop("__bn")
+        )
+    return base.groupBy(block_col).applyInPandas(
+        pairs,
+        schema=f"block {blk_t}, id_a {id_t}, id_b {id_t}, cosine_sim double",
+    )
+
+
+def near_dup_embeddings_arrow_with_census(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    chunk: int = 1024,
+    max_block_size: int | None = None,
+) -> tuple:
+    """Guarded :func:`near_dup_embeddings_arrow` plus its skip census,
+    OUT-OF-BAND — the semantic twin of
+    :func:`~process_spark.operators.dedup.jaccard_pairs_with_census`.
+    Returns ``(pairs, census)``: ``pairs`` keeps the mode-invariant
+    (block, id_a, id_b, cosine_sim) schema; ``census`` is exactly one
+    row ``(n_skipped_blocks bigint)`` — 0 when nothing was cut, present
+    even when every block was cut and the pair set is empty. A keeper
+    pipeline broadcasts the 1-row census onto its own output, and the
+    cut blocks' members surface as connected-component singletons."""
+    if max_block_size is None:
+        raise ValueError(
+            "near_dup_embeddings_arrow_with_census requires max_block_size; "
+            "use near_dup_embeddings_arrow when nothing can be skipped"
+        )
+    base = emb.select(id_col, vec_col, block_col).filter(
+        F.col(block_col).isNotNull()
+    )
+    # Checkpointed: two consumers (kept branch + census branch) read
+    # the sized relation, and the window exchange is not reused across
+    # them (same rationale as jaccard_pairs_with_census).
+    wb = Window.partitionBy(block_col)
+    sized = base.withColumn(
+        "__bn", F.count(F.lit(1)).over(wb)
+    ).localCheckpoint(eager=False)
+    kept = sized.filter(F.col("__bn") <= max_block_size).drop("__bn")
+    census = (
+        sized.filter(F.col("__bn") > max_block_size)
+        .select(block_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_skipped_blocks"))
+    )
+    pairs = near_dup_embeddings_arrow(
+        kept,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col=block_col,
+        chunk=chunk,
+    )
+    return pairs, census
 
 
 def kmeans(

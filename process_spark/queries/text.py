@@ -1145,6 +1145,39 @@ def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_doc_token_counts(d, merges)
 
 
+@register("text_bpe_stored_budget", oracle=None)
+def text_bpe_stored_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O73 STORED-ARTIFACT lifecycle — train-once / apply-many, the
+    missing piece that makes token budgets comparable ACROSS runs:
+    train the merge table, PERSIST it as the engine's standard parquet
+    artifact (rank, left, right — bpe_save_merges), reload it in a
+    fresh pass (bpe_load_merges), and apply the PINNED merges to the
+    corpus. Every other trained artifact in the engine (IVF cells,
+    MinHash band indexes) already had store/append/compact; budgets
+    computed from retrained merges are only comparable if training is
+    deterministic AND the corpus is frozen — pinning the artifact
+    removes both conditions. Output: (doc_id, n_words, n_bpe_tokens)
+    from the RELOADED merges — byte-identical to the direct-apply
+    path (round-trip + equality pinned in tests/test_properties.py).
+    Rows-only (learned merges have no SQL twin), same basis as
+    text_bpe_token_budget."""
+    import os as _os
+
+    from process_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        bpe_load_merges,
+        bpe_save_merges,
+        bpe_train,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    d = t(spark, sf_dir, "documents")
+    path = _os.path.join(_SCRATCH, "bpe_merge_table")
+    bpe_save_merges(spark, bpe_train(d, "text", n_merges=64), path)
+    merges = bpe_load_merges(spark, path)  # the pinned artifact
+    return bpe_doc_token_counts(d, merges)
+
+
 @register(
     "text_heavy_hitters_by_lang",
     # Sketch + exact verify is EXACT per group, so the oracle is the

@@ -1880,12 +1880,18 @@ def pipeline_semantic_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     component id IS that keeper, so the verdict is one comparison, no
     extra window). This is the query that decides which EMBEDDED
     documents a 100 TB semantic-dedup pass actually keeps. Scale
-    shape: every stage is blocked or bounded — cells bound the pair
-    join, components are CELL-LOCAL by construction (edges never cross
+    shape: every stage is blocked — cells PARTITION the pair join and
+    components are CELL-LOCAL by construction (edges never cross
     cells), so propagation converges in a few iterations and no
-    corpus-sized window exists anywhere. The oracle replays seed pick,
-    Lloyd refinement, the per-cell threshold self-join, the recursive
-    min-label walk, and the keeper verdict in one statement."""
+    corpus-sized window exists anywhere. One honest caveat: with a
+    FIXED n_cells each cell is ~|corpus|/n_cells, so per-cell pair
+    scoring is still quadratic in corpus size and a boilerplate-heavy
+    hot cell has no bound here — the production path is
+    ``pipeline_semantic_keeper_guarded`` (max-cell cap + out-of-band
+    skip census, the same guard the text keeper carries). The oracle
+    replays seed pick, Lloyd refinement, the per-cell threshold
+    self-join, the recursive min-label walk, and the keeper verdict in
+    one statement."""
     from process_spark.operators.dedup import connected_components
     from process_spark.operators.similarity import near_dup_embeddings_arrow
 
@@ -1905,4 +1911,154 @@ def pipeline_semantic_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "component",
         (F.col("vec_id") == F.col("component")).alias("is_keeper"),
+    )
+
+
+#: Hot-cell cap for the guarded semantic keeper: every per-cell BLAS
+#: pair scan is bounded at cap² candidate scores. 512 keeps every
+#: sf0.01 cell intact (max cell = 104 of 500 vectors across 8 cells)
+#: while cutting the quadratic blow-up a boilerplate-heavy cell (or
+#: the x10 probe's replicas, ~10× the cell sizes) manufactures;
+#: skipped cells are counted in the output (n_skipped_cells) and
+#: their members surface as component singletons.
+_SEM_KEEPER_CELL_CAP = 512
+
+
+@register(
+    "pipeline_semantic_keeper_guarded",
+    # Same CTE chain as pipeline_semantic_keeper with the hot-cell
+    # guard spliced between assignment and the pair self-join: cells
+    # over the cap are cut BEFORE pairing (sized/kept), counted
+    # out-of-band (skip), and their members still seed the walk — so
+    # they surface as singletons, exactly the Spark side's degrade
+    # semantics.
+    oracle=f"""
+    WITH RECURSIVE h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h32,
+             {_O_T32} AS tv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, tv,
+             ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
+      FROM h
+      QUALIFY cell_id < 8
+    ),
+    assign0 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 's.tv')} DESC, s.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT cell_id, CAST(AVG(tv) AS REAL) AS m
+      FROM assign0 GROUP BY cell_id
+    ),
+    assign1 AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN refined r
+      ) WHERE rn = 1
+    ),
+    sized AS (
+      SELECT vec_id, tv, cell_id,
+             COUNT(*) OVER (PARTITION BY cell_id) AS bn
+      FROM assign1
+    ),
+    kept AS (
+      SELECT vec_id, tv, cell_id FROM sized
+      WHERE bn <= {_SEM_KEEPER_CELL_CAP}
+    ),
+    skip AS (
+      SELECT COUNT(*) AS n_skipped_cells FROM (
+        SELECT DISTINCT cell_id FROM sized
+        WHERE bn > {_SEM_KEEPER_CELL_CAP}
+      )
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE (1 + a.tv * b.tv)
+              / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.9995
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT vec_id, vec_id FROM h
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT vec_id, component, vec_id = component AS is_keeper,
+           (SELECT n_skipped_cells FROM skip) AS n_skipped_cells
+    FROM comp
+    """,
+)
+def pipeline_semantic_keeper_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION semantic keep-one policy: the
+    ``pipeline_semantic_keeper`` chain with the hot-cell guard the text
+    keeper has carried since the LSH hot-bucket incident — the one
+    quadratic block the engine still left unguarded. With a fixed
+    n_cells each IVF cell is ~|corpus|/n_cells, and a real corpus's
+    boilerplate cluster (near-identical template docs) lands in ONE
+    cell, whose BLAS pair scan then emits O(|cell|²) rows as a single
+    straggler task. Here cells over ``_SEM_KEEPER_CELL_CAP`` are cut
+    BEFORE the grouped map (JVM-side window + filter; the Python worker
+    never sees them), the cut is visible on every output row via the
+    broadcast 1-row census (``n_skipped_cells``), and cut cells'
+    members degrade to component SINGLETONS — kept, never silently
+    dropped, exactly ``pipeline_dedup_keeper``'s semantics. The oracle
+    replays the full chain including the guard: sized/kept/skip CTEs
+    between assignment and the pair join."""
+    from process_spark.operators.dedup import connected_components
+    from process_spark.operators.similarity import (
+        near_dup_embeddings_arrow_with_census,
+    )
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    _, assign = ivf_build(e, n_cells=8, seed_hash="md5")
+    pairs, census = near_dup_embeddings_arrow_with_census(
+        assign.select("vec_id", "embedding", "cell_id"),
+        threshold=0.9995,
+        block_col="cell_id",
+        max_block_size=_SEM_KEEPER_CELL_CAP,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        vertices=e,
+        id_col="vec_id",
+    ).withColumnRenamed("id", "vec_id")
+    return (
+        comp.select(
+            "vec_id",
+            "component",
+            (F.col("vec_id") == F.col("component")).alias("is_keeper"),
+        )
+        .crossJoin(
+            F.broadcast(
+                census.withColumnRenamed(
+                    "n_skipped_blocks", "n_skipped_cells"
+                )
+            )
+        )
     )

@@ -119,6 +119,7 @@ PIPELINE_PROBE = [
     "pipeline_pii_scrub",
     "pipeline_quality_cascade",
     "pipeline_semantic_keeper",
+    "pipeline_semantic_keeper_guarded",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]
@@ -153,7 +154,13 @@ QUADRATIC_BY_DESIGN = {
     "pipeline_semantic_keeper": "replicated vectors are true semantic "
     "dups; the cell-local pair set grows ~quadratically per duplicated "
     "vector before components collapse them (same growth as "
-    "pipeline_semantic_dedup_ivf, which feeds it)",
+    "pipeline_semantic_dedup_ivf, which feeds it) - "
+    "pipeline_semantic_keeper_guarded is the bounded deployment path",
+    "pipeline_semantic_keeper_guarded": "at x10 the replicated cells "
+    "blow past the 512-vector cap and are SKIPPED (the guard working: "
+    "members degrade to component singletons + the 1-row skip census "
+    "instead of a quadratic BLAS pair scan - the semantic twin of "
+    "pipeline_dedup_keeper's cap)",
     "vec_ivf_sq8_knn": "both query set and corpus grow 10x; pair count "
     "is O(|Q| x |C| x n_probe/n_cells) - the probe fraction is the "
     "recall/cost knob, and the isotropic worst case pins the default "

@@ -87,6 +87,10 @@ VEC_QUERIES = [
     # keep-one policy over degenerate vectors: zero/underflow rows pair
     # with nothing, so each must survive as its own keeper
     "pipeline_semantic_keeper",
+    # round-9: the guarded keeper replays the same chain with the
+    # hot-cell cap + skip census; degenerate rows are still singletons
+    # and the census rides on every row
+    "pipeline_semantic_keeper_guarded",
 ]
 
 # Text queries over the degenerate-documents table: empty text,

@@ -227,6 +227,62 @@ def test_jaccard_pairs_block_guard(spark):
         jaccard_pairs_with_census(df, "doc_id", "text", block_col="blk")
 
 
+def test_semantic_hot_cell_guard(spark):
+    """The semantic twin of the jaccard block guard: a boilerplate-heavy
+    IVF cell (near-identical template embeddings, the real-corpus skew
+    shape) is cut BEFORE the BLAS pair scan, so the grouped map never
+    sees a quadratic block. Pair schema is mode-invariant; the census
+    rides out-of-band; the expression twin honors the same cap."""
+    import pytest as _pytest
+
+    from process_spark.operators.similarity import (
+        near_dup_embeddings,
+        near_dup_embeddings_arrow,
+        near_dup_embeddings_arrow_with_census,
+    )
+
+    # hot cell: 8 near-identical "template" vectors; cold cell: 2 dups
+    rows = [(i, [1.0, 0.001 * i], "hot") for i in range(8)]
+    rows += [(100, [0.0, 1.0], "cold"), (101, [0.0, 1.0], "cold")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cell string"
+    )
+
+    guarded = near_dup_embeddings_arrow(
+        df, threshold=0.99, block_col="cell", max_block_size=4
+    )
+    unguarded = near_dup_embeddings_arrow(df, threshold=0.99, block_col="cell")
+    assert guarded.columns == unguarded.columns  # mode-invariant schema
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert got == {(100, 101)}  # hot cell (8 > cap 4) cut pre-join
+    assert unguarded.count() == 8 * 7 // 2 + 1  # and it WAS quadratic
+
+    # expression twin honors the same cap with the same survivors
+    expr = near_dup_embeddings(
+        df, threshold=0.99, block_col="cell", max_block_size=4
+    )
+    assert {(r["id_a"], r["id_b"]) for r in expr.collect()} == {(100, 101)}
+
+    pairs, census = near_dup_embeddings_arrow_with_census(
+        df, threshold=0.99, block_col="cell", max_block_size=4
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(100, 101)}
+    assert census.collect()[0]["n_skipped_blocks"] == 1
+    _, census_all = near_dup_embeddings_arrow_with_census(
+        df, threshold=0.99, block_col="cell", max_block_size=99
+    )
+    assert census_all.collect()[0]["n_skipped_blocks"] == 0
+
+    with _pytest.raises(ValueError):
+        near_dup_embeddings(
+            df, threshold=0.99, block_col=None, max_block_size=4
+        )
+    with _pytest.raises(ValueError):
+        near_dup_embeddings_arrow_with_census(
+            df, threshold=0.99, block_col="cell"
+        )
+
+
 def test_knn_edges(spark):
     from process_spark.operators.similarity import brute_force_knn
 

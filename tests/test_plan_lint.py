@@ -58,6 +58,7 @@ CROSS_OK = {
     "pipeline_semantic_dedup_ivf",  # ivf_build cell broadcasts (k rows)
     "pipeline_semantic_dedup_ivf_soft",  # same + soft-assign cell broadcast
     "pipeline_dedup_keeper",    # 1-row skip-census broadcast on output
+    "pipeline_semantic_keeper_guarded",  # 1-row skip-census broadcast
     "vec_ann_srp_tuned",        # broadcast query bands/queries (bounded sample)
     "vec_ivf_tuned",            # broadcast cell/probe tables (k rows)
     "vec_ivf_search_tuned",     # broadcast cell/probe tables (k rows)
@@ -166,6 +167,10 @@ BROADCAST_HINT_OK = {
     ),
     "pipeline_dedup_keeper": (
         "1-row skip-census aggregate broadcast onto every output row"
+    ),
+    "pipeline_semantic_keeper_guarded": (
+        "1-row hot-cell skip-census aggregate broadcast onto every "
+        "output row (the semantic twin of pipeline_dedup_keeper's)"
     ),
     # NOTE: the tuner EVIDENCE queries (vec_ann_srp_tuned,
     # vec_ivf_tuned) are deliberately absent here: their returned
@@ -296,12 +301,13 @@ BROADCAST_SITES = {
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (
-        9,
+        10,
         "bounded query-band/query/centroid sides (+2 tuner sample "
         "broadcasts, +1 soft-assign k-row cell broadcast, +1 "
         "ivf_sq8 probe-code broadcast ≤ |Q|·n_probe rows, +1 "
         "ivf_sq8 exact-re-rank bounded unit-query broadcast, +1 "
-        "ivf_sq8 md5-twin probe-code broadcast — same bound)",
+        "ivf_sq8 md5-twin probe-code broadcast — same bound, +1 "
+        "guarded-keeper 1-row skip-census broadcast)",
     ),
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),

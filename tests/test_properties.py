@@ -504,7 +504,12 @@ def test_bpe_doc_counts_two_path_self_twin(spark):
     """The distinct-vocab+join path (bpe_doc_token_counts) must equal
     a direct per-occurrence encode — the join is a physical
     memoization, not a semantic change — and n_bpe_tokens must sit in
-    [n_words, n_chars_of_words]."""
+    [n_words, n_chars_of_words]. Zero-word documents (empty /
+    whitespace-only text) are IN the comparison set: they explode to
+    no rows, so an aggregate-only path silently drops them — the
+    budget contract is a (0, 0) row for every such doc (the direct
+    baseline here prefills every doc id, so a drop FAILS the twin
+    instead of hiding in it)."""
     from process_spark.functions.textfn import tokens as _tokens
     from process_spark.operators.bpe import (
         _encode_word,
@@ -513,21 +518,62 @@ def test_bpe_doc_counts_two_path_self_twin(spark):
     )
     from process_spark.sources.io import load
 
-    d = load(spark, "/root/testdata/sf0.001", "documents")
+    d = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(900001, ""), (900002, "   \t\n  ")],
+            "doc_id long, text string",
+        )
+    )
     merges = bpe_train(d, "text", n_merges=32)
     got = {
         r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
         for r in bpe_doc_token_counts(d, merges).collect()
     }
     rank = {p: i for i, p in enumerate(merges)}
-    direct: dict = {}
+    direct: dict = {
+        r["doc_id"]: (0, 0) for r in d.select("doc_id").collect()
+    }
     for r in d.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
     ).collect():
-        n_w, n_p = direct.get(r["doc_id"], (0, 0))
+        n_w, n_p = direct[r["doc_id"]]
         direct[r["doc_id"]] = (
             n_w + 1, n_p + len(_encode_word(r["w"], rank))
         )
     assert got == direct
+    assert got[900001] == (0, 0) and got[900002] == (0, 0)
     for n_words, n_bpe in got.values():
         assert n_words <= n_bpe  # every word is >= 1 piece
+
+
+def test_bpe_merge_table_store_lifecycle(spark, tmp_path):
+    """Train-once / apply-many: the persisted merge table (parquet
+    rank/left/right) round-trips byte-identically, and budgets computed
+    from the RELOADED artifact equal the direct-apply budgets exactly —
+    the pinning that makes token budgets comparable across runs."""
+    from process_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        bpe_load_merges,
+        bpe_save_merges,
+        bpe_train,
+    )
+    from process_spark.sources.io import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    merges = bpe_train(d, "text", n_merges=32)
+    path = str(tmp_path / "merges")
+    bpe_save_merges(spark, merges, path)
+    loaded = bpe_load_merges(spark, path)
+    assert loaded == [tuple(p) for p in merges]  # byte-identical artifact
+
+    direct = {
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_doc_token_counts(d, merges).collect()
+    }
+    stored = {
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_doc_token_counts(d, loaded).collect()
+    }
+    assert direct == stored  # apply-twice from the pinned artifact
