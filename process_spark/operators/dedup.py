@@ -753,6 +753,26 @@ def compact_partitioned_index(
     Run it offline (between streaming runs / behind a catalog swap) —
     the directory swap is not transactional against in-flight readers.
 
+    Crash-ordering caveat: prefer running compaction only after a
+    CLEANLY terminated stream (last batch committed to the
+    checkpoint). If the stream died mid-batch and compaction sealed
+    the orphaned batch's rows into ``batch_id = -1``, a naive restart
+    would probe the batch against its own sealed bands and re-append
+    duplicates; ``incremental_dedup_sink`` defends against exactly
+    this (it detects and skips its own sealed doc ids), but
+    third-party sinks over the same layout must either replicate that
+    hygiene or observe the clean-termination ordering.
+
+    LOCAL-FILESYSTEM constraint: the swap and the file census use
+    ``os.rename`` / ``shutil.rmtree`` / ``os.walk``, which see only
+    local paths — on an HDFS/S3-backed index this op fails (or counts
+    zero files) even though the read/write halves would work. The
+    engine's test/bench surface is local-path by construction; a
+    cluster deployment routes the swap through the Hadoop FileSystem
+    API (``FileSystem.rename``/``delete``/``listFiles`` via
+    ``spark._jvm``) — same three calls, same semantics — or compacts
+    into a new prefix and flips a catalog pointer instead of renaming.
+
     Returns ``{"files_before", "files_after", "rows"}``."""
     import os
     import shutil

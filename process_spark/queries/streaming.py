@@ -670,6 +670,16 @@ def incremental_dedup_sink(
     the same (band_idx, band_bucket, batch_id) layout — write history
     with batch_id = -1.
 
+    Replay stays idempotent even across a COMPACTION that raced a
+    mid-batch crash: if the batch's bands were sealed into
+    batch_id = -1 before the restart, the sink detects its own sealed
+    docs (one partition-pruned point lookup on the batch's bucket
+    IN-set, semi-joined against the bounded batch id set) and excludes
+    them from both the history probe (no self/doubled pairs) and the
+    re-append (no permanently duplicated index rows). On clean runs
+    the lookup is empty and costs one pruned scan of the batch's own
+    buckets.
+
     ``max_bucket_size`` is the hot-bucket guard for HOSTILE batches
     (boilerplate bursts): the batch's over-cap band buckets are cut
     from BOTH the self-join and the probe join — bounding the
@@ -717,8 +727,38 @@ def incremental_dedup_sink(
         # filter, a replayed batch would probe its own already-appended
         # bands (self-pairs + doubled cross pairs); with it, the probe
         # is deterministic no matter how many times the batch replays.
-        stored = ss.read.parquet(idx_dir).filter(
-            F.col("batch_id") < F.lit(batch_id)
+        #
+        # Crash-compaction hygiene: the batch_id < current filter alone
+        # is blind to SEALED copies — if the stream died mid-batch
+        # (checkpoint commit unwritten) and compaction ran before
+        # restart, the replayed batch's own bands now live in history
+        # as batch_id = -1 and would self-match. Banding is
+        # deterministic, so any sealed copy of this batch's docs sits
+        # exactly in the batch's own bucket partitions: one
+        # partition-pruned point lookup (the same bucket IN-set the
+        # probe pushes down) semi-joined against the bounded batch id
+        # set finds them, and both the probe and the append exclude
+        # them. Empty (and nearly free) on every clean run; on the
+        # crash-compact-replay run it restores idempotence.
+        sealed_own = (
+            ss.read.parquet(idx_dir)
+            .filter(
+                (F.col("batch_id") == -1)
+                & F.col("band_bucket").isin(buckets)
+            )
+            .join(
+                F.broadcast(batch_df.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)  # two consumers: probe + append
+        )
+        stored = (
+            ss.read.parquet(idx_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .join(F.broadcast(sealed_own), "doc_id", "left_anti")
         )
         cross = (
             stored.filter(F.col("band_bucket").isin(buckets))
@@ -749,7 +789,14 @@ def incremental_dedup_sink(
         # LAST partition level, so bucket pruning on probes is
         # untouched while a replayed batch overwrites exactly its own
         # leaf dirs (banding is deterministic → same dirs).
-        bidx.withColumn("batch_id", F.lit(batch_id)).repartition(
+        # Docs whose bands were already SEALED into batch_id = -1 by a
+        # compaction that raced a mid-batch crash are skipped here —
+        # re-appending them under batch_id = B would duplicate index
+        # rows permanently (the -1 copy survives every future
+        # batch_id < current probe).
+        bidx.join(F.broadcast(sealed_own), "doc_id", "left_anti").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).repartition(
             64, F.col("band_idx"), F.col("band_bucket")
         ).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"

@@ -295,9 +295,12 @@ BROADCAST_SITES = {
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
     "queries/streaming.py": (
-        4,
+        7,
         "constant event-type weights table + grouped-sketch pass-2 "
-        "candidate/threshold tables (≤ capacity×|langs| / |langs| rows)",
+        "candidate/threshold tables (≤ capacity×|langs| / |langs| rows) "
+        "+ 3 incremental-dedup-sink crash-compaction hygiene "
+        "broadcasts (bounded per-micro-batch doc-id set and its "
+        "≤|batch| sealed-own subset, probe + append sides)",
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (

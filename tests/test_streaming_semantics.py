@@ -393,6 +393,81 @@ def test_incremental_dedup_sink_hot_bucket_guard(spark, tmp_path):
     ).count() == 1
 
 
+def test_incremental_dedup_sink_replay_after_compaction(spark, tmp_path):
+    """The crash-ordering hazard: batch B appended its bands, the
+    stream died before the checkpoint commit, COMPACTION sealed B's
+    rows into batch_id = -1, then B replays. The naive
+    batch_id < current probe would now match B against its own sealed
+    bands (self/doubled pairs) and the append would duplicate B's
+    index rows permanently. The sink must detect its own sealed docs
+    and produce EXACTLY the clean-run pairs and index."""
+    import os
+
+    from process_spark.operators.dedup import (
+        compact_band_index,
+        minhash_band_index,
+    )
+    from process_spark.queries.streaming import incremental_dedup_sink
+
+    kw = dict(num_hashes=16, bands=4, base_hash="xxhash64",
+              band_key="hash", n_buckets=8)
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    hist = spark.createDataFrame(
+        [(i, f"unique document number {i} with words {i * 7}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    minhash_band_index(hist, "doc_id", "text", **kw).withColumn(
+        "batch_id", F.lit(-1)
+    ).repartition(8, F.col("band_idx"), F.col("band_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx", "band_bucket", "batch_id").parquet(idx_dir)
+
+    # batch 0: one doc near-dupping history doc 3, plus an exact
+    # within-batch dup pair (101, 102)
+    batch = spark.createDataFrame(
+        [(100, "unique document number 3 with words 21"),
+         (101, "twin text shared by the batch pair"),
+         (102, "twin text shared by the batch pair")],
+        "doc_id long, text string",
+    )
+    sink = incremental_dedup_sink(idx_dir, out_dir, kw)
+    sink(batch, 0)
+    clean_pairs = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in spark.read.parquet(out_dir).drop("batch_id").collect()
+    )
+    assert clean_pairs, "fixture produced no pairs"
+    clean_idx = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+
+    # crash-after-append + maintenance: seal EVERYTHING into -1
+    compact_band_index(spark, idx_dir)
+    sealed = spark.read.parquet(idx_dir)
+    assert sealed.filter(F.col("batch_id") != -1).count() == 0
+
+    # replay the same batch under the same batch_id
+    sink(batch, 0)
+    replay_pairs = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in spark.read.parquet(out_dir).drop("batch_id").collect()
+    )
+    assert replay_pairs == clean_pairs  # no self/doubled pairs
+    replay_idx = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+    assert replay_idx == clean_idx  # no duplicated index rows
+    # and nothing re-appended under batch_id = 0
+    assert spark.read.parquet(idx_dir).filter(
+        F.col("batch_id") == 0
+    ).count() == 0
+
+
 def test_stream_heavy_hitters_merges_across_batches(spark):
     """A token heavy over the WHOLE stream but split so that no single
     micro-batch alone makes it a clear leader must still be reported:
