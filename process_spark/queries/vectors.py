@@ -2062,3 +2062,175 @@ def pipeline_semantic_keeper_guarded(
             )
         )
     )
+
+
+#: Tuned band prefix for the stored-SRP phase-1 probe: the deployment
+#: story is "run ann_srp_tune once, deploy the chosen prefix" — the
+#: stored index partitioned by band_idx turns that choice into
+#: PartitionFilters (only the first n_bands dirs are read). 56 is the
+#: ladder rung below the full pool.
+_SRP_STORED_PROBE_BANDS = 56
+
+
+@register(
+    "vec_srp_stored_lifecycle",
+    # The in-memory SRP relation, PHASED: phase 1 = probe of the
+    # history-only index (even vec_ids) through the tuned 56-band
+    # prefix; phase 2 = probe of the full index (after append +
+    # compact) at the full 112-band pool — identical to
+    # vec_ann_srp_bucketed's relation. Storage layout must be
+    # semantics-free: however many appends and compactions produced
+    # the files, the probe equals the plain in-memory band join.
+    oracle=f"""
+    WITH planes(p_idx, w) AS (VALUES
+      {_ANN_POOL_VALUES}
+    ),
+    bands(band_idx, sel) AS (VALUES
+      {_ANN_BAND_VALUES}
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {_o_dot('e.embedding', 'p.w')} > 0
+                      THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ),
+    bb AS (
+      SELECT s.vec_id, b.band_idx,
+             CAST({_O_ANN_BUCKET} AS BIGINT) AS bucket
+      FROM sig s CROSS JOIN bands b
+    ),
+    qb AS (
+      SELECT vec_id AS q_id, band_idx, bucket FROM bb WHERE vec_id % 100 = 0
+    ),
+    cand1 AS (
+      SELECT DISTINCT qb.q_id, bb.vec_id
+      FROM qb JOIN bb
+        ON bb.band_idx = qb.band_idx AND bb.bucket = qb.bucket
+       AND bb.vec_id <> qb.q_id
+      WHERE bb.vec_id % 2 = 0 AND bb.band_idx < {_SRP_STORED_PROBE_BANDS}
+    ),
+    cand2 AS (
+      SELECT DISTINCT qb.q_id, bb.vec_id
+      FROM qb JOIN bb
+        ON bb.band_idx = qb.band_idx AND bb.bucket = qb.bucket
+       AND bb.vec_id <> qb.q_id
+    ),
+    scored AS (
+      SELECT 1 AS phase, c.q_id, c.vec_id,
+             {_o_cosine('e.embedding', 'qe.embedding')} AS score
+      FROM cand1 c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings qe ON qe.vec_id = c.q_id
+      UNION ALL
+      SELECT 2 AS phase, c.q_id, c.vec_id,
+             {_o_cosine('e.embedding', 'qe.embedding')} AS score
+      FROM cand2 c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings qe ON qe.vec_id = c.q_id
+    )
+    SELECT phase, q_id, vec_id, score, rank FROM (
+      SELECT phase, q_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY phase, q_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def vec_srp_stored_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 STORED ANN index lifecycle for the multi-band SRP family —
+    the one index family that still rebuilt its hash tables per run.
+    The (vec_id, band_idx, bucket) relation (the 112-band pool of
+    vec_ann_srp_bucketed, verbatim) is WRITTEN ``partitionBy(band_idx)``
+    with the one-file-per-dir discipline, then run through the full
+    production lifecycle in one query:
+
+      write(history = even vec_ids) → probe 1 (the TUNED
+      ``band_idx < 56`` prefix — band truncation is ann_srp_tune's
+      knob, and the band-partitioned layout turns it into
+      PartitionFilters: a deployment that tuned to b bands reads
+      b/112 of its index files) → append the odd vectors in two
+      batches (dirs accrete one file per batch) → compact
+      (compact_partitioned_index on ["band_idx"], 3 files/dir → 1) →
+      probe 2 (full pool over the whole corpus).
+
+    Phase 2 must equal the in-memory vec_ann_srp_bucketed relation
+    and phase 1 its history-restricted truncation — the oracle replays
+    both from the inlined plane/band constants, so the store → probe →
+    append → compact → re-probe cycle is exact-hash-checked end to
+    end. PartitionFilters + file-count collapse asserted in
+    tests/test_plan_shapes.py. Scale shape: signatures are computed
+    once per INGESTED vector (never recomputed at probe time — the
+    point of storing the index); query bands broadcast; only candidate
+    dedup + re-rank shuffle."""
+    import os as _os
+
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.queries.io_udf import _SCRATCH
+
+    e = t(spark, sf_dir, "embeddings")
+    path = _os.path.join(_SCRATCH, "srp_band_index")
+
+    def write(part: DataFrame, mode: str) -> None:
+        _ann_banded(part).repartition(64, F.col("band_idx")).write.mode(
+            mode
+        ).partitionBy("band_idx").parquet(path)
+
+    write(e.filter(F.col("vec_id") % 2 == 0), "overwrite")
+
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qb = _ann_banded(e.filter(F.col("vec_id") % 100 == 0)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("band_idx").alias("q_band_idx"),
+        F.col("bucket").alias("q_bucket"),
+    ).localCheckpoint(eager=False)  # band queries once: both probes
+
+    def probe(stored: DataFrame, phase: int) -> DataFrame:
+        cands = (
+            stored.join(
+                F.broadcast(qb),
+                (F.col("band_idx") == F.col("q_band_idx"))
+                & (F.col("bucket") == F.col("q_bucket"))
+                & (F.col("vec_id") != F.col("q_id")),
+            )
+            .select("q_id", "vec_id")
+            .distinct()
+        )
+        scored = (
+            cands.join(e.select("vec_id", "embedding"), "vec_id")
+            .join(F.broadcast(q), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("q_emb")).alias("score"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("score").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(F.lit(phase).alias("phase"), "q_id", "vec_id", "score", "rank")
+        )
+
+    # Phase 1: tuned-prefix probe of history only. The band predicate
+    # reaches the stored scan as PartitionFilters (band-partitioned
+    # layout = the tuner's knob becomes file pruning). Materialized
+    # BEFORE the appends mutate the index (lazy plans must not see
+    # later batches).
+    stored1 = spark.read.parquet(path).filter(
+        F.col("band_idx") < _SRP_STORED_PROBE_BANDS
+    )
+    phase1 = probe(stored1, 1).localCheckpoint(eager=True)
+
+    # Ingest the odd half in two batches, then weekly maintenance.
+    write(e.filter(F.col("vec_id") % 4 == 1), "append")
+    spark.catalog.refreshByPath(path)
+    write(e.filter(F.col("vec_id") % 4 == 3), "append")
+    compact_partitioned_index(spark, path, ["band_idx"])
+
+    phase2 = probe(spark.read.parquet(path), 2)
+    return phase1.unionByName(phase2)

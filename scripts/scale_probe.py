@@ -120,6 +120,7 @@ PIPELINE_PROBE = [
     "pipeline_quality_cascade",
     "pipeline_semantic_keeper",
     "pipeline_semantic_keeper_guarded",
+    "vec_srp_stored_lifecycle",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]
@@ -179,6 +180,11 @@ QUADRATIC_BY_DESIGN = {
     "vec_ann_srp_bucketed": "both query set and corpus grow 10x; "
     "candidate volume is O(|Q| x |C| x frac) by construction - the "
     "band count is the recall/cost knob that sets frac",
+    "vec_srp_stored_lifecycle": "same O(|Q| x |C| x frac) candidate "
+    "volume as vec_ann_srp_bucketed (both probes), plus the lifecycle "
+    "re-banding the 10x corpus for the write/append phases - the "
+    "stored layout amortizes that signature cost across future runs, "
+    "which a one-shot probe query cannot show",
     "pipeline_semantic_dedup_ivf": "replicated vectors are true "
     "semantic dups; the per-cell pair output grows ~quadratically per "
     "duplicated vector",

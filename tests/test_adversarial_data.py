@@ -91,6 +91,11 @@ VEC_QUERIES = [
     # hot-cell cap + skip census; degenerate rows are still singletons
     # and the census rides on every row
     "pipeline_semantic_keeper_guarded",
+    # round-9: the stored SRP lifecycle (write→probe→append→compact→
+    # re-probe) must stay exact-hash green over zero/underflow vectors
+    # (they band like any vector; cosine re-rank NULLs them out — the
+    # same degenerate handling the in-memory SRP query has)
+    "vec_srp_stored_lifecycle",
 ]
 
 # Text queries over the degenerate-documents table: empty text,

@@ -210,6 +210,11 @@ BROADCAST_HINT_OK = {
         "aggregates onto the bounded per-language table"
     ),
     "vec_sq8_knn": "query side (fixed 1% id sample, bounded)",
+    "vec_srp_stored_lifecycle": (
+        "query-band table (≤ |Q|·112 rows) + query side — both fixed "
+        "1% id samples, bounded; the stored corpus index side joins "
+        "unhinted"
+    ),
     "text_heavy_hitters_by_lang": (
         "grouped-sketch pass-2 candidate table (≤ capacity×|langs| "
         "rows) + per-language threshold table (≤ |langs| rows) — the "
@@ -304,13 +309,15 @@ BROADCAST_SITES = {
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (
-        10,
+        12,
         "bounded query-band/query/centroid sides (+2 tuner sample "
         "broadcasts, +1 soft-assign k-row cell broadcast, +1 "
         "ivf_sq8 probe-code broadcast ≤ |Q|·n_probe rows, +1 "
         "ivf_sq8 exact-re-rank bounded unit-query broadcast, +1 "
         "ivf_sq8 md5-twin probe-code broadcast — same bound, +1 "
-        "guarded-keeper 1-row skip-census broadcast)",
+        "guarded-keeper 1-row skip-census broadcast, +2 stored-SRP "
+        "probe broadcasts: query-band table ≤ |Q|·112 rows and query "
+        "vectors — both 1% samples, bounded)",
     ),
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),

@@ -525,3 +525,44 @@ def test_ivf_stored_compact_one_file_per_cell(spark):
             continue
         files = [f for f in os.listdir(cp) if f.endswith(".parquet")]
         assert len(files) == 1, f"{cell_dir}: {len(files)} files"
+
+
+def test_srp_stored_lifecycle_prunes_and_compacts(spark):
+    """vec_srp_stored_lifecycle: (a) the phase-1 tuned-prefix probe
+    reaches the stored scan as PartitionFilters on band_idx (the
+    band-partitioned layout turns ann_srp_tune's band-count knob into
+    file pruning); (b) after write + 2 appends + compaction every band
+    dir holds exactly ONE file; (c) both phases return rows (value
+    invariance is the registered exact-hash oracle's job)."""
+    import os
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["vec_srp_stored_lifecycle"].fn(spark, SF)
+    rows = df.collect()  # executes the full lifecycle incl. compaction
+    phases = {r["phase"] for r in rows}
+    assert phases == {1, 2}, phases
+
+    # The phase-1 probe's executed plan must prune on band_idx. The
+    # returned union re-reads the post-compaction index, so re-derive
+    # the phase-1 scan shape directly from the stored path.
+    from pyspark.sql import functions as F
+
+    from process_spark.queries.vectors import _SRP_STORED_PROBE_BANDS
+
+    root = os.path.join(_SCRATCH, "srp_band_index")
+    pruned = spark.read.parquet(root).filter(
+        F.col("band_idx") < _SRP_STORED_PROBE_BANDS
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "band_idx" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+    # one file per band dir after compaction
+    for band_dir in os.listdir(root):
+        bp = os.path.join(root, band_dir)
+        if not os.path.isdir(bp):
+            continue
+        files = [f for f in os.listdir(bp) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{band_dir}: {len(files)} files"
