@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from process_spark.queries._util import t
 from process_spark.queries.registry import register
 from process_spark.queries.text import _O_HEAVY_HITTERS, _minhash_md5_ctes
+from process_spark.queries.vectors import _ivf_md5_ctes
 from process_spark.schemas import TABLES
 
 _MEM_SEQ = 0
@@ -1214,3 +1215,184 @@ def stream_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(F.broadcast(thr), "lang").filter(
         F.col("cnt") >= F.col("threshold")
     )
+
+
+def incremental_vector_sink(
+    idx_dir: str,
+    out_dir: str,
+    cells: DataFrame,
+    threshold: float = 0.9995,
+):
+    """foreachBatch sink of the incremental SEMANTIC dedup stream — the
+    vector twin of :func:`incremental_dedup_sink`, closing the
+    lifecycle asymmetry where text dedup streamed but semantic dedup
+    only batch-appended. Per micro-batch: assign the batch's vectors to
+    the FIXED pre-trained cells (ivf_assign — no retrain; centroid
+    drift is the offline rebuild's job), emit same-batch near-dup pairs
+    (cell-blocked threshold self-join) + batch×history pairs (probe of
+    the stored cell-partitioned index with the batch's cell IN-set —
+    bounded by n_cells — pushed as PartitionFilters), then append the
+    batch's cell-coded vectors to the index partition-consistent.
+
+    Both writes are IDEMPOTENT per batch_id (dynamic partition
+    overwrite keyed on the batch — the same exactly-once-via-batchId
+    pattern as the text sink), and the probe reads strictly-earlier
+    batches only (``batch_id < current``), so at-least-once replay
+    cannot duplicate pairs or inflate the index. The index bootstrap
+    must use the same (cell_id, batch_id) layout — write history with
+    batch_id = -1. Hot batches: cap the per-cell join with
+    near_dup_embeddings(max_block_size=...) when boilerplate bursts
+    are expected (the guarded text sink's contract)."""
+    from process_spark.functions.vectorfn import cosine as _cos
+    from process_spark.operators.similarity import (
+        ivf_assign,
+        near_dup_embeddings,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        assigned = ivf_assign(batch_df, cells).localCheckpoint(
+            eager=False
+        )  # assign once: self-join + probe + append
+        within = near_dup_embeddings(
+            assigned, threshold=threshold, block_col="cell_id"
+        ).select("id_a", "id_b")
+        # the batch's cell IN-set is bounded by n_cells — collected
+        # into an isin that reaches the stored scan as PartitionFilters
+        batch_cells = sorted(
+            r["cell_id"]
+            for r in assigned.select("cell_id").distinct().collect()
+        )
+        stored = ss.read.parquet(idx_dir).filter(
+            (F.col("batch_id") < F.lit(batch_id))
+            & F.col("cell_id").isin(batch_cells)
+        )
+        h, b = stored.alias("h"), assigned.alias("b")
+        sim = _cos(F.col("h.embedding"), F.col("b.embedding"))
+        cross = (
+            h.join(b, F.col("h.cell_id") == F.col("b.cell_id"))
+            .select(
+                F.least(F.col("h.vec_id"), F.col("b.vec_id")).alias("id_a"),
+                F.greatest(F.col("h.vec_id"), F.col("b.vec_id")).alias("id_b"),
+                sim.alias("__sim"),
+            )
+            .filter((F.col("__sim") >= threshold) & ~F.isnan("__sim"))
+            .select("id_a", "id_b")
+        )
+        pairs = within.unionByName(cross).distinct().withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        pairs.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_dir)
+        # history accretes, one file per touched cell dir per batch;
+        # batch_id LAST so cell pruning is untouched while a replay
+        # overwrites exactly its own leaf dirs (assignment to fixed
+        # cells is deterministic → same dirs)
+        assigned.withColumn("batch_id", F.lit(batch_id)).repartition(
+            8, F.col("cell_id")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell_id", "batch_id").parquet(idx_dir)
+        ss.catalog.refreshByPath(idx_dir)
+
+    return sink
+
+
+@register(
+    "stream_semantic_dedup_probe",
+    # Batch-twin oracle = the WHOLE-CORPUS cell-blocked threshold pair
+    # join under the md5 IVF chain (cells trained on the even half —
+    # the bootstrap history — assignment over everything), restricted
+    # to pairs with at least one streamed (odd) member. Batch
+    # boundaries are source-dependent, but the emitted pair UNION is
+    # batch-count-INVARIANT by construction: a same-batch pair is
+    # found by the batch self-join, a cross-batch pair by the later
+    # batch's probe of the appended index — each exactly once.
+    oracle=f"""
+    WITH {_ivf_md5_ctes(build_where="vec_id % 2 = 0")},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign1 a JOIN assign1 b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE (1 + a.tv * b.tv)
+              / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.9995
+        AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
+    )
+    SELECT id_a, id_b FROM pairs
+    """,
+)
+def stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64+O95 — INCREMENTAL semantic dedup as a STREAM: the brief's
+    headline capability (embedding near-dup detection) running the
+    same continuous-ingestion shape as the text pipeline. The
+    historical corpus (even vec_ids) trains the IVF cells ONCE and its
+    cell-coded vectors sit stored partitionBy(cell_id, batch_id=-1);
+    new vectors arrive as a file stream (availableNow,
+    maxFilesPerTrigger=1 → multiple micro-batches) and each
+    micro-batch, inside foreachBatch (incremental_vector_sink):
+
+      1. assigns itself to the FIXED cells (no retrain),
+      2. self-joins within cells (same-batch near-dup pairs),
+      3. probes the STORED index — its cell IN-set pushed down as
+         PartitionFilters, history = strictly earlier batches,
+      4. appends its cell-coded vectors (dynamic partition overwrite
+         on batch_id → replay-idempotent),
+      5. writes its pairs keyed by batch_id (same idempotence).
+
+    The oracle replays cells-from-history + assign-everything + the
+    cell-blocked threshold join in one statement; the streamed pair
+    union must equal it no matter how the source batched the files.
+    Replay safety is pinned in tests/test_streaming_semantics.py."""
+    import shutil
+
+    from process_spark.operators.similarity import ivf_build
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.vectors import _t32
+
+    base = os.path.join(_SCRATCH, "stream_vec_index")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, assign_even = ivf_build(
+        e.filter(F.col("vec_id") % 2 == 0), n_cells=8, seed_hash="md5"
+    )
+    # Bootstrap under the same (cell_id, batch_id) layout the sink
+    # appends with (batch_id = -1 marks pre-stream history).
+    assign_even.withColumn("batch_id", F.lit(-1)).repartition(
+        8, F.col("cell_id")
+    ).write.mode("overwrite").partitionBy("cell_id", "batch_id").parquet(
+        idx_dir
+    )
+
+    # Stage the stream: odd vectors as two files → two micro-batches.
+    vecs = e.filter(F.col("vec_id") % 2 == 1)
+    vecs.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    vecs.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_vector_sink(idx_dir, out_dir, cells)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).select("id_a", "id_b").distinct()

@@ -121,6 +121,7 @@ PIPELINE_PROBE = [
     "pipeline_semantic_keeper",
     "pipeline_semantic_keeper_guarded",
     "vec_srp_stored_lifecycle",
+    "stream_semantic_dedup_probe",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]
@@ -194,6 +195,11 @@ QUADRATIC_BY_DESIGN = {
     "the candidate pair output grows ~quadratically per duplicated doc "
     "(incremental_dedup_sink(max_bucket_size=...) is the guarded "
     "deployment path — tested with a hostile boilerplate batch)",
+    "stream_semantic_dedup_probe": "replicated vectors are true "
+    "semantic dups; the cell-blocked pair output grows ~quadratically "
+    "per duplicated vector (same growth as pipeline_semantic_dedup_ivf "
+    "— near_dup_embeddings(max_block_size=...) is the guarded path for "
+    "hostile batches)",
     "pipeline_dedup_keeper": "at x10 every (lang, source) block blows "
     "past the 64-doc cap and is SKIPPED (the guard working: output "
     "degrades to singletons + the skip census instead of a quadratic "

@@ -96,6 +96,10 @@ VEC_QUERIES = [
     # (they band like any vector; cosine re-rank NULLs them out — the
     # same degenerate handling the in-memory SRP query has)
     "vec_srp_stored_lifecycle",
+    # round-9: the streaming vector-ingest sink replays the md5 IVF
+    # chain over the degenerate rows (2-d fixture norms ≥ 1, so every
+    # row assigns and pairs deterministically) — oracle must stay green
+    "stream_semantic_dedup_probe",
 ]
 
 # Text queries over the degenerate-documents table: empty text,

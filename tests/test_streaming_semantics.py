@@ -710,3 +710,83 @@ def test_incremental_dedup_sink_replay_idempotent(spark, tmp_path):
     # doc 300 matches both doc 3 (history) and doc 200 (batch 0) on
     # ALL bands exactly once — no double-counted n_shared_bands
     assert bands_seen == {(3, kw["bands"]), (200, kw["bands"])}, bands_seen
+
+
+def test_incremental_vector_sink_replay_idempotent(spark, tmp_path):
+    """The vector sink twin of the text replay guarantee: driving the
+    same micro-batch twice under the same batch_id (foreachBatch is
+    at-least-once) must leave pairs AND index byte-identical — dynamic
+    partition overwrite on batch_id, probe strictly earlier batches.
+    Also pins the probe's scale shape: the batch's cell IN-set reaches
+    the stored index scan as PartitionFilters."""
+    from process_spark.operators.similarity import ivf_build
+    from process_spark.queries.streaming import incremental_vector_sink
+
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    # history: 3 well-separated 2-d anchors + near-dups of anchor 0
+    hist = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (4, [0.7071, 0.7071]),
+         (6, [1.0, 0.0001])],
+        "vec_id long, embedding array<float>",
+    )
+    cells, assign_h = ivf_build(hist, n_cells=2, seed_hash="md5")
+    assign_h.withColumn("batch_id", F.lit(-1)).repartition(
+        2, F.col("cell_id")
+    ).write.mode("overwrite").partitionBy("cell_id", "batch_id").parquet(
+        idx_dir
+    )
+
+    # batch 0: one near-dup of history anchor 0 + a within-batch twin
+    batch = spark.createDataFrame(
+        [(101, [1.0, 0.0002]), (103, [1.0, 0.00021]), (105, [0.0, 0.9999])],
+        "vec_id long, embedding array<float>",
+    )
+    sink = incremental_vector_sink(idx_dir, out_dir, cells, threshold=0.999)
+    sink(batch, 0)
+
+    pairs1 = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
+    )
+    # within-batch twin found, history near-dups found via the probe
+    assert (101, 103) in pairs1
+    assert (0, 101) in pairs1 and (6, 101) in pairs1
+    idx1 = sorted(
+        (r["vec_id"], r["cell_id"], r["batch_id"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+
+    # replay the SAME batch under the SAME batch_id
+    sink(batch, 0)
+    pairs2 = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
+    )
+    idx2 = sorted(
+        (r["vec_id"], r["cell_id"], r["batch_id"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+    assert pairs2 == pairs1  # no duplicated / doubled pairs
+    assert idx2 == idx1      # no inflated index
+
+    # a second batch probes history INCLUDING batch 0's append
+    batch2 = spark.createDataFrame(
+        [(201, [1.0, 0.00022])], "vec_id long, embedding array<float>"
+    )
+    sink(batch2, 1)
+    pairs3 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
+    }
+    assert (101, 201) in pairs3 and (103, 201) in pairs3
+
+    # scale shape: the probe's cell IN-set prunes the stored scan
+    pruned = spark.read.parquet(idx_dir).filter(
+        (F.col("batch_id") < F.lit(1)) & F.col("cell_id").isin([0])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell_id" in pf and "batch_id" in pf, pf
