@@ -383,3 +383,81 @@ def mg_load_state_by_group(
         for k, c in zip(r["items"] or [], r["counts"] or []):
             d[k] = d.get(k, 0) + c
     return {g: mg_merge(d, capacity) for g, d in merged.items()}, totals
+
+
+def _mg_state_files(state_dir: str) -> int:
+    return sum(
+        1
+        for _, _, fs in os.walk(state_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def _mg_drop_batch_dirs(state_dir: str) -> None:
+    import shutil  # noqa: PLC0415
+
+    for d in os.listdir(state_dir):
+        if d.startswith("batch_id="):
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
+def mg_compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    capacity: int,
+    elem_type: str = "string",
+) -> dict:
+    """Maintenance op for the durable MG state table: fold every
+    per-batch summary into ONE sealed ``batch_id = -1`` row — the same
+    small-files rhythm the stored indexes get from
+    ``compact_partitioned_index``. Without it the state dir grows one
+    subdirectory per micro-batch forever, and every
+    :func:`mg_load_state` opens one file per batch ingested since the
+    deployment started. Sealing is exact by the mergeable-summaries
+    theorem: the sealed summary is the pointwise sum + one bounding
+    merge — exactly what reload computes anyway — so a resume after
+    compaction reconstructs identical state (kill-resume tested).
+
+    Same ordering caveat as the index compactor: run only after a
+    CLEANLY terminated stream — a batch replayed after its summary was
+    sealed would be double-counted (summaries carry no doc identity to
+    dedup against, unlike the band index). Local-filesystem paths only
+    (``os.walk``/``shutil``), like compact_partitioned_index.
+
+    Returns ``{"files_before", "files_after"}``."""
+    counters, total = mg_load_state(spark, state_dir, capacity)
+    files_before = _mg_state_files(state_dir)
+    _mg_drop_batch_dirs(state_dir)
+    mg_save_batch_summary(spark, state_dir, -1, counters, total, elem_type)
+    return {
+        "files_before": files_before,
+        "files_after": _mg_state_files(state_dir),
+    }
+
+
+def mg_compact_state_by_group(
+    spark: SparkSession,
+    state_dir: str,
+    capacity: int,
+    grp_type: str = "string",
+    elem_type: str = "string",
+) -> dict:
+    """Grouped twin of :func:`mg_compact_state`: seals one row PER
+    GROUP under ``batch_id = -1`` (|groups| rows total — bounded by
+    the bounded-group-domain contract). Same exactness argument
+    (mergeable per group), same clean-termination ordering caveat,
+    same local-path constraint."""
+    counters_by_group, totals_by_group = mg_load_state_by_group(
+        spark, state_dir, capacity
+    )
+    files_before = _mg_state_files(state_dir)
+    _mg_drop_batch_dirs(state_dir)
+    mg_save_batch_summary_by_group(
+        spark, state_dir, -1, counters_by_group, totals_by_group,
+        grp_type, elem_type,
+    )
+    return {
+        "files_before": files_before,
+        "files_after": _mg_state_files(state_dir),
+    }

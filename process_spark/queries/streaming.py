@@ -1011,6 +1011,88 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_heavy_hitters_compacted",
+    # Batch-twin oracle = text_heavy_hitters' statement VERBATIM, same
+    # as stream_heavy_hitters: the driver stop, the state compaction
+    # (every per-batch summary sealed into one batch_id = -1 row), and
+    # the resumed second wave are all maintenance details the final
+    # exact-verified row set is invariant to — sealing is the same
+    # pointwise-sum + bounding merge reload performs, so by the
+    # mergeable-summaries theorem nothing can change.
+    oracle=_O_HEAVY_HITTERS,
+)
+def stream_heavy_hitters_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O95 + sketch — the durable-MG-state PRODUCTION lifecycle: ingest
+    wave 1 (availableNow), STOP the driver, run the offline maintenance
+    pass (mg_compact_state — one batch_id subdir per micro-batch folded
+    into a single sealed batch_id = -1 summary; the same small-files
+    decay the band/IVF indexes got compaction for in r8), then RESUME
+    wave 2 against the same checkpoint. Wave 2's batches land next to
+    the sealed row, and the final reload (pointwise sum + one bounding
+    merge) must reconstruct exactly the state an uncompacted run
+    reaches — the oracle is the whole-corpus heavy-hitters statement,
+    so maintenance moved files, never counts. File-count collapse and
+    kill-resume-across-compaction are asserted in
+    tests/test_streaming_semantics.py."""
+    import shutil
+
+    from process_spark.functions.textfn import tokens
+    from process_spark.operators.sketch import (
+        exact_verify,
+        mg_compact_state,
+        mg_load_state,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.text import _HH_CAPACITY
+
+    base = os.path.join(_SCRATCH, "stream_heavy_hitters_compacted")
+    src_dir = os.path.join(base, "incoming")
+    ckpt = os.path.join(base, "ckpt")
+    state_dir = os.path.join(base, "mg_state")
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+
+    def run_wave() -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                mg_state_sink(state_dir, _HH_CAPACITY)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: even docs, then "driver stops"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    run_wave()
+    # offline maintenance between waves: seal state to batch_id = -1
+    mg_compact_state(spark, state_dir, _HH_CAPACITY)
+    # wave 2: odd docs, same checkpoint (resume)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_wave()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    counters, total = mg_load_state(spark, state_dir, _HH_CAPACITY)
+    tk_all = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return exact_verify(tk_all, "tok", list(counters.keys()), total,
+                        _HH_CAPACITY)
+
+
+@register(
     "stream_dedup_index_compacted",
     # Same batch-count-invariant relation as stream_dedup_index_probe:
     # the whole-corpus band join restricted to pairs with a streamed

@@ -122,6 +122,7 @@ PIPELINE_PROBE = [
     "pipeline_semantic_keeper_guarded",
     "vec_srp_stored_lifecycle",
     "stream_semantic_dedup_probe",
+    "stream_heavy_hitters_compacted",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]

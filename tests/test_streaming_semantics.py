@@ -790,3 +790,50 @@ def test_incremental_vector_sink_replay_idempotent(spark, tmp_path):
     assert "PartitionFilters" in plan, plan
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "cell_id" in pf and "batch_id" in pf, pf
+
+
+def test_mg_state_compaction_preserves_state(spark, tmp_path):
+    """mg_compact_state folds N per-batch summary dirs into one sealed
+    batch_id=-1 row: file count collapses, and the reloaded state
+    (counters + total) is IDENTICAL before and after — sealing is the
+    exact pointwise-sum + bounding merge reload performs. Post-seal
+    batches keep accreting and merge with the sealed row. Grouped twin
+    checked the same way."""
+    from process_spark.operators.sketch import (
+        mg_compact_state,
+        mg_compact_state_by_group,
+        mg_load_state,
+        mg_load_state_by_group,
+        mg_save_batch_summary,
+        mg_save_batch_summary_by_group,
+    )
+
+    cap = 4
+    sd = str(tmp_path / "mg")
+    # 5 micro-batch summaries: 'heavy' split across batches
+    for b in range(5):
+        mg_save_batch_summary(
+            spark, sd, b, {"heavy": 10, f"noise{b}": 3}, 13
+        )
+    before = mg_load_state(spark, sd, cap)
+    stats = mg_compact_state(spark, sd, cap)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1
+    assert mg_load_state(spark, sd, cap) == before
+    # resume: a post-seal batch merges with the sealed row
+    mg_save_batch_summary(spark, sd, 5, {"heavy": 7}, 7)
+    counters, total = mg_load_state(spark, sd, cap)
+    assert total == 5 * 13 + 7
+    assert counters.get("heavy", 0) >= before[0].get("heavy", 0) + 7 - 13
+
+    sdg = str(tmp_path / "mgg")
+    for b in range(4):
+        mg_save_batch_summary_by_group(
+            spark, sdg, b,
+            {"en": {"heavy": 5, f"n{b}": 1}, "de": {"schwer": 4}},
+            {"en": 6, "de": 4},
+        )
+    before_g = mg_load_state_by_group(spark, sdg, cap)
+    stats_g = mg_compact_state_by_group(spark, sdg, cap)
+    assert stats_g["files_after"] < stats_g["files_before"]
+    assert mg_load_state_by_group(spark, sdg, cap) == before_g
