@@ -2227,3 +2227,241 @@ def pipeline_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_scrubbed_words"),
     )
+
+
+@register(
+    "pipeline_quality_cascade_dedup",
+    # pipeline_quality_cascade's statement with the DEDUP stage a real
+    # prep run includes spliced between the quality gate and the
+    # scrub: quality survivors are ranked within exact-content groups
+    # (md5(text), keeper = lowest doc_id) and non-keepers become
+    # 'cut_dedup'; only final keepers flow into PII injection +
+    # redaction. Every stage's fragment is its proven oracle verbatim.
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, source, text,
+             LENGTH(text) AS nc,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                 / len(toks) END AS mean_token_len,
+             CAST(len(shingles) AS BIGINT) AS n_sh,
+             CAST(len(shingles) - len(list_distinct(shingles)) AS BIGINT)
+               AS n_dup
+      FROM (
+        SELECT *,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+               WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+               ELSE CAST([] AS VARCHAR[]) END AS shingles
+        FROM (SELECT doc_id, lang, source, text, {_O_TOKS} AS toks
+              FROM documents)
+      )
+    ),
+    staged AS (
+      SELECT *,
+             CASE
+               WHEN (CASE WHEN n_sh > 0 THEN
+                       CAST(FLOOR(CAST(n_dup AS DOUBLE) / n_sh
+                                  * 1000000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) > 20000 THEN 'cut_repetition'
+               WHEN nc < 100 THEN 'cut_quality'
+               WHEN n_tokens < 20 THEN 'cut_quality'
+               WHEN mean_token_len < 2.0 OR mean_token_len > 12.0
+                 THEN 'cut_quality'
+               WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+                 THEN 'cut_quality'
+               ELSE 'keep' END AS stage
+      FROM m
+    ),
+    staged2 AS (
+      SELECT doc_id, lang, source, text,
+             CASE WHEN rn > 1 THEN 'cut_dedup' ELSE 'keep' END AS stage
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM staged WHERE stage = 'keep'
+      )
+      UNION ALL
+      SELECT doc_id, lang, source, text, stage
+      FROM staged WHERE stage <> 'keep'
+    ),
+    scrubbed AS (
+      SELECT doc_id, lang, source,
+             CAST(len(regexp_extract_all(inj, '{_PII_EMAIL}'))
+                  + len(regexp_extract_all(inj, '{_PII_IP}'))
+                  + len(regexp_extract_all(inj, '{_PII_URL}'))
+                  AS BIGINT) AS n_spans,
+             CAST(len(list_filter(
+               string_split_regex(lower(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(inj, '{_PII_URL}', '<URL>', 'g'),
+                     '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g')), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_scrubbed_words
+      FROM (
+        SELECT doc_id, lang, source,
+               CASE doc_id % 3
+                 WHEN 0 THEN text || ' contact user' ||
+                             CAST(doc_id AS VARCHAR) || '@example.com now'
+                 WHEN 1 THEN text || ' from host 10.' ||
+                             CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+                             CAST(doc_id % 250 AS VARCHAR) || ' logged'
+                 ELSE text || ' see https://host.example/' ||
+                      CAST(doc_id AS VARCHAR) || '/page for details'
+               END AS inj
+        FROM staged2 WHERE stage = 'keep'
+      )
+    )
+    SELECT s.lang, s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+           CAST(SUM(CASE WHEN stage = 'cut_repetition' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cut_repetition,
+           CAST(SUM(CASE WHEN stage = 'cut_quality' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cut_quality,
+           CAST(SUM(CASE WHEN stage = 'cut_dedup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cut_dedup,
+           CAST(SUM(CASE WHEN stage = 'keep' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(sc.n_spans), 0) AS BIGINT) AS n_pii_spans,
+           CAST(COALESCE(SUM(sc.n_scrubbed_words), 0) AS BIGINT)
+             AS total_scrubbed_words
+    FROM staged2 s LEFT JOIN scrubbed sc ON sc.doc_id = s.doc_id
+    GROUP BY s.lang, s.source
+    """,
+)
+def pipeline_quality_cascade_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pipeline_quality_cascade completed with the DEDUP stage a real
+    prep run includes between the quality gate and the scrub — the
+    per-(lang, source) attrition report now shows where EVERY document
+    went: cut by repetition, cut by quality, cut as a non-keeper
+    duplicate (``n_cut_dedup``), or kept and scrubbed. The keeper rule
+    is exact-content keep-one (lowest doc_id within an md5(text)
+    group — md5 keys the shuffle at 100 TB instead of full document
+    text; grouping is equivalent) over QUALITY SURVIVORS only, so the
+    dedup stage never pays for documents an earlier stage already cut
+    — the stage order a production cascade runs cheapest-first.
+
+    Scale shape: the non-dedup stages keep the one-scan fused-
+    projection shape (no UDF anywhere); the dedup stage adds the ONE
+    unavoidable content-keyed exchange (row_number over md5(text)
+    groups — bounded state per group, no corpus-sized window); the
+    scrub touches only final keepers; the report aggregate stays
+    map-side combined on the bounded (lang, source) domain."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sh = word_ngrams(toks, 3)
+    m = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.length("text").alias("nc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast(
+                "double"
+            )
+            / F.size(toks),
+        ).alias("mean_token_len"),
+        F.size(sh).cast("long").alias("n_sh"),
+        (F.size(sh) - F.size(F.array_distinct(sh)))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    rep_frac = F.when(
+        F.col("n_sh") > 0,
+        F.floor(
+            F.col("n_dup").cast("double") / F.col("n_sh") * 1000000.0 + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    staged = m.withColumn(
+        "stage",
+        F.when(rep_frac > 20000, "cut_repetition")
+        .when(_quality_reason_expr() != "keep", "cut_quality")
+        .otherwise("keep"),
+    )
+    # dedup stage: rank quality survivors within exact-content groups;
+    # partitioning by (stage, md5) keeps the window away from cut rows
+    # — identical to the oracle's keep-only window
+    wdup = Window.partitionBy("stage", F.md5(F.col("text"))).orderBy(
+        "doc_id"
+    )
+    staged = staged.withColumn("__rn", F.row_number().over(wdup)).withColumn(
+        "stage",
+        F.when(
+            (F.col("stage") == "keep") & (F.col("__rn") > 1), "cut_dedup"
+        ).otherwise(F.col("stage")),
+    ).drop("__rn")
+    did = F.col("doc_id").cast("string")
+    inj = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did,
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" from host 10."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"), F.lit(" logged"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"), F.lit(" see https://host.example/"), did,
+                F.lit("/page for details"),
+            )
+        )
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(inj, _PII_URL, "<URL>"), _PII_EMAIL, "<EMAIL>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    n_spans = (
+        F.size(F.regexp_extract_all(inj, F.lit(_PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(inj, F.lit(_PII_IP), F.lit(0)))
+        + F.size(F.regexp_extract_all(inj, F.lit(_PII_URL), F.lit(0)))
+    ).cast("long")
+    kept_cols = staged.withColumn(
+        "n_spans", F.when(F.col("stage") == "keep", n_spans)
+    ).withColumn(
+        "n_scrubbed_words",
+        F.when(
+            F.col("stage") == "keep", F.size(tokens(scrub)).cast("long")
+        ),
+    )
+    return kept_cols.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in"),
+        F.sum(F.when(F.col("stage") == "cut_repetition", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cut_repetition"),
+        F.sum(F.when(F.col("stage") == "cut_quality", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cut_quality"),
+        F.sum(F.when(F.col("stage") == "cut_dedup", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cut_dedup"),
+        F.sum(F.when(F.col("stage") == "keep", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce(F.sum("n_spans"), F.lit(0)).cast("long").alias(
+            "n_pii_spans"
+        ),
+        F.coalesce(F.sum("n_scrubbed_words"), F.lit(0))
+        .cast("long")
+        .alias("total_scrubbed_words"),
+    )

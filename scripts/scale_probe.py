@@ -123,6 +123,7 @@ PIPELINE_PROBE = [
     "vec_srp_stored_lifecycle",
     "stream_semantic_dedup_probe",
     "stream_heavy_hitters_compacted",
+    "pipeline_quality_cascade_dedup",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]
@@ -205,6 +206,23 @@ QUADRATIC_BY_DESIGN = {
     "past the 64-doc cap and is SKIPPED (the guard working: output "
     "degrades to singletons + the skip census instead of a quadratic "
     "edge join)",
+    "stream_heavy_hitters": "NOT quadratic - traced r9 by component "
+    "timing with/without the state write: the micro-batch wave is "
+    "1.0s -> 2.3s for 10x data with the state write DISABLED (the "
+    "tokenize+value_counts scan growing linearly under ~0.5s/batch of "
+    "fixed trigger/checkpoint machinery), and enabling the write adds "
+    "a further ~constant 0.2-0.5s per batch (1-row parquet commit + "
+    "driver summary collect); exact-verify is flat (0.76s -> 0.78s). "
+    "With only 2 micro-batches the per-batch constants dominate, so "
+    "the ~2x wall ratio is fixed overhead amortizing over 10x data, "
+    "not growing work",
+    "stream_heavy_hitters_by_lang": "same decomposition as "
+    "stream_heavy_hitters: per-batch constant overhead (trigger + "
+    "checkpoint + |groups|-row state write) over 2 micro-batches; the "
+    "grouped value_counts scan grows linearly",
+    "stream_heavy_hitters_compacted": "same per-batch constants as "
+    "stream_heavy_hitters, plus the between-wave mg_compact_state "
+    "(driver-side fold of <= batches x 1 tiny rows - constant)",
 }
 
 

@@ -152,6 +152,10 @@ TEXT_QUERIES = [
     "pipeline_pii_scrub",
     "pipeline_token_budget_report",
     "pipeline_quality_cascade",
+    # round-9: the dedup-stage cascade — the adversarial table's two
+    # empty-text docs are cut_quality BEFORE the content window, so
+    # they must never pair on the empty content key
+    "pipeline_quality_cascade_dedup",
     "text_heavy_hitters_by_lang",
     # zero-token docs excluded; the srcY mirrors must appear (the
     # non-vacuity test below pins that)

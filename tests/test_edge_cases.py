@@ -715,3 +715,45 @@ def test_grouped_frequent_items_typed_group_and_value(spark):
     got = {(r["g"], r["v"]): r["cnt"] for r in out}
     assert got == {(1, 7): 40, (2, 9): 20}
     assert all(isinstance(r["g"], int) and isinstance(r["v"], int) for r in out)
+
+
+def test_quality_cascade_dedup_stage_engages(spark, tmp_path):
+    """The sf0.01 table has no exact-content duplicates (the registered
+    oracle covers the n_cut_dedup=0 path), so pin the ENGAGED path on a
+    constructed corpus: three copies of one quality-passing text must
+    yield exactly one keeper + two cut_dedup, duplicates are cut AFTER
+    the quality stages (never double-counted), and the scrub touches
+    keepers only (one injected PII span per kept doc)."""
+    import os
+
+    from process_spark.queries.registry import REGISTRY
+
+    words = [f"signal{i:02d} value{i:02d}" for i in range(14)]
+    good = " ".join(words)  # 28 distinct tokens, mean len ~7, ~200 chars
+    assert len(good) >= 100
+    rows = [
+        (1, good, "en", "src0", len(good)),
+        (2, good, "en", "src0", len(good)),   # dup of 1
+        (3, good, "en", "src0", len(good)),   # dup of 1
+        (4, good + " extra tailword closing", "en", "src0", len(good) + 24),
+        (5, "tiny", "en", "src0", 4),          # cut_quality (nc < 100)
+        (6, "tiny", "en", "src0", 4),          # dup TEXT but already cut
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    out = {
+        (r["lang"], r["source"]): r
+        for r in REGISTRY["pipeline_quality_cascade_dedup"].fn(spark, d).collect()
+    }
+    r = out[("en", "src0")]
+    assert r["n_docs_in"] == 6
+    assert r["n_cut_quality"] == 2   # both tiny docs cut by quality
+    assert r["n_cut_dedup"] == 2     # docs 2, 3 — NOT the quality-cut dups
+    assert r["n_kept"] == 2          # doc 1 (keeper) + doc 4 (unique)
+    assert r["n_pii_spans"] == 2     # scrub touched keepers only
