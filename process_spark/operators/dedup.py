@@ -763,27 +763,35 @@ def compact_partitioned_index(
     third-party sinks over the same layout must either replicate that
     hygiene or observe the clean-termination ordering.
 
-    LOCAL-FILESYSTEM constraint: the swap and the file census use
-    ``os.rename`` / ``shutil.rmtree`` / ``os.walk``, which see only
-    local paths — on an HDFS/S3-backed index this op fails (or counts
-    zero files) even though the read/write halves would work. The
-    engine's test/bench surface is local-path by construction; a
-    cluster deployment routes the swap through the Hadoop FileSystem
-    API (``FileSystem.rename``/``delete``/``listFiles`` via
-    ``spark._jvm``) — same three calls, same semantics — or compacts
-    into a new prefix and flips a catalog pointer instead of renaming.
+    Filesystem-agnostic: the census and the swap go through the
+    Hadoop FileSystem API (``Path.getFileSystem`` on the active Hadoop
+    conf), so local paths, HDFS, and any configured ``hadoop-*``
+    connector all work — not just the local OS rename this op shipped
+    with first. One object-store caveat: on S3-like stores "rename"
+    is copy+delete (O(index bytes), not O(1)) — there, prefer
+    compacting into a NEW prefix and flipping a catalog pointer; on
+    HDFS and local filesystems the swap is a metadata op.
 
     Returns ``{"files_before", "files_after", "rows"}``."""
-    import os
-    import shutil
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _hpath(p: str):
+        return HPath(p)
+
+    fs = _hpath(path).getFileSystem(hconf)
 
     def _count_files(p: str) -> int:
-        return sum(
-            1
-            for root, _, fs in os.walk(p)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        hp = _hpath(p)
+        if not fs.exists(hp):
+            return 0
+        it = fs.listFiles(hp, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
 
     files_before = _count_files(path)
     df = spark.read.parquet(path)
@@ -794,16 +802,21 @@ def compact_partitioned_index(
     n_rows = df.count()
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__precompact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete(_hpath(tmp), True)
+    fs.delete(_hpath(old), True)
     df.repartition(n_write_tasks, *[F.col(c) for c in part_cols]).write.mode(
         "overwrite"
     ).partitionBy(*(part_cols + (["batch_id"] if has_batch else []))).parquet(
         tmp
     )
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    if not fs.rename(_hpath(path), _hpath(old)):
+        raise IOError(f"compaction swap failed: rename {path} -> {old}")
+    if not fs.rename(_hpath(tmp), _hpath(path)):
+        # restore the original index before failing — never leave the
+        # path empty with the only copy under a scratch suffix
+        fs.rename(_hpath(old), _hpath(path))
+        raise IOError(f"compaction swap failed: rename {tmp} -> {path}")
+    fs.delete(_hpath(old), True)
     spark.catalog.refreshByPath(path)
     return {
         "files_before": files_before,

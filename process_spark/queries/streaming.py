@@ -1304,6 +1304,7 @@ def incremental_vector_sink(
     out_dir: str,
     cells: DataFrame,
     threshold: float = 0.9995,
+    max_block_size: int | None = None,
 ):
     """foreachBatch sink of the incremental SEMANTIC dedup stream — the
     vector twin of :func:`incremental_dedup_sink`, closing the
@@ -1322,9 +1323,19 @@ def incremental_vector_sink(
     batches only (``batch_id < current``), so at-least-once replay
     cannot duplicate pairs or inflate the index. The index bootstrap
     must use the same (cell_id, batch_id) layout — write history with
-    batch_id = -1. Hot batches: cap the per-cell join with
-    near_dup_embeddings(max_block_size=...) when boilerplate bursts
-    are expected (the guarded text sink's contract)."""
+    batch_id = -1.
+
+    ``max_block_size`` is the hot-cell guard for HOSTILE batches
+    (boilerplate embedding bursts — near-identical template docs all
+    landing in one cell): the batch's over-cap cells are cut from BOTH
+    the self-join (bounding that task at cap²) and the history probe
+    (linearizing it at |stored cell|·cap) — while the APPEND still
+    writes every vector (history must stay complete; the cap bounds
+    join work, not storage). None (the registered query's setting)
+    keeps exact oracle parity with the whole-corpus cell join — the
+    same contract as the text sink's ``max_bucket_size``."""
+    from pyspark.sql import Window
+
     from process_spark.functions.vectorfn import cosine as _cos
     from process_spark.operators.similarity import (
         ivf_assign,
@@ -1336,20 +1347,29 @@ def incremental_vector_sink(
         assigned = ivf_assign(batch_df, cells).localCheckpoint(
             eager=False
         )  # assign once: self-join + probe + append
+        join_side = assigned
+        if max_block_size is not None:
+            wb = Window.partitionBy("cell_id")
+            sized = assigned.withColumn(
+                "__bn", F.count(F.lit(1)).over(wb)
+            ).localCheckpoint(eager=False)
+            join_side = sized.filter(F.col("__bn") <= max_block_size).drop(
+                "__bn"
+            )
         within = near_dup_embeddings(
-            assigned, threshold=threshold, block_col="cell_id"
+            join_side, threshold=threshold, block_col="cell_id"
         ).select("id_a", "id_b")
         # the batch's cell IN-set is bounded by n_cells — collected
         # into an isin that reaches the stored scan as PartitionFilters
         batch_cells = sorted(
             r["cell_id"]
-            for r in assigned.select("cell_id").distinct().collect()
+            for r in join_side.select("cell_id").distinct().collect()
         )
         stored = ss.read.parquet(idx_dir).filter(
             (F.col("batch_id") < F.lit(batch_id))
             & F.col("cell_id").isin(batch_cells)
         )
-        h, b = stored.alias("h"), assigned.alias("b")
+        h, b = stored.alias("h"), join_side.alias("b")
         sim = _cos(F.col("h.embedding"), F.col("b.embedding"))
         cross = (
             h.join(b, F.col("h.cell_id") == F.col("b.cell_id"))

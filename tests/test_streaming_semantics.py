@@ -837,3 +837,66 @@ def test_mg_state_compaction_preserves_state(spark, tmp_path):
     stats_g = mg_compact_state_by_group(spark, sdg, cap)
     assert stats_g["files_after"] < stats_g["files_before"]
     assert mg_load_state_by_group(spark, sdg, cap) == before_g
+
+
+def test_incremental_vector_sink_hot_cell_guard(spark, tmp_path):
+    """A hostile (boilerplate-embedding) batch through
+    incremental_vector_sink with the guard: the over-cap cell is cut
+    from both joins (no quadratic pair burst), but the batch's vectors
+    are STILL appended — history stays complete for future probes.
+    The text sink's max_bucket_size contract, cell-shaped."""
+    from process_spark.operators.similarity import ivf_build
+    from process_spark.queries.streaming import incremental_vector_sink
+
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    hist = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (4, [0.7071, 0.7071])],
+        "vec_id long, embedding array<float>",
+    )
+    cells, assign_h = ivf_build(hist, n_cells=2, seed_hash="md5")
+    assign_h.withColumn("batch_id", F.lit(-1)).repartition(
+        2, F.col("cell_id")
+    ).write.mode("overwrite").partitionBy("cell_id", "batch_id").parquet(
+        idx_dir
+    )
+
+    # hostile batch: 10 near-identical template vectors -> one cell
+    batch = spark.createDataFrame(
+        [(100 + i, [1.0, 0.0001 * i]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    sink = incremental_vector_sink(
+        idx_dir, out_dir, cells, threshold=0.999, max_block_size=3
+    )
+    sink(batch, 0)
+
+    import os
+
+    pair_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ] if os.path.isdir(out_dir) else []
+    n_pairs = spark.read.parquet(out_dir).count() if pair_files else 0
+    assert n_pairs == 0, f"guard leaked {n_pairs} quadratic pairs"
+
+    # but history accreted: every batch vector is in the index
+    idx = spark.read.parquet(idx_dir)
+    assert idx.filter(F.col("vec_id") >= 100).count() == 10
+
+    # a well-behaved later batch still finds pairs vs that history
+    batch2 = spark.createDataFrame(
+        [(200, [1.0, 0.00015])], "vec_id long, embedding array<float>"
+    )
+    sink2 = incremental_vector_sink(
+        idx_dir, out_dir, cells, threshold=0.999, max_block_size=3
+    )
+    sink2(batch2, 1)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
+    }
+    assert (100, 200) in pairs and (0, 200) in pairs
