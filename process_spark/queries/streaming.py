@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 from process_spark.queries._util import t
 from process_spark.queries.registry import register
 from process_spark.queries.text import _O_HEAVY_HITTERS, _minhash_md5_ctes
-from process_spark.queries.vectors import _ivf_md5_ctes
+from process_spark.queries.vectors import (
+    _ANN_BAND_VALUES,
+    _ANN_POOL_VALUES,
+    _O_ANN_BUCKET,
+    _ivf_md5_ctes,
+    _o_dot,
+)
 from process_spark.schemas import TABLES
 
 _MEM_SEQ = 0
@@ -1498,3 +1504,167 @@ def stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir).select("id_a", "id_b").distinct()
+
+
+def incremental_srp_sink(idx_dir: str, out_dir: str):
+    """foreachBatch sink of the incremental SRP-ANN candidate stream —
+    the third column of the engine's lifecycle matrix ({MinHash text,
+    IVF vector, SRP vector} × {store, append, compact, stream}). Per
+    micro-batch: band the batch ONCE through the shared 112-band pool
+    (the vec_ann_srp_bucketed relation verbatim), emit same-batch
+    candidate pairs (bands-equi self-join with shared-band counts) +
+    batch×history pairs (probe of the stored band-partitioned index,
+    history = strictly earlier batches), then append the batch's band
+    rows partition-consistent. Both writes are idempotent per batch_id
+    (dynamic partition overwrite — the same exactly-once-via-batchId
+    pattern as the text and IVF sinks); bootstrap history with
+    batch_id = -1 under the same (band_idx, batch_id) layout. A
+    deployment that tuned to b bands (ann_srp_tune) filters
+    ``band_idx < b`` on BOTH sides — realized as PartitionFilters on
+    the stored scan, see vec_srp_stored_lifecycle."""
+    from process_spark.queries.vectors import _ann_banded
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        bidx = _ann_banded(batch_df).localCheckpoint(
+            eager=False
+        )  # band once: self-join + probe + append
+        a, b = bidx.alias("a"), bidx.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        stored = ss.read.parquet(idx_dir).filter(
+            F.col("batch_id") < F.lit(batch_id)
+        )
+        probe = bidx.withColumnRenamed("vec_id", "probe_id")
+        cross = (
+            stored.join(probe, ["band_idx", "bucket"])
+            .select(
+                F.least("probe_id", "vec_id").alias("id_a"),
+                F.greatest("probe_id", "vec_id").alias("id_b"),
+            )
+        )
+        pairs = (
+            within.unionByName(cross)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        pairs.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_dir)
+        bidx.withColumn("batch_id", F.lit(batch_id)).repartition(
+            64, F.col("band_idx")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("band_idx", "batch_id").parquet(idx_dir)
+        ss.catalog.refreshByPath(idx_dir)
+
+    return sink
+
+
+@register(
+    "stream_srp_index_probe",
+    # Batch-twin oracle = the whole-corpus SRP band-collision join
+    # (vec_ann_srp_bucketed's bb relation self-joined with shared-band
+    # counts), restricted to pairs with at least one streamed (odd)
+    # member — the same batch-count-invariance argument as the MinHash
+    # and IVF streaming sinks: same-batch pairs from the self-join,
+    # cross-batch pairs from the later batch's probe, each exactly
+    # once, so the summed counts equal the static join's.
+    oracle="""
+    WITH planes(p_idx, w) AS (VALUES
+      {pool}
+    ),
+    bands(band_idx, sel) AS (VALUES
+      {bandsel}
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {odot} > 0
+                      THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ),
+    bb AS (
+      SELECT s.vec_id, b.band_idx,
+             CAST({obucket} AS BIGINT) AS bucket
+      FROM sig s CROSS JOIN bands b
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bb a JOIN bb b
+      ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+     AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 2 = 1 OR b.vec_id % 2 = 1
+    GROUP BY 1, 2
+    """.format(
+        pool=_ANN_POOL_VALUES,
+        bandsel=_ANN_BAND_VALUES,
+        odot=_o_dot("e.embedding", "p.w"),
+        obucket=_O_ANN_BUCKET,
+    ),
+)
+def stream_srp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68+O95 — the SRP ANN index under CONTINUOUS ingestion: history
+    (even vec_ids) banded and stored partitionBy(band_idx, batch_id=-1);
+    new vectors arrive as a file stream (availableNow,
+    maxFilesPerTrigger=1 → two micro-batches) and each batch, inside
+    foreachBatch (incremental_srp_sink), self-joins its own bands,
+    probes the stored index against strictly-earlier history, and
+    appends its band rows idempotently. The emitted (pair,
+    shared-band-count) union must equal the whole-corpus static band
+    join restricted to streamed members — batch-count-invariant, the
+    exact same theorem the MinHash streaming sink is graded on, now
+    holding for the SRP family too. Signatures are computed once per
+    INGESTED vector; a probe never re-bands history."""
+    import shutil
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.vectors import _ann_banded
+
+    base = os.path.join(_SCRATCH, "stream_srp_index")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _ann_banded(e.filter(F.col("vec_id") % 2 == 0)).withColumn(
+        "batch_id", F.lit(-1)
+    ).repartition(64, F.col("band_idx")).write.mode("overwrite").partitionBy(
+        "band_idx", "batch_id"
+    ).parquet(idx_dir)
+
+    vecs = e.filter(F.col("vec_id") % 2 == 1)
+    vecs.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    vecs.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(incremental_srp_sink(idx_dir, out_dir))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
+    )

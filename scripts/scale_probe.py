@@ -124,6 +124,7 @@ PIPELINE_PROBE = [
     "stream_semantic_dedup_probe",
     "stream_heavy_hitters_compacted",
     "pipeline_quality_cascade_dedup",
+    "stream_srp_index_probe",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]
@@ -202,6 +203,11 @@ QUADRATIC_BY_DESIGN = {
     "per duplicated vector (same growth as pipeline_semantic_dedup_ivf "
     "— near_dup_embeddings(max_block_size=...) is the guarded path for "
     "hostile batches)",
+    "stream_srp_index_probe": "replicated vectors share every band "
+    "bucket, so the candidate pair output grows ~quadratically per "
+    "duplicated vector (the same growth as stream_dedup_index_probe's "
+    "band join — a deployment bounds it with a bucket-size cap, the "
+    "text sink's max_bucket_size pattern)",
     "pipeline_dedup_keeper": "at x10 every (lang, source) block blows "
     "past the 64-doc cap and is SKIPPED (the guard working: output "
     "degrades to singletons + the skip census instead of a quadratic "

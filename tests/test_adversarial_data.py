@@ -100,6 +100,11 @@ VEC_QUERIES = [
     # chain over the degenerate rows (2-d fixture norms ≥ 1, so every
     # row assigns and pairs deterministically) — oracle must stay green
     "stream_semantic_dedup_probe",
+    # round-9: the streaming SRP sink — degenerate vectors band
+    # deterministically (zero/underflow rows sign to signature 0 on
+    # both engines) and may pair with each other; the band-collision
+    # oracle must stay green
+    "stream_srp_index_probe",
 ]
 
 # Text queries over the degenerate-documents table: empty text,
