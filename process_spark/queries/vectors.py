@@ -2234,3 +2234,66 @@ def vec_srp_stored_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     phase2 = probe(spark.read.parquet(path), 2)
     return phase1.unionByName(phase2)
+
+
+@register(
+    "vec_ivf_drift_report",
+    # The md5 IVF chain (seed pick → assign → float32-rounded refine →
+    # reassign) plus ONE more aggregation: the post-assignment per-cell
+    # mean — i.e. what the NEXT Lloyd step would move each centroid to.
+    # Drift is emitted as a half-up-scaled integer (the engine's float
+    # policy) over the difference of two float32 values, so the hash
+    # is exact.
+    oracle=f"""
+    WITH {_ivf_md5_ctes()},
+    cur AS (
+      SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(AVG(tv) AS REAL) AS m2
+      FROM assign1 GROUP BY cell_id
+    )
+    SELECT r.cell_id, c.n_vectors,
+           CAST(FLOOR(ABS(CAST(r.m AS DOUBLE) - CAST(c.m2 AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS drift_ppm
+    FROM refined r JOIN cur c USING (cell_id)
+    """,
+)
+def vec_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68/O69 — the REBUILD TRIGGER a stored-IVF deployment monitors:
+    per cell, how far the post-assignment mean has moved from the
+    stored centroid (exactly the next Lloyd step's delta). ivf_assign
+    appends new vectors to FIXED cells by design (see its docstring:
+    centroid drift is the rebuild trigger, not the append's job) — but
+    nothing in the engine MEASURED that drift until now. A deployment
+    schedules the offline rebuild (ivf_build from scratch, or more
+    Lloyd iterations) when drift_ppm crosses its threshold; below it,
+    appends keep compounding safely. Output: (cell_id, n_vectors,
+    drift_ppm) — n_cells rows, driver-safe. Scale shape: one
+    aggregation over the assignments (map-side combined, n_cells
+    output rows) joined to the n_cells-row centroid table; the corpus
+    is scanned once. The oracle replays the whole md5 chain plus the
+    drift aggregation; drift is a half-up-scaled integer over float32
+    operands, so the comparison is exact."""
+    from process_spark.operators.similarity import ivf_build
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, assign = ivf_build(e, n_cells=8, seed_hash="md5")
+    cur = assign.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg(F.element_at("embedding", 2)).cast("float").alias("m2"),
+    )
+    stored = cells.select(
+        "cell_id", F.element_at("centroid", 2).alias("m")
+    )
+    return stored.join(cur, "cell_id").select(
+        "cell_id",
+        "n_vectors",
+        F.floor(
+            F.abs(F.col("m").cast("double") - F.col("m2").cast("double"))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("drift_ppm"),
+    )

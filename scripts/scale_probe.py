@@ -125,6 +125,7 @@ PIPELINE_PROBE = [
     "stream_heavy_hitters_compacted",
     "pipeline_quality_cascade_dedup",
     "stream_srp_index_probe",
+    "vec_ivf_drift_report",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]

@@ -105,6 +105,10 @@ VEC_QUERIES = [
     # both engines) and may pair with each other; the band-collision
     # oracle must stay green
     "stream_srp_index_probe",
+    # round-9: the drift report replays the md5 chain + one more
+    # aggregation; degenerate rows assign deterministically (2-d
+    # fixture) and shift the per-cell means identically on both sides
+    "vec_ivf_drift_report",
 ]
 
 # Text queries over the degenerate-documents table: empty text,

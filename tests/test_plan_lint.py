@@ -32,6 +32,7 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_stored_compact",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_sq8_knn",        # same ivf_build seed window (n_cells rows)
     "vec_ivf_sq8_md5_idset",  # same ivf_build seed window (n_cells rows)
+    "vec_ivf_drift_report",   # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -67,6 +68,7 @@ CROSS_OK = {
     "vec_ivf_stored_compact",   # broadcast cell/probe tables (k rows)
     "vec_ivf_sq8_knn",          # broadcast cell/probe tables (k rows)
     "vec_ivf_sq8_md5_idset",    # broadcast cell/probe-code tables (k rows)
+    "vec_ivf_drift_report",     # ivf_build cell broadcasts (k rows)
     "pipeline_token_budget_report",  # 1-row corpus-words aggregate broadcast
     "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
     "pipeline_mixture_temperature",  # two 1-row aggregate broadcasts
@@ -214,6 +216,10 @@ BROADCAST_HINT_OK = {
         "query-band table (≤ |Q|·112 rows) + query side — both fixed "
         "1% id samples, bounded; the stored corpus index side joins "
         "unhinted"
+    ),
+    "vec_ivf_drift_report": (
+        "ivf_build seed/centroid tables (n_cells rows) — the drift "
+        "join itself is n_cells × n_cells rows"
     ),
     "text_heavy_hitters_by_lang": (
         "grouped-sketch pass-2 candidate table (≤ capacity×|langs| "
