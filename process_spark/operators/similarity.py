@@ -1286,6 +1286,41 @@ def pq_train(
     return books
 
 
+def pq_save_codebooks(spark, codebooks: "list", path: str) -> None:
+    """Persist trained PQ codebooks as the engine's standard stored
+    artifact — parquet rows ``(subspace int, centroid int,
+    vec array<double>)``, one coalesced file (m·k rows, driver-sized
+    by construction). Train-once / encode-many: stored codes are only
+    decodable against the exact codebooks that produced them, so a
+    deployment that persists PQ codes without pinning the codebooks
+    has an unreadable index after the next retrain. Doubles round-trip
+    parquet exactly, so the reloaded codebooks are bit-identical and
+    encode/search results are byte-equal (pinned in
+    tests/test_properties.py)."""
+    rows = [
+        (s, j, list(map(float, c)))
+        for s, book in enumerate(codebooks)
+        for j, c in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def pq_load_codebooks(spark, path: str) -> list:
+    """Load stored PQ codebooks back into the nested
+    ``codebooks[m][k][d/m]`` list the encode/search kernels consume —
+    bit-identical to what :func:`pq_save_codebooks` wrote (bounded
+    driver collect: m·k rows)."""
+    rows = spark.read.parquet(path).orderBy("subspace", "centroid").collect()
+    books: list = []
+    for r in rows:
+        while len(books) <= r["subspace"]:
+            books.append([])
+        books[r["subspace"]].append(list(r["vec"]))
+    return books
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: "list",

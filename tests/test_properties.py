@@ -577,3 +577,52 @@ def test_bpe_merge_table_store_lifecycle(spark, tmp_path):
         for r in bpe_doc_token_counts(d, loaded).collect()
     }
     assert direct == stored  # apply-twice from the pinned artifact
+
+
+def test_pq_codebook_store_lifecycle(spark, tmp_path):
+    """Train-once / encode-many for PQ: the persisted codebooks
+    (parquet subspace/centroid/vec — doubles round-trip parquet
+    exactly) reload bit-identically, and both the codes and the
+    search results from the RELOADED artifact equal the direct-apply
+    ones byte-for-byte — stored PQ codes are only decodable against
+    the exact codebooks that produced them, so the artifact pin is
+    what keeps a persisted code index readable across retrains."""
+    from process_spark.operators.similarity import (
+        pq_encode,
+        pq_load_codebooks,
+        pq_save_codebooks,
+        pq_search,
+        pq_train,
+    )
+    from process_spark.sources.io import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_train(e, m=8, k=16, n_iter=3)
+    path = str(tmp_path / "codebooks")
+    pq_save_codebooks(spark, books, path)
+    loaded = pq_load_codebooks(spark, path)
+    assert loaded == books  # bit-identical artifact
+
+    direct_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(e, books).collect()
+    }
+    stored_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(e, loaded).collect()
+    }
+    assert direct_codes == stored_codes
+
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    codes = pq_encode(e, books)
+    direct = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in pq_search(q, codes, e, books, k=5, rerank=50).collect()
+    }
+    stored = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in pq_search(q, codes, e, loaded, k=5, rerank=50).collect()
+    }
+    assert direct == stored
