@@ -154,6 +154,31 @@ NOTES = {
         "bucket set pushed as PartitionFilters, candidates from the "
         "band equi-join - the historical corpus is never re-joined."
     ),
+    "pipeline_semantic_keeper_guarded": (
+        "The production keep-one path: IVF cells partition the pair "
+        "join, cells over the 512-vector cap are cut JVM-side BEFORE "
+        "the grouped map (a window count + filter - the Python worker "
+        "never sees a hot cell), components are cell-local, and the "
+        "1-row skip census broadcasts onto the output. The quadratic "
+        "blow-up a boilerplate cell would cause is bounded at cap**2 "
+        "by construction."
+    ),
+    "pipeline_quality_cascade_dedup": (
+        "One corpus scan computes every per-doc signal as fused "
+        "projections (no UDF); the cascade is a single CASE; the dedup "
+        "stage adds the one unavoidable content-keyed exchange "
+        "(row_number over md5(text) groups - md5 keys the shuffle, not "
+        "full document text); the scrub touches only final keepers; "
+        "the report aggregate is map-side combined on the bounded "
+        "(lang, source) domain."
+    ),
+    "vec_ivf_drift_report": (
+        "The stored-IVF rebuild trigger: one map-side-combined "
+        "aggregation over the assignments (n_cells output rows) joined "
+        "to the n_cells-row centroid table. The corpus is scanned "
+        "once; the join is k x k rows. Monitoring cost is one "
+        "aggregation regardless of corpus size."
+    ),
 }
 
 #: Non-headline queries whose plan shape is a scale showcase worth
@@ -169,6 +194,9 @@ EXTRA_AUDIT = [
     "pipeline_stratified_sample",
     "text_heavy_hitters",
     "vec_ivf_stored_append",
+    "pipeline_semantic_keeper_guarded",
+    "pipeline_quality_cascade_dedup",
+    "vec_ivf_drift_report",
 ]
 
 
