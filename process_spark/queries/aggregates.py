@@ -422,3 +422,109 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "agg_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O38/O43 composite — ordered funnel analysis, the event-analytics
+    report every product pipeline runs: per user, the first 'view',
+    the first 'click' STRICTLY AFTER that view, and the first
+    'purchase' strictly after that click (stage order enforced on
+    event time, not just existence — a click before the first view
+    does not convert). Later stages left-join, so drop-off is visible
+    as NULLs and stage conversion rates are one aggregation away.
+    Scale shape: three filtered map-side-combined min-aggregations
+    chained by user-keyed equi-joins — no window over the raw event
+    log, no self-join on the full table; every intermediate is bounded
+    by |users|."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
+
+
+@register(
+    "agg_cohort_retention",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN firstd f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O38/O39 composite — cohort retention, the other standard
+    event-analytics report: users cohorted by first-seen day, then for
+    each (cohort_day, day_offset) the count of distinct cohort members
+    active that many days later — the retention matrix a dashboard
+    heatmaps. Scale shape: one distinct-(user, day) projection (the
+    activity table — map-side combinable), one min-aggregation for the
+    cohort key, one user-keyed join, and a final count-distinct over a
+    bounded (cohort × offset) domain. No window anywhere; everything
+    shuffles on user_id or the tiny report key."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firstd = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = e.distinct()
+    return (
+        act.join(firstd, "user_id")
+        .groupBy(
+            # DATE-typed output cells stringify differently across the
+            # two engines' pandas bridges — emit the ISO string both
+            # sides (the comparator-safe form for calendar keys)
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

@@ -126,6 +126,8 @@ PIPELINE_PROBE = [
     "pipeline_quality_cascade_dedup",
     "stream_srp_index_probe",
     "vec_ivf_drift_report",
+    "agg_funnel_conversion",
+    "agg_cohort_retention",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]
