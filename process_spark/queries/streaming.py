@@ -1506,7 +1506,9 @@ def stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("id_a", "id_b").distinct()
 
 
-def incremental_srp_sink(idx_dir: str, out_dir: str):
+def incremental_srp_sink(
+    idx_dir: str, out_dir: str, max_bucket_size: int | None = None
+):
     """foreachBatch sink of the incremental SRP-ANN candidate stream —
     the third column of the engine's lifecycle matrix ({MinHash text,
     IVF vector, SRP vector} × {store, append, compact, stream}). Per
@@ -1521,7 +1523,19 @@ def incremental_srp_sink(idx_dir: str, out_dir: str):
     batch_id = -1 under the same (band_idx, batch_id) layout. A
     deployment that tuned to b bands (ann_srp_tune) filters
     ``band_idx < b`` on BOTH sides — realized as PartitionFilters on
-    the stored scan, see vec_srp_stored_lifecycle."""
+    the stored scan, see vec_srp_stored_lifecycle.
+
+    ``max_bucket_size`` is the hot-bucket guard for HOSTILE batches
+    (boilerplate embedding bursts: near-identical vectors share every
+    band bucket, so an unguarded burst emits O(|batch|²) candidate
+    pairs per band): the batch's over-cap (band_idx, bucket) groups
+    are cut from BOTH the self-join and the history probe, while the
+    APPEND still writes every band row — history stays complete; the
+    cap bounds join work, not storage. None (the registered query's
+    setting) keeps exact oracle parity with the whole-corpus band
+    join — the text sink's ``max_bucket_size`` contract verbatim."""
+    from pyspark.sql import Window
+
     from process_spark.queries.vectors import _ann_banded
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1529,7 +1543,16 @@ def incremental_srp_sink(idx_dir: str, out_dir: str):
         bidx = _ann_banded(batch_df).localCheckpoint(
             eager=False
         )  # band once: self-join + probe + append
-        a, b = bidx.alias("a"), bidx.alias("b")
+        join_side = bidx
+        if max_bucket_size is not None:
+            wb = Window.partitionBy("band_idx", "bucket")
+            sized = bidx.withColumn(
+                "__bn", F.count(F.lit(1)).over(wb)
+            ).localCheckpoint(eager=False)
+            join_side = sized.filter(F.col("__bn") <= max_bucket_size).drop(
+                "__bn"
+            )
+        a, b = join_side.alias("a"), join_side.alias("b")
         within = a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -1541,7 +1564,7 @@ def incremental_srp_sink(idx_dir: str, out_dir: str):
         stored = ss.read.parquet(idx_dir).filter(
             F.col("batch_id") < F.lit(batch_id)
         )
-        probe = bidx.withColumnRenamed("vec_id", "probe_id")
+        probe = join_side.withColumnRenamed("vec_id", "probe_id")
         cross = (
             stored.join(probe, ["band_idx", "bucket"])
             .select(

@@ -900,3 +900,66 @@ def test_incremental_vector_sink_hot_cell_guard(spark, tmp_path):
         for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
     }
     assert (100, 200) in pairs and (0, 200) in pairs
+
+
+def test_incremental_srp_sink_hot_bucket_guard(spark, tmp_path):
+    """A hostile (boilerplate-embedding) batch through
+    incremental_srp_sink with the guard: near-identical vectors share
+    every band bucket, so every bucket blows past the cap and is cut
+    from both joins (no O(|batch|²)-per-band pair burst) — but the
+    batch's band rows are STILL appended, so history stays complete
+    and a later well-behaved batch finds its near-dups."""
+    import os
+
+    from process_spark.queries.streaming import incremental_srp_sink
+    from process_spark.queries.vectors import _ann_banded
+
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    hist = spark.createDataFrame(
+        [(2 * i, [float((i * 7 + j) % 13) - 6.0 for j in range(64)])
+         for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    _ann_banded(hist).withColumn("batch_id", F.lit(-1)).repartition(
+        8, F.col("band_idx")
+    ).write.mode("overwrite").partitionBy("band_idx", "batch_id").parquet(
+        idx_dir
+    )
+
+    # hostile batch: 10 near-identical vectors -> same bucket everywhere
+    base = [1.0] * 64
+    batch = spark.createDataFrame(
+        [(100 + i, [x + 0.0001 * i for x in base]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    sink = incremental_srp_sink(idx_dir, out_dir, max_bucket_size=3)
+    sink(batch, 0)
+
+    pair_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ] if os.path.isdir(out_dir) else []
+    n_pairs = spark.read.parquet(out_dir).count() if pair_files else 0
+    assert n_pairs == 0, f"guard leaked {n_pairs} quadratic pairs"
+
+    # but history accreted: all 10 vectors' bands are in the index
+    idx = spark.read.parquet(idx_dir)
+    assert idx.filter(F.col("vec_id") >= 100).count() == 10 * 112
+
+    # a later single-vector batch (bucket size 1 <= cap) probes that
+    # history and finds the boilerplate cluster
+    batch2 = spark.createDataFrame(
+        [(200, [x + 0.00015 for x in base])],
+        "vec_id long, embedding array<float>",
+    )
+    sink2 = incremental_srp_sink(idx_dir, out_dir, max_bucket_size=3)
+    sink2(batch2, 1)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
+    }
+    assert (100, 200) in pairs
