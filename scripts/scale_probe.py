@@ -209,8 +209,8 @@ QUADRATIC_BY_DESIGN = {
     "stream_srp_index_probe": "replicated vectors share every band "
     "bucket, so the candidate pair output grows ~quadratically per "
     "duplicated vector (the same growth as stream_dedup_index_probe's "
-    "band join — a deployment bounds it with a bucket-size cap, the "
-    "text sink's max_bucket_size pattern)",
+    "band join); incremental_srp_sink(max_bucket_size=...) is the "
+    "guarded deployment path — tested with a hostile boilerplate batch",
     "pipeline_dedup_keeper": "at x10 every (lang, source) block blows "
     "past the 64-doc cap and is SKIPPED (the guard working: output "
     "degrades to singletons + the skip census instead of a quadratic "
