@@ -727,6 +727,107 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — public method):
+    the O(log n)-round twin of :func:`connected_components` for graphs
+    whose DIAMETER is large. Min-label propagation needs one round per
+    hop of the longest shortest path — fine for dedup graphs (dense,
+    shallow, converge in 2-4), hopeless for a 10k-link chain. The star
+    operations instead contract the graph geometrically:
+
+      large-star: every node's HIGHER neighbors re-attach to the
+      minimum of its closed neighborhood;
+      small-star: every node and its LOWER neighbors re-attach to
+      that minimum.
+
+    Each is one groupBy-min + one join over the current edge set; the
+    edge count never grows, and the alternation provably converges to
+    a forest of stars whose centers are the component minima. Result
+    schema matches :func:`connected_components` exactly
+    ((``id_col``, component), singletons map to themselves), so the
+    two are drop-in interchangeable — same oracle, same consumers.
+    Convergence is detected by edge-set fixpoint (two bounded counts
+    per round); lineage is cut per round (localCheckpoint, or
+    ``checkpoint_dir`` for executor-loss-proof state at cluster
+    scale — same contract as the propagation twin)."""
+    spark = edges.sparkSession
+
+    def cut(df: DataFrame, eager: bool = False) -> DataFrame:
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = cut(e, eager=True)
+
+    for _ in range(max_iter):
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over hi→lo directed edges: m(u) = min of the
+        # lower neighborhood; emit (v, m) for every lower neighbor v
+        # and (u, m) for the center
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        small = cut(small, eager=True)
+        # fixpoint: the edge SET is unchanged (two bounded counts —
+        # the driver never sees edges, only the two scalars)
+        if (
+            small.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(small).limit(1).count() == 0
+        ):
+            e = small
+            break
+        e = small
+
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if vertices is None:
+        verts = (
+            edges.select(F.col(src).alias("id"))
+            .union(edges.select(F.col(dst).alias("id")))
+            .distinct()
+        )
+    else:
+        verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    return verts.join(labels, "id", "left").select(
+        F.col("id"),
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    )
+
+
 def compact_partitioned_index(
     spark, path: str, part_cols: Sequence[str], n_write_tasks: int = 64
 ) -> dict:

@@ -559,6 +559,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "component")
 
 
+@register(
+    "dedup_components_star",
+    # EXACTLY dedup_connected_components' oracle: connected components
+    # are implementation-independent, so the alternating-star algorithm
+    # must produce the identical (doc_id, component) relation the
+    # recursive min-label walk defines — two algorithms, one truth.
+    oracle=f"""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id, lang, source, list_distinct({_O_TOKS}) AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tk a JOIN tk b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CASE WHEN len(list_distinct(a.toks || b.toks)) > 0 THEN
+              CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(a.toks || b.toks))
+            ELSE 0.0 END >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM tk
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    """,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 cluster formation, the LOG-ROUND twin: the same near-dup
+    edges through alternating large-star/small-star contraction
+    (Kiveris et al., SoCC 2014) instead of min-label propagation.
+    Propagation pays one round per hop of the component diameter —
+    the right trade for dedup graphs (dense, shallow) but a scale
+    trap if a pathological near-dup CHAIN appears (A~B~C~... from
+    sliding boilerplate); the star alternation converges in O(log n)
+    rounds regardless of diameter (a 200-link chain: 5 star rounds vs
+    200 propagation rounds, pinned in tests/test_properties.py). Both
+    implementations must produce the identical component relation —
+    the oracle is dedup_connected_components' statement verbatim."""
+    from process_spark.operators.dedup import connected_components_star
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    blocked = d.withColumn("__blk", F.concat_ws("|", "lang", "source"))
+    edges = jaccard_pairs(
+        blocked, "doc_id", "text", block_col="__blk", min_jaccard=0.2
+    )
+    return connected_components_star(
+        edges,
+        src="id_a",
+        dst="id_b",
+        vertices=d,
+        id_col="doc_id",
+    ).select(F.col("id").alias("doc_id"), "component")
+
+
 def _minhash_md5_ctes(where: str = "doc_id % 2 = 0") -> str:
     """Shared CTE chain of the md5 MinHash oracles: shingle →
     md5-derived 32-bit base hash → 64 universal-hash mins → 16 concat

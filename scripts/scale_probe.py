@@ -128,6 +128,7 @@ PIPELINE_PROBE = [
     "vec_ivf_drift_report",
     "agg_funnel_conversion",
     "agg_cohort_retention",
+    "dedup_components_star",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]
@@ -177,6 +178,10 @@ QUADRATIC_BY_DESIGN = {
     "dedup_connected_components": "replicated docs are true near-dups; "
     "the edge set (exact Jaccard pairs within blocks) grows "
     "~quadratically per duplicated doc before components form",
+    "dedup_components_star": "same quadratic-by-replica edge set as "
+    "dedup_connected_components (identical pair stage); the star "
+    "alternation changes the round count (O(log n) vs diameter), not "
+    "the edge volume",
     "pipeline_minhash_dedup_components": "same: every doc's 10 replicas "
     "share every band, so the LSH edge set grows ~quadratically before "
     "components collapse them (the guard variant is the bounded path)",

@@ -626,3 +626,52 @@ def test_pq_codebook_store_lifecycle(spark, tmp_path):
         for r in pq_search(q, codes, e, loaded, k=5, rerank=50).collect()
     }
     assert direct == stored
+
+
+def test_star_components_long_chain(spark):
+    """The scale case alternating-star exists for: a 200-link CHAIN
+    (diameter 200 — the pathological sliding-boilerplate near-dup
+    shape). Min-label propagation needs one round per hop, so at its
+    dedup-tuned default iteration budget it must NOT have converged;
+    the star alternation contracts geometrically and must return the
+    exact single component well inside its default budget. On a
+    branchy random graph both implementations agree row-for-row."""
+    from process_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    star = connected_components_star(chain, "src", "dst")
+    got = {(r["id"], r["component"]) for r in star.collect()}
+    assert got == {(i, 0) for i in range(n + 1)}  # one component, min 0
+
+    # propagation at its default budget (20 rounds) walks 20 hops —
+    # far short of diameter 200: the far end cannot have label 0 yet
+    prop = connected_components(chain, "src", "dst")
+    labels = {r["id"]: r["component"] for r in prop.collect()}
+    assert labels[n] != 0, "propagation converged suspiciously fast"
+
+    # branchy random graph: identical components from both algorithms
+    import random
+
+    rnd = random.Random(9973)
+    edges = [(rnd.randrange(120), rnd.randrange(120)) for _ in range(90)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    verts = spark.range(120).withColumnRenamed("id", "vid")
+    a = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            g, "src", "dst", vertices=verts, id_col="vid"
+        ).collect()
+    }
+    b = {
+        (r["id"], r["component"])
+        for r in connected_components_star(
+            g, "src", "dst", vertices=verts, id_col="vid"
+        ).collect()
+    }
+    assert a == b
