@@ -391,22 +391,18 @@ def lsh_band_bucket_stats(
     )
 
 
-def simhash_dedup_candidates(
+def _simhash_banded(
     df: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    band_bits: int = 16,
-    max_bucket_size: int | None = None,
-    base_hash: str = "xxhash64",
+    text_col: str,
+    band_bits: int,
+    base_hash: str,
 ) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signature split into 4
-    16-bit bands; Hamming-close docs share ≥1 exact band (pigeonhole).
-    Equi-join on band value — same scale shape as MinHash LSH, and the
-    same boilerplate failure mode, so the same ``max_bucket_size``
-    hot-bucket guard (over-cap band buckets are cut before the
-    self-join; see :func:`minhash_lsh_pairs`). ``base_hash="md5"``
-    (with band_bits=15 → 4 bands over 60 bits) is the DuckDB-
-    reproducible variant backing the oracle query."""
+    """Shared banding stage of the SimHash family: per-token hash →
+    per-bit majority vote → signature → band split. Returns
+    (``id_col``, __sim, band_idx, band_val) — consumed by the
+    candidate self-join (:func:`simhash_dedup_candidates`) and the
+    stored index builder (:func:`simhash_band_index`)."""
     sig_bits = 60 if base_hash == "md5" else 64
     if sig_bits % band_bits:
         # Mirror minhash_lsh_pairs' num_hashes/bands check: silently
@@ -463,7 +459,7 @@ def simhash_dedup_candidates(
         .select(id_col, F.coalesce(F.col("__sim"), F.lit(0).cast("long")).alias("__sim"))
         .localCheckpoint(eager=False)  # compute once, not per join side
     )
-    banded = signed.select(
+    return signed.select(
         id_col,
         "__sim",
         F.posexplode(
@@ -476,6 +472,25 @@ def simhash_dedup_candidates(
             )
         ).alias("band_idx", "band_val"),
     )
+
+
+def simhash_dedup_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    band_bits: int = 16,
+    max_bucket_size: int | None = None,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature split into 4
+    16-bit bands; Hamming-close docs share ≥1 exact band (pigeonhole).
+    Equi-join on band value — same scale shape as MinHash LSH, and the
+    same boilerplate failure mode, so the same ``max_bucket_size``
+    hot-bucket guard (over-cap band buckets are cut before the
+    self-join; see :func:`minhash_lsh_pairs`). ``base_hash="md5"``
+    (with band_bits=15 → 4 bands over 60 bits) is the DuckDB-
+    reproducible variant backing the oracle query."""
+    banded = _simhash_banded(df, id_col, text_col, band_bits, base_hash)
     if max_bucket_size is not None:
         # checkpoint: both join sides read the sized relation and the
         # window's exchange is not reused across them (see
@@ -501,6 +516,34 @@ def simhash_dedup_candidates(
     ).distinct()
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming"))
+
+
+def simhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    band_bits: int = 16,
+    base_hash: str = "xxhash64",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """STORED-index form of the SimHash banding — the fourth index
+    family gets the same persisted lifecycle as the MinHash band
+    index, the IVF cells, and the SRP bands: one row per (doc, band),
+    carrying the full signature so a probe can compute Hamming
+    distances without re-reading documents. Write it
+    ``partitionBy(band_idx, band_bucket)`` (``band_bucket =
+    band_val % n_buckets`` — the same bounded-domain pruning key as
+    minhash_band_index: a probe collects its ≤ n_buckets bucket
+    IN-set and the stored scan prunes to those partition dirs).
+    Returns (``id_col``, sim, band_idx, band_val, band_bucket)."""
+    banded = _simhash_banded(df, id_col, text_col, band_bits, base_hash)
+    return banded.select(
+        id_col,
+        F.col("__sim").alias("sim"),
+        "band_idx",
+        "band_val",
+        F.pmod(F.col("band_val"), F.lit(n_buckets)).alias("band_bucket"),
+    )
 
 
 def jaccard_pairs(

@@ -508,6 +508,111 @@ def text_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_index_probe",
+    # The md5 SimHash chain over the WHOLE corpus, pairs restricted to
+    # one historical (even) and one probing (odd) member — the stored
+    # layout, the bucket pruning, and the parquet round-trip are
+    # storage details the candidate relation must be invariant to.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id FROM documents
+    ),
+    tk AS (
+      SELECT doc_id, unnest({_O_TOKS}) AS w FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM tk
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             CASE WHEN 2 * SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                                    THEN 1 ELSE 0 END) > COUNT(*)
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bs
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+      FROM d LEFT JOIN (
+        SELECT doc_id, SUM(bit) AS sig FROM votes GROUP BY doc_id
+      ) s USING (doc_id)
+    ),
+    bv AS (
+      SELECT doc_id, sig, band_idx,
+             (sig >> CAST(band_idx * 15 AS INT)) & 32767 AS band_val
+      FROM (SELECT doc_id, sig, unnest(range(4)) AS band_idx FROM sig)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM bv a JOIN bv b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE (a.doc_id % 2) <> (b.doc_id % 2)
+    """,
+)
+def dedup_simhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 STORED-index lifecycle for the SIMHASH family — the fourth
+    and last banded family gets the persisted form the other three
+    have (MinHash bands, IVF cells, SRP bands): the historical (even)
+    half's (doc, band, signature) rows are WRITTEN
+    ``partitionBy(band_idx, band_bucket)`` with the one-file-per-dir
+    discipline; a probing batch (the odd half) bands itself in memory,
+    collects its ≤ n_buckets bucket IN-set into a partition-pruning
+    filter (PartitionFilters on the stored scan — history is a point
+    lookup, never a re-hash or a full scan), equi-joins on
+    (band_idx, band_bucket, band_val), and computes Hamming distances
+    from the STORED signatures — documents are never re-read for
+    history. The oracle replays the full md5 vote chain over the whole
+    corpus restricted to cross-population pairs, so the storage layout
+    is proven semantics-free."""
+    import os as _os
+
+    from process_spark.operators.dedup import simhash_band_index
+    from process_spark.queries.io_udf import _SCRATCH
+
+    kw = dict(band_bits=15, base_hash="md5", n_buckets=16)
+    d = t(spark, sf_dir, "documents")
+    path = _os.path.join(_SCRATCH, "simhash_band_index")
+    simhash_band_index(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", **kw
+    ).repartition(64, F.col("band_idx"), F.col("band_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx", "band_bucket").parquet(path)
+
+    probe = simhash_band_index(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", **kw
+    ).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("sim").alias("probe_sim"),
+        "band_idx",
+        "band_val",
+        "band_bucket",
+    ).localCheckpoint(eager=False)  # band the probe once: IN-set + join
+    buckets = sorted(  # bounded: bucket domain ≤ n_buckets=16
+        r["band_bucket"]
+        for r in probe.select("band_bucket").distinct().collect()
+    )
+    stored = spark.read.parquet(path).filter(
+        F.col("band_bucket").isin(buckets)
+    )
+    pairs = (
+        stored.join(probe, ["band_idx", "band_bucket", "band_val"])
+        .select(
+            F.least("doc_id", "probe_id").alias("id_a"),
+            F.greatest("doc_id", "probe_id").alias("id_b"),
+            F.bit_count(
+                F.col("sim").bitwiseXOR(F.col("probe_sim"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+@register(
     "dedup_connected_components",
     oracle=f"""
     WITH RECURSIVE tk AS (

@@ -129,6 +129,7 @@ PIPELINE_PROBE = [
     "agg_funnel_conversion",
     "agg_cohort_retention",
     "dedup_components_star",
+    "dedup_simhash_index_probe",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
 ]
@@ -182,6 +183,11 @@ QUADRATIC_BY_DESIGN = {
     "dedup_connected_components (identical pair stage); the star "
     "alternation changes the round count (O(log n) vs diameter), not "
     "the edge volume",
+    "dedup_simhash_index_probe": "replicated docs share every SimHash "
+    "band, so the cross-population candidate set grows ~quadratically "
+    "per duplicated doc (the band-join shape of "
+    "stream_dedup_index_probe; simhash_dedup_candidates' "
+    "max_bucket_size is the guarded path for hostile corpora)",
     "pipeline_minhash_dedup_components": "same: every doc's 10 replicas "
     "share every band, so the LSH edge set grows ~quadratically before "
     "components collapse them (the guard variant is the bounded path)",

@@ -139,6 +139,10 @@ TEXT_QUERIES = [
     # oracle-green, not crash on them)
     "dedup_band_index_append",
     "stream_dedup_index_probe",
+    # round-9: the stored SimHash index — degenerate docs vote to
+    # signature 0, band identically on both engines, and may pair
+    # cross-population; the md5-chain oracle must stay green
+    "dedup_simhash_index_probe",
     # zero-token docs have no LM probability: both engines must DROP
     # them (not emit NULL means or divide by zero)
     "pipeline_lm_quality_score",

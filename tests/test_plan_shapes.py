@@ -566,3 +566,32 @@ def test_srp_stored_lifecycle_prunes_and_compacts(spark):
             continue
         files = [f for f in os.listdir(bp) if f.endswith(".parquet")]
         assert len(files) == 1, f"{band_dir}: {len(files)} files"
+
+
+def test_simhash_stored_index_prunes(spark):
+    """dedup_simhash_index_probe: the probe's bucket IN-set must reach
+    the stored scan as PartitionFilters (history is a point lookup,
+    never a full scan), and each (band_idx, band_bucket) dir holds
+    exactly one file (the one-file-per-dir write discipline)."""
+    import os
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["dedup_simhash_index_probe"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "band_bucket" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert df.count() > 0
+
+    root = os.path.join(_SCRATCH, "simhash_band_index")
+    for band_dir in os.listdir(root):
+        bp = os.path.join(root, band_dir)
+        if not os.path.isdir(bp):
+            continue
+        for bucket_dir in os.listdir(bp):
+            bk = os.path.join(bp, bucket_dir)
+            if not os.path.isdir(bk):
+                continue
+            files = [f for f in os.listdir(bk) if f.endswith(".parquet")]
+            assert len(files) == 1, f"{band_dir}/{bucket_dir}: {len(files)}"
