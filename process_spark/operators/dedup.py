@@ -902,10 +902,12 @@ def compact_partitioned_index(
     checkpoint). If the stream died mid-batch and compaction sealed
     the orphaned batch's rows into ``batch_id = -1``, a naive restart
     would probe the batch against its own sealed bands and re-append
-    duplicates; ``incremental_dedup_sink`` defends against exactly
-    this (it detects and skips its own sealed doc ids), but
-    third-party sinks over the same layout must either replicate that
-    hygiene or observe the clean-termination ordering.
+    duplicates; the engine's three streaming sinks
+    (``incremental_dedup_sink``, ``incremental_vector_sink``,
+    ``incremental_srp_sink``) all defend against exactly this (each
+    detects and skips its own sealed ids), but third-party sinks over
+    the same layout must either replicate that hygiene or observe the
+    clean-termination ordering.
 
     Filesystem-agnostic: the census and the swap go through the
     Hadoop FileSystem API (``Path.getFileSystem`` on the active Hadoop

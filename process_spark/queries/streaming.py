@@ -742,16 +742,33 @@ def incremental_dedup_sink(
         # as batch_id = -1 and would self-match. Banding is
         # deterministic, so any sealed copy of this batch's docs sits
         # exactly in the batch's own bucket partitions: one
-        # partition-pruned point lookup (the same bucket IN-set the
-        # probe pushes down) semi-joined against the bounded batch id
-        # set finds them, and both the probe and the append exclude
-        # them. Empty (and nearly free) on every clean run; on the
-        # crash-compact-replay run it restores idempotence.
+        # partition-pruned point lookup semi-joined against the bounded
+        # batch id set finds them, and both the probe and the append
+        # exclude them. Empty (and nearly free) on every clean run; on
+        # the crash-compact-replay run it restores idempotence.
+        #
+        # The lookup's IN-set comes from the UNGUARDED bands (bidx),
+        # never the guarded join_side: the append writes every band, so
+        # a hostile batch whose docs land only in over-cap buckets
+        # (guarded bucket set possibly EMPTY) still has sealed copies
+        # to detect. The broadcast semi-join on doc_id is the
+        # correctness filter; the bucket predicate is pruning only —
+        # and since every doc emits a row in EVERY band_idx, the
+        # band_idx = 0 slice alone already witnesses each sealed doc,
+        # so the lookup prunes to 1/bands of the sealed partitions.
+        sealed_buckets = sorted(
+            r["band_bucket"]
+            for r in bidx.filter(F.col("band_idx") == 0)
+            .select("band_bucket")
+            .distinct()
+            .collect()
+        )
         sealed_own = (
             ss.read.parquet(idx_dir)
             .filter(
                 (F.col("batch_id") == -1)
-                & F.col("band_bucket").isin(buckets)
+                & (F.col("band_idx") == 0)
+                & F.col("band_bucket").isin(sealed_buckets)
             )
             .join(
                 F.broadcast(batch_df.select("doc_id").distinct()),
@@ -1331,6 +1348,18 @@ def incremental_vector_sink(
     must use the same (cell_id, batch_id) layout — write history with
     batch_id = -1.
 
+    Replay stays idempotent even across a COMPACTION that raced a
+    mid-batch crash (the exact hazard compact_partitioned_index's
+    docstring names): if the batch's vectors were sealed into
+    batch_id = -1 before the restart, the sink detects its own sealed
+    vec_ids — one lookup pruned to the batch's FULL (unguarded) cell
+    IN-set, semi-joined against the bounded batch id set — and
+    excludes them from both the history probe (no self/doubled pairs)
+    and the re-append (no permanently duplicated index rows). Cell
+    assignment against fixed cells is deterministic, so any sealed
+    copy sits exactly in the batch's own cell partitions. Empty (and
+    nearly free) on every clean run.
+
     ``max_block_size`` is the hot-cell guard for HOSTILE batches
     (boilerplate embedding bursts — near-identical template docs all
     landing in one cell): the batch's over-cap cells are cut from BOTH
@@ -1367,13 +1396,45 @@ def incremental_vector_sink(
         ).select("id_a", "id_b")
         # the batch's cell IN-set is bounded by n_cells — collected
         # into an isin that reaches the stored scan as PartitionFilters
-        batch_cells = sorted(
+        all_cells = sorted(
             r["cell_id"]
-            for r in join_side.select("cell_id").distinct().collect()
+            for r in assigned.select("cell_id").distinct().collect()
         )
-        stored = ss.read.parquet(idx_dir).filter(
-            (F.col("batch_id") < F.lit(batch_id))
-            & F.col("cell_id").isin(batch_cells)
+        batch_cells = (
+            all_cells
+            if max_block_size is None
+            else sorted(
+                r["cell_id"]
+                for r in join_side.select("cell_id").distinct().collect()
+            )
+        )
+        # Sealed-own crash-compaction lookup (see docstring). The cell
+        # IN-set here is the UNGUARDED one (all_cells) — the append
+        # writes every cell, so a hostile batch whose vectors land
+        # only in over-cap cells still has sealed copies to detect;
+        # the broadcast semi-join on vec_id is the correctness filter,
+        # the cell predicate is partition pruning only.
+        sealed_own = (
+            ss.read.parquet(idx_dir)
+            .filter(
+                (F.col("batch_id") == -1) & F.col("cell_id").isin(all_cells)
+            )
+            .join(
+                F.broadcast(batch_df.select("vec_id").distinct()),
+                "vec_id",
+                "left_semi",
+            )
+            .select("vec_id")
+            .distinct()
+            .localCheckpoint(eager=True)  # two consumers: probe + append
+        )
+        stored = (
+            ss.read.parquet(idx_dir)
+            .filter(
+                (F.col("batch_id") < F.lit(batch_id))
+                & F.col("cell_id").isin(batch_cells)
+            )
+            .join(F.broadcast(sealed_own), "vec_id", "left_anti")
         )
         h, b = stored.alias("h"), join_side.alias("b")
         sim = _cos(F.col("h.embedding"), F.col("b.embedding"))
@@ -1396,8 +1457,13 @@ def incremental_vector_sink(
         # history accretes, one file per touched cell dir per batch;
         # batch_id LAST so cell pruning is untouched while a replay
         # overwrites exactly its own leaf dirs (assignment to fixed
-        # cells is deterministic → same dirs)
-        assigned.withColumn("batch_id", F.lit(batch_id)).repartition(
+        # cells is deterministic → same dirs). Vectors already SEALED
+        # into batch_id = -1 by a compaction that raced a mid-batch
+        # crash are skipped — re-appending them under batch_id = B
+        # would duplicate index rows permanently.
+        assigned.join(
+            F.broadcast(sealed_own), "vec_id", "left_anti"
+        ).withColumn("batch_id", F.lit(batch_id)).repartition(
             8, F.col("cell_id")
         ).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
@@ -1520,7 +1586,18 @@ def incremental_srp_sink(
     rows partition-consistent. Both writes are idempotent per batch_id
     (dynamic partition overwrite — the same exactly-once-via-batchId
     pattern as the text and IVF sinks); bootstrap history with
-    batch_id = -1 under the same (band_idx, batch_id) layout. A
+    batch_id = -1 under the same (band_idx, batch_id) layout.
+
+    Replay stays idempotent even across a COMPACTION that raced a
+    mid-batch crash: if the batch's band rows were sealed into
+    batch_id = -1 before the restart, the sink detects its own sealed
+    vec_ids and excludes them from both the history probe (no
+    self/doubled pairs, no inflated shared-band counts) and the
+    re-append (no permanently duplicated index rows). Banding is
+    deterministic and every vector emits one row in EVERY band_idx,
+    so the lookup prunes to the (band_idx = 0, batch_id = -1) slice —
+    1/n_bands of the sealed history — semi-joined against the bounded
+    batch id set. Empty (and nearly free) on every clean run. A
     deployment that tuned to b bands (ann_srp_tune) filters
     ``band_idx < b`` on BOTH sides — realized as PartitionFilters on
     the stored scan, see vec_srp_stored_lifecycle.
@@ -1561,8 +1638,28 @@ def incremental_srp_sink(
         ).select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
-        stored = ss.read.parquet(idx_dir).filter(
-            F.col("batch_id") < F.lit(batch_id)
+        # Sealed-own crash-compaction lookup (see docstring): the
+        # band_idx = 0 slice witnesses every sealed vector, and it is
+        # UNGUARDED by construction (reads the stored index, not
+        # join_side), so a hostile all-over-cap batch still detects
+        # its sealed copies. Correctness filter = the broadcast
+        # semi-join on vec_id; the band_idx predicate is pruning only.
+        sealed_own = (
+            ss.read.parquet(idx_dir)
+            .filter((F.col("batch_id") == -1) & (F.col("band_idx") == 0))
+            .join(
+                F.broadcast(batch_df.select("vec_id").distinct()),
+                "vec_id",
+                "left_semi",
+            )
+            .select("vec_id")
+            .distinct()
+            .localCheckpoint(eager=True)  # two consumers: probe + append
+        )
+        stored = (
+            ss.read.parquet(idx_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .join(F.broadcast(sealed_own), "vec_id", "left_anti")
         )
         probe = join_side.withColumnRenamed("vec_id", "probe_id")
         cross = (
@@ -1581,9 +1678,12 @@ def incremental_srp_sink(
         pairs.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch_id").parquet(out_dir)
-        bidx.withColumn("batch_id", F.lit(batch_id)).repartition(
-            64, F.col("band_idx")
-        ).write.mode("overwrite").option(
+        # append skips vectors already sealed into batch_id = -1 —
+        # re-appending them under batch_id = B would duplicate index
+        # rows (and double future shared-band counts) permanently
+        bidx.join(F.broadcast(sealed_own), "vec_id", "left_anti").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).repartition(64, F.col("band_idx")).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("band_idx", "batch_id").parquet(idx_dir)
         ss.catalog.refreshByPath(idx_dir)

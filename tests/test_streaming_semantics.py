@@ -963,3 +963,197 @@ def test_incremental_srp_sink_hot_bucket_guard(spark, tmp_path):
         for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
     }
     assert (100, 200) in pairs
+
+
+def test_incremental_vector_sink_replay_after_compaction(spark, tmp_path):
+    """The vector twin of the text sink's crash-ordering defense:
+    batch B appended its cell-coded vectors, the stream died before
+    the checkpoint commit, COMPACTION sealed B's rows into
+    batch_id = -1, then B replays. The naive batch_id < current probe
+    would match B against its own sealed vectors (self/doubled pairs)
+    and the append would duplicate B's index rows permanently. The
+    sink must detect its own sealed vec_ids and produce EXACTLY the
+    clean-run pairs and index."""
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.operators.similarity import ivf_build
+    from process_spark.queries.streaming import incremental_vector_sink
+
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    hist = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (4, [0.7071, 0.7071]),
+         (6, [1.0, 0.0001])],
+        "vec_id long, embedding array<float>",
+    )
+    cells, assign_h = ivf_build(hist, n_cells=2, seed_hash="md5")
+    assign_h.withColumn("batch_id", F.lit(-1)).repartition(
+        2, F.col("cell_id")
+    ).write.mode("overwrite").partitionBy("cell_id", "batch_id").parquet(
+        idx_dir
+    )
+
+    # batch 0: near-dups of history anchor 0 + a within-batch twin
+    batch = spark.createDataFrame(
+        [(101, [1.0, 0.0002]), (103, [1.0, 0.00021]), (105, [0.0, 0.9999])],
+        "vec_id long, embedding array<float>",
+    )
+    sink = incremental_vector_sink(idx_dir, out_dir, cells, threshold=0.999)
+    sink(batch, 0)
+    clean_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
+    )
+    assert (101, 103) in clean_pairs and (0, 101) in clean_pairs
+    clean_idx = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+
+    # crash-after-append + maintenance: seal EVERYTHING into -1
+    compact_partitioned_index(spark, idx_dir, ["cell_id"])
+    sealed = spark.read.parquet(idx_dir)
+    assert sealed.filter(F.col("batch_id") != -1).count() == 0
+
+    # replay the same batch under the same batch_id
+    sink(batch, 0)
+    replay_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()
+    )
+    assert replay_pairs == clean_pairs  # no self/doubled pairs
+    replay_idx = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+    assert replay_idx == clean_idx  # no duplicated index rows
+    assert spark.read.parquet(idx_dir).filter(
+        F.col("batch_id") == 0
+    ).count() == 0
+
+
+def test_incremental_srp_sink_replay_after_compaction(spark, tmp_path):
+    """The SRP twin of the crash-ordering defense: crash-after-append,
+    compaction seals the orphaned batch into batch_id = -1, the batch
+    replays. Sealed-own detection must keep the pairs (including their
+    shared-band COUNTS — a doubled match would inflate
+    n_shared_bands, not just duplicate rows) and the index exactly at
+    the clean-run state."""
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.queries.streaming import incremental_srp_sink
+    from process_spark.queries.vectors import _ann_banded
+
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    hist = spark.createDataFrame(
+        [(2 * i, [float((i * 7 + j) % 13) - 6.0 for j in range(64)])
+         for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    _ann_banded(hist).withColumn("batch_id", F.lit(-1)).repartition(
+        8, F.col("band_idx")
+    ).write.mode("overwrite").partitionBy("band_idx", "batch_id").parquet(
+        idx_dir
+    )
+
+    # batch 0: a twin of history vec 0 plus a within-batch twin pair
+    v0 = [float((0 * 7 + j) % 13) - 6.0 for j in range(64)]
+    batch = spark.createDataFrame(
+        [(101, [x + 0.0001 for x in v0]),
+         (103, [1.0] * 64), (105, [1.0 + 0.0001] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    sink = incremental_srp_sink(idx_dir, out_dir)
+    sink(batch, 0)
+    clean_pairs = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in spark.read.parquet(out_dir).drop("batch_id").collect()
+    )
+    assert any(p[:2] == (0, 101) for p in clean_pairs)
+    assert any(p[:2] == (103, 105) for p in clean_pairs)
+    clean_idx = sorted(
+        (r["vec_id"], r["band_idx"], r["bucket"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+
+    compact_partitioned_index(spark, idx_dir, ["band_idx"])
+    sealed = spark.read.parquet(idx_dir)
+    assert sealed.filter(F.col("batch_id") != -1).count() == 0
+
+    sink(batch, 0)
+    replay_pairs = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in spark.read.parquet(out_dir).drop("batch_id").collect()
+    )
+    assert replay_pairs == clean_pairs  # counts intact, no self-pairs
+    replay_idx = sorted(
+        (r["vec_id"], r["band_idx"], r["bucket"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+    assert replay_idx == clean_idx
+    assert spark.read.parquet(idx_dir).filter(
+        F.col("batch_id") == 0
+    ).count() == 0
+
+
+def test_incremental_dedup_sink_sealed_detection_under_guard(
+    spark, tmp_path
+):
+    """The coincidence case: a HOSTILE batch (every bucket over the
+    guard cap, so the guarded band set — and with it the old sealed-
+    own IN-set — is EMPTY) that also hits the crash → compact → replay
+    ordering. Sealed-own detection must come from the UNGUARDED bands:
+    the replay may not re-append the sealed docs under its own
+    batch_id."""
+    from process_spark.operators.dedup import compact_band_index
+    from process_spark.queries.streaming import incremental_dedup_sink
+
+    kw = dict(num_hashes=16, bands=4, base_hash="xxhash64",
+              band_key="hash", n_buckets=8)
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "pairs")
+
+    hist = spark.createDataFrame(
+        [(i, f"unique document number {i} with words {i * 7}")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    from process_spark.operators.dedup import minhash_band_index
+
+    minhash_band_index(hist, "doc_id", "text", **kw).withColumn(
+        "batch_id", F.lit(-1)
+    ).repartition(8, F.col("band_idx"), F.col("band_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx", "band_bucket", "batch_id").parquet(idx_dir)
+
+    # hostile batch: 6 identical docs, cap 3 -> every bucket cut
+    batch = spark.createDataFrame(
+        [(100 + i, "boilerplate burst text shared by all") for i in range(6)],
+        "doc_id long, text string",
+    )
+    sink = incremental_dedup_sink(idx_dir, out_dir, kw, max_bucket_size=3)
+    sink(batch, 0)
+    clean_idx = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+    # guard engaged (no quadratic pairs), append complete
+    assert spark.read.parquet(idx_dir).filter(
+        F.col("doc_id") >= 100
+    ).count() == 6 * kw["bands"]
+
+    compact_band_index(spark, idx_dir)
+    assert spark.read.parquet(idx_dir).filter(
+        F.col("batch_id") != -1
+    ).count() == 0
+
+    sink(batch, 0)  # replay, guard still on, guarded band set empty
+    replay_idx = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+    assert replay_idx == clean_idx  # sealed docs NOT re-appended
+    assert spark.read.parquet(idx_dir).filter(
+        F.col("batch_id") == 0
+    ).count() == 0
