@@ -818,6 +818,7 @@ def connected_components_star(
     )
     e = cut(e, eager=True)
 
+    converged = e.limit(1).count() == 0  # no edges → trivially a forest
     for _ in range(max_iter):
         # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -853,9 +854,20 @@ def connected_components_star(
             and e.exceptAll(small).limit(1).count() == 0
         ):
             e = small
+            converged = True
             break
         e = small
 
+    if not converged:
+        # On a non-fixpoint edge set a node can still carry several
+        # edges with CONFLICTING labels — emitting them would produce
+        # duplicate (id, component) rows silently. Fail loudly instead
+        # of returning a wrong labeling: max_iter=30 covers any graph
+        # a 2^30-node cluster could hold (rounds are O(log n)).
+        raise RuntimeError(
+            "connected_components_star did not reach the star-forest "
+            f"fixpoint within max_iter={max_iter} rounds; raise max_iter"
+        )
     labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     if vertices is None:
         verts = (

@@ -675,3 +675,31 @@ def test_star_components_long_chain(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_star_components_nonconvergence_raises(spark):
+    """An exhausted max_iter must FAIL LOUDLY, not return a labeling:
+    on a non-fixpoint edge set a node can still carry conflicting
+    component labels, so silent early termination would emit duplicate
+    (id, component) rows. A 40-link chain cannot reach the star forest
+    in one round; an edgeless graph is trivially converged at
+    max_iter=0 and must still label every vertex a singleton."""
+    import pytest as _pytest
+
+    from process_spark.operators.dedup import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="max_iter"):
+        connected_components_star(chain, "src", "dst", max_iter=1)
+
+    verts = spark.range(5).withColumnRenamed("id", "vid")
+    empty = spark.createDataFrame([], "src long, dst long")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(
+            empty, "src", "dst", vertices=verts, id_col="vid", max_iter=0
+        ).collect()
+    }
+    assert got == {(i, i) for i in range(5)}
