@@ -205,6 +205,7 @@ def mg_load_state(
             os.path.join(state_dir, "batch_id=*")
         ).collect()
     except Exception:
+        _mg_raise_if_half_swapped(spark, state_dir)
         return {}, 0
     merged: dict = {}
     total = 0
@@ -373,6 +374,7 @@ def mg_load_state_by_group(
             os.path.join(state_dir, "batch_id=*")
         ).collect()
     except Exception:
+        _mg_raise_if_half_swapped(spark, state_dir)
         return {}, {}
     merged: dict = {}
     totals: dict = {}
@@ -385,21 +387,67 @@ def mg_load_state_by_group(
     return {g: mg_merge(d, capacity) for g, d in merged.items()}, totals
 
 
-def _mg_state_files(state_dir: str) -> int:
-    return sum(
-        1
-        for _, _, fs in os.walk(state_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+def _mg_fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path factory) for ``path`` — the same
+    FS-agnostic routing :func:`compact_partitioned_index` uses, so the
+    durable MG state table works on local disk, HDFS, or any
+    configured ``hadoop-*`` connector alike."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    return HPath(path).getFileSystem(hconf), HPath
 
 
-def _mg_drop_batch_dirs(state_dir: str) -> None:
-    import shutil  # noqa: PLC0415
+def _mg_raise_if_half_swapped(spark: SparkSession, state_dir: str) -> None:
+    """A missing/unreadable state dir is NORMAL before first ingest —
+    but if the crash window between the compactor's two renames left
+    the only copy under ``__precompact``, silently returning empty
+    state would zero the deployment's counters. Detect and fail loudly
+    with the recovery path instead."""
+    try:
+        fs, HPath = _mg_fs(spark, state_dir)
+        old = state_dir.rstrip("/") + "__precompact"
+        if (not fs.exists(HPath(state_dir))) and fs.exists(HPath(old)):
+            raise RuntimeError(
+                f"MG state dir {state_dir} is missing but {old} exists — "
+                "a compaction crashed mid-swap; rename the __precompact "
+                "copy back into place before loading"
+            )
+    except RuntimeError:
+        raise
+    except Exception:  # FS probe itself failed — keep the lenient path
+        return
 
-    for d in os.listdir(state_dir):
-        if d.startswith("batch_id="):
-            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+def _mg_state_files(spark: SparkSession, state_dir: str) -> int:
+    fs, HPath = _mg_fs(spark, state_dir)
+    hp = HPath(state_dir)
+    if not fs.exists(hp):
+        return 0
+    it = fs.listFiles(hp, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def _mg_swap_in(spark: SparkSession, state_dir: str, tmp: str) -> None:
+    """Atomically-as-the-FS-allows replace ``state_dir`` with ``tmp``:
+    rename aside, rename in, restore on failure, drop the old copy.
+    Identical contract (and S3 copy+delete caveat) to the index
+    compactor's swap."""
+    fs, HPath = _mg_fs(spark, state_dir)
+    old = state_dir.rstrip("/") + "__precompact"
+    fs.delete(HPath(old), True)
+    if not fs.rename(HPath(state_dir), HPath(old)):
+        raise IOError(f"mg state swap failed: rename {state_dir} -> {old}")
+    if not fs.rename(HPath(tmp), HPath(state_dir)):
+        # restore the original state before failing — never leave the
+        # path empty with the only copy under a scratch suffix
+        fs.rename(HPath(old), HPath(state_dir))
+        raise IOError(f"mg state swap failed: rename {tmp} -> {state_dir}")
+    fs.delete(HPath(old), True)
 
 
 def mg_compact_state(
@@ -419,20 +467,35 @@ def mg_compact_state(
     merge — exactly what reload computes anyway — so a resume after
     compaction reconstructs identical state (kill-resume tested).
 
-    Same ordering caveat as the index compactor: run only after a
-    CLEANLY terminated stream — a batch replayed after its summary was
-    sealed would be double-counted (summaries carry no doc identity to
-    dedup against, unlike the band index). Local-filesystem paths only
-    (``os.walk``/``shutil``), like compact_partitioned_index.
+    Crash-safe ordering: the sealed summary is written COMPLETE to a
+    scratch sibling (``<state_dir>__compacting``) first, then swapped
+    in whole (rename aside → rename in → restore on failure — the
+    index compactor's swap). At no point is the only copy of the
+    state a half-written directory: a crash before the swap leaves
+    the original per-batch dirs untouched (stale scratch is deleted
+    on the next run); a crash between the two renames leaves the full
+    state under ``__precompact``, which :func:`mg_load_state` detects
+    and reports loudly instead of returning empty state. Paths route
+    through the Hadoop FileSystem API, so local disk, HDFS, and
+    object-store connectors all work (S3-like "rename" is copy+delete
+    — there, prefer a fresh prefix + catalog pointer flip).
+
+    Same clean-termination caveat as the index compactor: a batch
+    replayed after its summary was sealed would be double-counted
+    (summaries carry no doc identity to dedup against, unlike the
+    band index).
 
     Returns ``{"files_before", "files_after"}``."""
     counters, total = mg_load_state(spark, state_dir, capacity)
-    files_before = _mg_state_files(state_dir)
-    _mg_drop_batch_dirs(state_dir)
-    mg_save_batch_summary(spark, state_dir, -1, counters, total, elem_type)
+    files_before = _mg_state_files(spark, state_dir)
+    fs, HPath = _mg_fs(spark, state_dir)
+    tmp = state_dir.rstrip("/") + "__compacting"
+    fs.delete(HPath(tmp), True)
+    mg_save_batch_summary(spark, tmp, -1, counters, total, elem_type)
+    _mg_swap_in(spark, state_dir, tmp)
     return {
         "files_before": files_before,
-        "files_after": _mg_state_files(state_dir),
+        "files_after": _mg_state_files(spark, state_dir),
     }
 
 
@@ -446,18 +509,21 @@ def mg_compact_state_by_group(
     """Grouped twin of :func:`mg_compact_state`: seals one row PER
     GROUP under ``batch_id = -1`` (|groups| rows total — bounded by
     the bounded-group-domain contract). Same exactness argument
-    (mergeable per group), same clean-termination ordering caveat,
-    same local-path constraint."""
+    (mergeable per group), same write-to-scratch-then-swap crash
+    ordering, same Hadoop-FS routing, same clean-termination caveat."""
     counters_by_group, totals_by_group = mg_load_state_by_group(
         spark, state_dir, capacity
     )
-    files_before = _mg_state_files(state_dir)
-    _mg_drop_batch_dirs(state_dir)
+    files_before = _mg_state_files(spark, state_dir)
+    fs, HPath = _mg_fs(spark, state_dir)
+    tmp = state_dir.rstrip("/") + "__compacting"
+    fs.delete(HPath(tmp), True)
     mg_save_batch_summary_by_group(
-        spark, state_dir, -1, counters_by_group, totals_by_group,
+        spark, tmp, -1, counters_by_group, totals_by_group,
         grp_type, elem_type,
     )
+    _mg_swap_in(spark, state_dir, tmp)
     return {
         "files_before": files_before,
-        "files_after": _mg_state_files(state_dir),
+        "files_after": _mg_state_files(spark, state_dir),
     }

@@ -1157,3 +1157,43 @@ def test_incremental_dedup_sink_sealed_detection_under_guard(
     assert spark.read.parquet(idx_dir).filter(
         F.col("batch_id") == 0
     ).count() == 0
+
+
+def test_mg_compact_state_crash_ordering(spark, tmp_path):
+    """The compactor must never hold the only copy of the state in a
+    half-written directory: (a) it routes through the Hadoop
+    FileSystem API (file: URI works end-to-end), (b) a stale
+    __compacting scratch from a previous crash is cleaned up and the
+    run succeeds, (c) the mid-swap crash window (state under
+    __precompact, state_dir missing) makes mg_load_state FAIL LOUDLY
+    instead of returning empty counters."""
+    import pytest as _pytest
+
+    from process_spark.operators.sketch import (
+        mg_compact_state,
+        mg_load_state,
+        mg_save_batch_summary,
+    )
+
+    cap = 4
+    sd = "file://" + str(tmp_path / "mg")  # Hadoop FS URI, not a bare path
+    for b in range(3):
+        mg_save_batch_summary(spark, sd, b, {"heavy": 10, f"n{b}": 2}, 12)
+    before = mg_load_state(spark, sd, cap)
+
+    # (b) stale scratch from a crashed previous compaction
+    mg_save_batch_summary(spark, sd + "__compacting", -1, {"junk": 99}, 99)
+    stats = mg_compact_state(spark, sd, cap)
+    assert stats["files_after"] == 1
+    assert mg_load_state(spark, sd, cap) == before  # junk not folded in
+
+    # (c) simulate the mid-swap crash: state only under __precompact
+    from process_spark.operators.sketch import _mg_fs
+
+    fs, HPath = _mg_fs(spark, sd)
+    assert fs.rename(HPath(sd), HPath(sd + "__precompact"))
+    with _pytest.raises(RuntimeError, match="__precompact"):
+        mg_load_state(spark, sd, cap)
+    # recovery: rename back, state intact
+    assert fs.rename(HPath(sd + "__precompact"), HPath(sd))
+    assert mg_load_state(spark, sd, cap) == before
