@@ -1687,3 +1687,78 @@ def sq8_search_arrow(
         .filter(F.col("rn") <= k)
         .withColumn("rn", F.col("rn").cast("long"))
     )
+
+
+def pq_quantization_error(
+    corpus: DataFrame,
+    codebooks: "list",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """O68 — the PQ STALENESS measurement: per-subspace mean squared
+    quantization error of ``corpus`` under stored ``codebooks`` (the
+    nested list :func:`pq_save_codebooks` persists). PQ codebooks have
+    a train-once / encode-many lifecycle, so as the corpus
+    distribution shifts away from the training sample the per-subspace
+    error creeps up — exactly the way IVF centroids drift — and a
+    deployment with no error monitor has no retrain signal. Compare
+    the report on the current corpus against the report on the
+    training-time sample: the delta IS the drift (see
+    vec_pq_drift_report).
+
+    Semantics mirror :func:`pq_encode`: vectors unit-normalize first
+    (the cosine contract; zero-norm vectors drop), each subspace's
+    error is the squared L2 distance to its NEAREST stored
+    subcentroid. Scale shape: the codebook is an m·k-row literal
+    (broadcast); the corpus is scanned once, scored JVM-side
+    (zip_with/aggregate — no Python on the corpus path), min-reduced
+    per (vector, subspace) map-side, then avg-reduced to m output
+    rows. Output: (subspace, n_vectors, mse)."""
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    book = spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in c])
+            for s, b in enumerate(codebooks)
+            for j, c in enumerate(b)
+        ],
+        "subspace int, centroid int, cvec array<double>",
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    unit = (
+        corpus.select(
+            corpus_id, F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .withColumn("__n", norm)
+        .filter(F.col("__n") > 0)
+        .select(
+            corpus_id,
+            F.transform(
+                F.col("__v"), lambda x: x / F.col("__n")
+            ).alias("__u"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__u"), F.col("subspace") * sub_d + 1, sub_d),
+            F.col("cvec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = (
+        unit.join(F.broadcast(book))
+        .select(corpus_id, "subspace", d2.alias("__d2"))
+        .groupBy(corpus_id, "subspace")
+        .agg(F.min("__d2").alias("__best"))
+    )
+    return per_vec.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("__best").alias("mse"),
+    )

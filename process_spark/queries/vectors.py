@@ -2297,3 +2297,296 @@ def vec_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drift_ppm"),
     )
+
+
+@register(
+    "vec_pq_drift_report",
+    # The whole stored-codebook chain in SQL: unit-normalize →
+    # md5-seeded seed pick per 1-d subspace → L2 assign →
+    # float32-rounded refine (= the stored codebook) → per-subspace
+    # mean quantization error on the training half AND on the full
+    # current corpus. Both means are float32-snapped before the
+    # half-up integer scaling (the vec_ivf_drift_report precedent), so
+    # the comparison is exact.
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h32,
+             {_O_T32} AS tv
+      FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id, h32,
+             1.0 / sqrt(1 + tv * tv) AS u0,
+             tv / sqrt(1 + tv * tv) AS u1
+      FROM h
+    ),
+    hb AS (SELECT * FROM u WHERE vec_id % 2 = 0),
+    seeds AS (
+      SELECT u0, u1,
+             ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
+      FROM hb QUALIFY cell_id < 8
+    ),
+    a0 AS (
+      SELECT vec_id, u0, cell_id FROM (
+        SELECT v.vec_id, v.u0, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY (v.u0 - s.u0) * (v.u0 - s.u0), s.cell_id) AS rn
+        FROM hb v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    c0 AS (SELECT cell_id, CAST(AVG(u0) AS REAL) AS m FROM a0 GROUP BY cell_id),
+    a1 AS (
+      SELECT vec_id, u1, cell_id FROM (
+        SELECT v.vec_id, v.u1, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY (v.u1 - s.u1) * (v.u1 - s.u1), s.cell_id) AS rn
+        FROM hb v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    c1 AS (SELECT cell_id, CAST(AVG(u1) AS REAL) AS m FROM a1 GROUP BY cell_id),
+    e0t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(AVG(d) AS REAL) AS mse
+      FROM (SELECT v.vec_id,
+                   MIN((v.u0 - CAST(c.m AS DOUBLE))
+                       * (v.u0 - CAST(c.m AS DOUBLE))) AS d
+            FROM hb v CROSS JOIN c0 c GROUP BY v.vec_id)
+    ),
+    e0c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(AVG(d) AS REAL) AS mse
+      FROM (SELECT v.vec_id,
+                   MIN((v.u0 - CAST(c.m AS DOUBLE))
+                       * (v.u0 - CAST(c.m AS DOUBLE))) AS d
+            FROM u v CROSS JOIN c0 c GROUP BY v.vec_id)
+    ),
+    e1t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(AVG(d) AS REAL) AS mse
+      FROM (SELECT v.vec_id,
+                   MIN((v.u1 - CAST(c.m AS DOUBLE))
+                       * (v.u1 - CAST(c.m AS DOUBLE))) AS d
+            FROM hb v CROSS JOIN c1 c GROUP BY v.vec_id)
+    ),
+    e1c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(AVG(d) AS REAL) AS mse
+      FROM (SELECT v.vec_id,
+                   MIN((v.u1 - CAST(c.m AS DOUBLE))
+                       * (v.u1 - CAST(c.m AS DOUBLE))) AS d
+            FROM u v CROSS JOIN c1 c GROUP BY v.vec_id)
+    ),
+    rep AS (
+      SELECT CAST(0 AS INTEGER) AS subspace, e0t.n AS n_train,
+             e0c.n AS n_current,
+             CAST(FLOOR(CAST(e0t.mse AS DOUBLE) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS err_train_ppb,
+             CAST(FLOOR(CAST(e0c.mse AS DOUBLE) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS err_current_ppb
+      FROM e0t, e0c
+      UNION ALL
+      SELECT CAST(1 AS INTEGER), e1t.n, e1c.n,
+             CAST(FLOOR(CAST(e1t.mse AS DOUBLE) * 1000000000.0 + 0.5)
+                  AS BIGINT),
+             CAST(FLOOR(CAST(e1c.mse AS DOUBLE) * 1000000000.0 + 0.5)
+                  AS BIGINT)
+      FROM e1t, e1c
+    )
+    SELECT subspace, n_train, n_current, err_train_ppb, err_current_ppb,
+           err_current_ppb - err_train_ppb AS drift_ppb
+    FROM rep
+    """,
+)
+def vec_pq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 — the RETRAIN TRIGGER a stored-PQ deployment monitors: per
+    subspace, the mean quantization error of the CURRENT corpus under
+    the STORED codebooks vs the error those codebooks had on their own
+    training sample. pq_save_codebooks pins a train-once/encode-many
+    artifact (stored codes are only decodable against the exact
+    codebooks that produced them), so a deployment keeps encoding
+    against stale books as the corpus drifts — this report is the
+    signal for when quantization error has crept past budget and a
+    retrain+re-encode is due, completing the monitor family
+    vec_ivf_drift_report started (IVF got its monitor in round 9; PQ
+    is the next index left running stale).
+
+    Lifecycle is real: the fixture codebooks (md5-seeded 1-d k-means,
+    one Lloyd step per subspace — the engine's deterministic trainer,
+    SQL-replayable unlike pq_train's numpy farthest-first loop) are
+    SAVED with pq_save_codebooks and LOADED back before measuring, and
+    the measurement is :func:`pq_quantization_error` — one broadcast
+    of the m·k-row codebook, one JVM-side scan per cohort, m output
+    rows. Output: (subspace, n_train, n_current, err_train_ppb,
+    err_current_ppb, drift_ppb); errors are float32-snapped then
+    half-up-scaled to integers, so the oracle is exact."""
+    import os as _os
+
+    from process_spark.operators.similarity import (
+        pq_load_codebooks,
+        pq_quantization_error,
+        pq_save_codebooks,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    hist = e.filter(F.col("vec_id") % 2 == 0)
+
+    # train: md5-seeded seed pick + one Lloyd step per 1-d subspace of
+    # the unit-normalized history half
+    h32 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    norm = F.sqrt(F.lit(1.0) + F.col("tv") * F.col("tv"))
+    hb = (
+        hist.select("vec_id", _t32().alias("tv"), h32.alias("h32"))
+        .select(
+            "vec_id",
+            "h32",
+            (F.lit(1.0) / norm).alias("u0"),
+            (F.col("tv") / norm).alias("u1"),
+        )
+    )
+    wseed = Window.orderBy(F.col("h32") % 9973, F.col("vec_id"))
+    seeds = hb.withColumn("cell_id", F.row_number().over(wseed) - 1).filter(
+        F.col("cell_id") < 8
+    )
+    books = []
+    for col in ("u0", "u1"):
+        v = hb.select("vec_id", F.col(col).alias("x"))
+        sd = seeds.select("cell_id", F.col(col).alias("sx"))
+        wa = Window.partitionBy("vec_id").orderBy(
+            (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")),
+            F.col("cell_id"),
+        )
+        refined = (
+            v.join(F.broadcast(sd))
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .groupBy("cell_id")
+            .agg(F.avg("x").cast("float").alias("m"))
+        )
+        # ≤ 8 rows per subspace — the bounded train-side collect
+        books.append(
+            [[float(r["m"])] for r in refined.orderBy("cell_id").collect()]
+        )
+    path = _os.path.join(_SCRATCH, "pq_drift_codebooks")
+    pq_save_codebooks(spark, books, path)
+    loaded = pq_load_codebooks(spark, path)
+
+    def ppb(c: "F.Column") -> "F.Column":
+        return (
+            F.floor(c.cast("float").cast("double") * 1000000000.0 + 0.5)
+            .cast("long")
+        )
+
+    tr = pq_quantization_error(hist, loaded).select(
+        "subspace",
+        F.col("n_vectors").alias("n_train"),
+        ppb(F.col("mse")).alias("err_train_ppb"),
+    )
+    cu = pq_quantization_error(e, loaded).select(
+        "subspace",
+        F.col("n_vectors").alias("n_current"),
+        ppb(F.col("mse")).alias("err_current_ppb"),
+    )
+    return tr.join(cu, "subspace").select(
+        "subspace",
+        "n_train",
+        "n_current",
+        "err_train_ppb",
+        "err_current_ppb",
+        (F.col("err_current_ppb") - F.col("err_train_ppb")).alias(
+            "drift_ppb"
+        ),
+    )
+
+
+@register(
+    "vec_sq8_drift_report",
+    # SQ8's grid is FIXED (unit symmetric, 127 steps — no training
+    # pass), so its staleness signal is the RECONSTRUCTION-error drift
+    # between the historical cohort and the incoming cohort: every
+    # step (normalize, floor-quantize, decode, squared residual) is
+    # one IEEE double op on identical operands, the mean is
+    # float32-snapped, the report is half-up-scaled integers — exact.
+    oracle=f"""
+    WITH h AS (SELECT vec_id, {_O_T32} AS tv FROM embeddings),
+    u AS (
+      SELECT vec_id % 2 AS cohort,
+             1.0 / sqrt(1 + tv * tv) AS u0,
+             tv / sqrt(1 + tv * tv) AS u1
+      FROM h
+    ),
+    c AS (
+      SELECT cohort, u0, u1,
+             FLOOR(u0 * 127.0 + 0.5) AS c0,
+             FLOOR(u1 * 127.0 + 0.5) AS c1
+      FROM u
+    )
+    SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(FLOOR(CAST(CAST(AVG(
+                  (u0 - c0 / 127.0) * (u0 - c0 / 127.0)
+                + (u1 - c1 / 127.0) * (u1 - c1 / 127.0)
+                ) AS REAL) AS DOUBLE) * 1000000000.0 + 0.5)
+                AS BIGINT) AS recon_err_ppb
+    FROM c GROUP BY cohort
+    """,
+)
+def vec_sq8_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 — the staleness monitor for the SQ8 family: mean squared
+    reconstruction error (unit vector vs its decoded int8 code,
+    code/127) per cohort — historical (even vec_ids) vs incoming
+    (odd). SQ8 has no trained artifact to drift (the grid is fixed by
+    design — see _sq8_unit_code), so what a deployment watches is
+    whether the INCOMING distribution reconstructs as well as the
+    corpus the recall numbers were measured on: a rising cohort delta
+    means the fixed grid is resolving the new vectors worse (e.g.
+    mass concentrating in many small components) and the SQ8 tier
+    needs re-validation or a re-ranked composition
+    (vec_ivf_sq8_rerank). One scan, map-side agg, 2 output rows;
+    quantization uses the real :func:`_sq8_unit_code` codes."""
+    from process_spark.operators.similarity import _sq8_unit_code
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    coded = (
+        e.select(
+            (F.col("vec_id") % 2).alias("cohort"),
+            F.col("embedding"),
+            norm.alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            "cohort",
+            F.transform("embedding", lambda x: x / F.col("__n")).alias(
+                "__u"
+            ),
+            _sq8_unit_code(F.col("embedding"), F.col("__n")).alias("__c"),
+        )
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "__u",
+            "__c",
+            lambda x, c: (x - c / F.lit(127.0)) * (x - c / F.lit(127.0)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        coded.select("cohort", err.alias("__e"))
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.floor(
+                F.avg("__e").cast("float").cast("double") * 1000000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("recon_err_ppb"),
+        )
+    )

@@ -703,3 +703,58 @@ def test_star_components_nonconvergence_raises(spark):
         ).collect()
     }
     assert got == {(i, i) for i in range(5)}
+
+
+def test_pq_quantization_error_monitors_drift(spark):
+    """pq_quantization_error against REAL pq_train codebooks: (a) more
+    centroids -> lower per-subspace error (k-means sanity), (b) a
+    corpus drawn from a SHIFTED distribution scores higher error under
+    the stale codebooks than the training corpus did — the retrain
+    signal vec_pq_drift_report is built on."""
+    import random
+
+    from process_spark.operators.similarity import (
+        pq_quantization_error,
+        pq_train,
+    )
+
+    rnd = random.Random(9973)
+    # training corpus: directions in the cap around +e1 (PQ quantizes
+    # DIRECTION — unit-normalized — so drift must be angular)
+    train = spark.createDataFrame(
+        [
+            (i, [5.0 + rnd.gauss(0, 0.5)] + [rnd.gauss(0, 0.5) for _ in range(7)])
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    books_k4 = pq_train(train, m=2, k=4, n_iter=5)
+    books_k16 = pq_train(train, m=2, k=16, n_iter=5)
+    err4 = {
+        r["subspace"]: r["mse"]
+        for r in pq_quantization_error(train, books_k4).collect()
+    }
+    err16 = {
+        r["subspace"]: r["mse"]
+        for r in pq_quantization_error(train, books_k16).collect()
+    }
+    assert set(err4) == {0, 1}
+    for s in err4:
+        assert err16[s] < err4[s]
+
+    # drifted corpus: directions rotated into the cap around +e2 —
+    # angularly far from everything the codebooks saw
+    shifted = spark.createDataFrame(
+        [
+            (i, [rnd.gauss(0, 0.5), 5.0 + rnd.gauss(0, 0.5)]
+             + [rnd.gauss(0, 0.5) for _ in range(6)])
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    err_shift = {
+        r["subspace"]: r["mse"]
+        for r in pq_quantization_error(shifted, books_k4).collect()
+    }
+    for s in err4:
+        assert err_shift[s] > err4[s]
