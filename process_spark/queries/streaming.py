@@ -1366,9 +1366,13 @@ def incremental_vector_sink(
     the self-join (bounding that task at cap²) and the history probe
     (linearizing it at |stored cell|·cap) — while the APPEND still
     writes every vector (history must stay complete; the cap bounds
-    join work, not storage). None (the registered query's setting)
-    keeps exact oracle parity with the whole-corpus cell join — the
-    same contract as the text sink's ``max_bucket_size``."""
+    join work, not storage). When the guard is on, the count of cut
+    cells rides every emitted pair row (``n_cut_cells`` — the
+    minhash_lsh_pairs census shape), so truncation is part of the
+    result, never a silent drop. None (stream_semantic_dedup_probe's
+    setting) keeps exact oracle parity with the whole-corpus cell
+    join; the guarded twin stream_semantic_dedup_probe_guarded
+    replays the per-batch census in its oracle."""
     from pyspark.sql import Window
 
     from process_spark.functions.vectorfn import cosine as _cos
@@ -1448,9 +1452,17 @@ def incremental_vector_sink(
             .filter((F.col("__sim") >= threshold) & ~F.isnan("__sim"))
             .select("id_a", "id_b")
         )
-        pairs = within.unionByName(cross).distinct().withColumn(
-            "batch_id", F.lit(batch_id)
-        )
+        pairs = within.unionByName(cross).distinct()
+        if max_block_size is not None:
+            # the skip census rides EVERY output row (the
+            # minhash_lsh_pairs guard shape): truncation is part of
+            # the result the oracle hash-checks, never a silent drop.
+            # One broadcast 1-row aggregate — no driver collect.
+            census = sized.filter(F.col("__bn") > max_block_size).agg(
+                F.countDistinct("cell_id").cast("long").alias("n_cut_cells")
+            )
+            pairs = pairs.crossJoin(F.broadcast(census))
+        pairs = pairs.withColumn("batch_id", F.lit(batch_id))
         pairs.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch_id").parquet(out_dir)
@@ -1791,3 +1803,125 @@ def stream_srp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
     )
+
+
+@register(
+    "stream_semantic_dedup_probe_guarded",
+    # The GUARDED twin's oracle cannot be batch-count-invariant (a
+    # cell's over/under-cap status depends on which batch its vectors
+    # arrived in), so it replays the PINNED two-batch staging
+    # (vec_id%4==1 then %4==3) batch by batch: per batch, cells over
+    # the 20-vector cap are cut from the self-join and the probe
+    # (history side stays complete — the append is never guarded),
+    # and the count of cut cells rides every pair row as n_cut_cells.
+    oracle=f"""
+    WITH {_ivf_md5_ctes(build_where="vec_id % 2 = 0")},
+    hist0 AS (SELECT vec_id, tv, cell_id FROM assign1 WHERE vec_id % 2 = 0),
+    b1 AS (SELECT vec_id, tv, cell_id FROM assign1 WHERE vec_id % 4 = 1),
+    b2 AS (SELECT vec_id, tv, cell_id FROM assign1 WHERE vec_id % 4 = 3),
+    b1c AS (SELECT *, COUNT(*) OVER (PARTITION BY cell_id) AS cn FROM b1),
+    u1 AS (SELECT vec_id, tv, cell_id FROM b1c WHERE cn <= 20),
+    cut1 AS (SELECT CAST(COUNT(DISTINCT cell_id) AS BIGINT) AS n_cut
+             FROM b1c WHERE cn > 20),
+    b2c AS (SELECT *, COUNT(*) OVER (PARTITION BY cell_id) AS cn FROM b2),
+    u2 AS (SELECT vec_id, tv, cell_id FROM b2c WHERE cn <= 20),
+    cut2 AS (SELECT CAST(COUNT(DISTINCT cell_id) AS BIGINT) AS n_cut
+             FROM b2c WHERE cn > 20),
+    h2 AS (SELECT * FROM hist0 UNION ALL SELECT * FROM b1),
+    p1 AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM u1 a JOIN u1 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE (1 + a.tv * b.tv)
+              / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.9995
+      UNION ALL
+      SELECT LEAST(h.vec_id, p.vec_id), GREATEST(h.vec_id, p.vec_id)
+      FROM hist0 h JOIN u1 p ON h.cell_id = p.cell_id
+      WHERE (1 + h.tv * p.tv)
+              / (sqrt(1 + h.tv * h.tv) * sqrt(1 + p.tv * p.tv)) >= 0.9995
+    ),
+    p2 AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM u2 a JOIN u2 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE (1 + a.tv * b.tv)
+              / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.9995
+      UNION ALL
+      SELECT LEAST(h.vec_id, p.vec_id), GREATEST(h.vec_id, p.vec_id)
+      FROM h2 h JOIN u2 p ON h.cell_id = p.cell_id
+      WHERE (1 + h.tv * p.tv)
+              / (sqrt(1 + h.tv * h.tv) * sqrt(1 + p.tv * p.tv)) >= 0.9995
+    )
+    SELECT p1.id_a, p1.id_b, cut1.n_cut AS n_cut_cells FROM p1, cut1
+    UNION ALL
+    SELECT p2.id_a, p2.id_b, cut2.n_cut AS n_cut_cells FROM p2, cut2
+    """,
+)
+def stream_semantic_dedup_probe_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O64+O95 — stream_semantic_dedup_probe with the hot-cell guard
+    ENGAGED (max_block_size=20): the deployment setting for hostile
+    boilerplate-embedding bursts, where an unguarded burst makes one
+    cell's self-join a cap-free O(|batch ∩ cell|²) task. Per batch,
+    over-cap cells are cut from the self-join and the history probe
+    (bounding those tasks at cap² and |stored cell|·cap) while the
+    APPEND stays complete, and the batch's cut-cell census rides every
+    output pair as ``n_cut_cells`` — truncation is hash-checked, not
+    silent. Unlike the unguarded twin, the guarded relation is NOT
+    batch-count-invariant (capping depends on batch composition), so
+    the oracle replays the pinned two-batch staging exactly; replay
+    idempotence and guard-vs-append completeness are pinned in
+    tests/test_streaming_semantics.py. At sf0.01 the cap engages (~125
+    probe vectors per batch over 8 cells → the hot cells exceed 20;
+    3 cells cut per batch) while the pair output stays oracle-exact —
+    the x10 probe in SCALE.md shows the bound doing its job."""
+    import shutil
+
+    from process_spark.operators.similarity import ivf_build
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.vectors import _t32
+
+    base = os.path.join(_SCRATCH, "stream_vec_index_guarded")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, assign_even = ivf_build(
+        e.filter(F.col("vec_id") % 2 == 0), n_cells=8, seed_hash="md5"
+    )
+    assign_even.withColumn("batch_id", F.lit(-1)).repartition(
+        8, F.col("cell_id")
+    ).write.mode("overwrite").partitionBy("cell_id", "batch_id").parquet(
+        idx_dir
+    )
+
+    vecs = e.filter(F.col("vec_id") % 2 == 1)
+    vecs.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    vecs.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_vector_sink(
+                idx_dir, out_dir, cells, max_block_size=20
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).select("id_a", "id_b", "n_cut_cells")
