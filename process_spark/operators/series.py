@@ -253,3 +253,63 @@ def pivot_signals(
             for s in signals
         ]
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str],
+    max_gaps: Sequence[int | None] | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Parameterized ordered funnel — the generalization of the
+    hardcoded 3-stage report (agg_funnel_conversion): ``stages`` is
+    any ordered event-type sequence, and ``max_gaps[i]`` bounds the
+    i-th TRANSITION in whole seconds (None = unbounded — real funnel
+    definitions bound each step: "click within 24h of the view").
+    Per user: t_1 = first ``stages[0]`` event; t_{i+1} = first
+    ``stages[i+1]`` event STRICTLY after t_i and within its gap.
+    Later stages left-join, so drop-off shows as NULLs and per-stage
+    conversion is one aggregation away.
+
+    Gap semantics: integral-second comparison on floored epoch seconds
+    (``ts.cast(long)``) — deterministic and engine-portable (DuckDB
+    twin: ``FLOOR(epoch(ts))``). Scale shape: one filtered map-side
+    min-aggregation per stage chained by user-keyed equi-joins — no
+    window over the raw event log, no self-join on the full table;
+    every intermediate is bounded by |users|."""
+    if len(stages) < 2:
+        raise ValueError("funnel_stages needs at least 2 stages")
+    gaps = list(max_gaps) if max_gaps is not None else [None] * (
+        len(stages) - 1
+    )
+    if len(gaps) != len(stages) - 1:
+        raise ValueError(
+            f"max_gaps must have {len(stages) - 1} entries "
+            f"(one per transition), got {len(gaps)}"
+        )
+    prev = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    out = prev
+    for i, stage in enumerate(stages[1:], start=2):
+        gap = gaps[i - 2]
+        cond = F.col(ts_col) > F.col(f"t_{i - 1}")
+        if gap is not None:
+            cond = cond & (
+                F.col(ts_col).cast("long")
+                - F.col(f"t_{i - 1}").cast("long")
+                <= gap
+            )
+        prev = (
+            events.filter(F.col(type_col) == stage)
+            .join(prev, user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        out = out.join(prev, user_col, "left")
+    return out

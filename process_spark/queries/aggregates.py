@@ -528,3 +528,61 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "agg_funnel_windowed",
+    # agg_funnel_conversion's chained-min CTEs plus one bounded-gap
+    # predicate per transition: integral-second comparison on floored
+    # epoch seconds (Spark ts.cast(long) == DuckDB FLOOR(epoch(ts))),
+    # so the hash is exact.
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+            - CAST(FLOOR(epoch(v.t_view)) AS BIGINT) <= 86400
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+            - CAST(FLOOR(epoch(c.t_click)) AS BIGINT) <= 259200
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O38/O43 composite — agg_funnel_conversion with PER-TRANSITION
+    WINDOWS, the form real funnel reports take: a click only converts
+    within 24 hours of the first view, a purchase within 72 hours of
+    that click — an unbounded-gap funnel overstates conversion by
+    crediting returns that are really new journeys. Built on the
+    parameterized :func:`funnel_stages` operator (any stage sequence,
+    any per-transition gap in seconds), keeping the hardcoded twin's
+    scale shape exactly: one filtered map-side min-aggregation per
+    stage chained by user-keyed joins, no window over the raw log,
+    every intermediate bounded by |users|."""
+    from process_spark.operators.series import funnel_stages
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    out = funnel_stages(
+        e,
+        stages=["view", "click", "purchase"],
+        max_gaps=[86400, 259200],
+    )
+    return out.select(
+        "user_id",
+        F.col("t_1").alias("t_view"),
+        F.col("t_2").alias("t_click"),
+        F.col("t_3").alias("t_purchase"),
+    )

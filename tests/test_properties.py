@@ -758,3 +758,65 @@ def test_pq_quantization_error_monitors_drift(spark):
     }
     for s in err4:
         assert err_shift[s] > err4[s]
+
+
+def test_funnel_stages_gap_and_order_semantics(spark):
+    """funnel_stages pins the two rules that make a funnel a funnel:
+    stage order is on event TIME (a click before the first view never
+    converts), and each transition's max gap is inclusive at exactly
+    the bound and exclusive one second past it. Also: an N-stage
+    funnel works (4 stages) and bad parameter shapes raise."""
+    import pytest as _pytest
+
+    from process_spark.operators.series import funnel_stages
+
+    rows = [
+        # u1: clean conversion inside every gap
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:00:30"),
+        (1, "purchase", "2024-01-01 00:01:00"),
+        # u2: click exactly AT the 60 s bound (inclusive -> converts),
+        # purchase 61 s after the click (exclusive -> drops)
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "click", "2024-01-01 00:01:00"),
+        (2, "purchase", "2024-01-01 00:02:01"),
+        # u3: click BEFORE the first view -> never converts
+        (3, "click", "2024-01-01 00:00:00"),
+        (3, "view", "2024-01-01 00:00:10"),
+        # u4: no view at all -> not in the funnel
+        (4, "click", "2024-01-01 00:00:00"),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = {
+        r["user_id"]: (r["t_1"], r["t_2"], r["t_3"])
+        for r in funnel_stages(
+            e, ["view", "click", "purchase"], max_gaps=[60, 60]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert all(v is not None for v in out[1])
+    assert out[2][1] is not None and out[2][2] is None
+    assert out[3] == (out[3][0], None, None) and out[3][0] is not None
+
+    # 4-stage funnel with an unbounded middle transition
+    rows4 = [
+        (9, "a", "2024-01-01 00:00:00"),
+        (9, "b", "2024-01-01 00:00:10"),
+        (9, "c", "2024-01-02 00:00:00"),  # 1 day later, gap None -> ok
+        (9, "d", "2024-01-02 00:00:05"),
+    ]
+    e4 = spark.createDataFrame(
+        rows4, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = funnel_stages(
+        e4, ["a", "b", "c", "d"], max_gaps=[60, None, 60]
+    ).collect()[0]
+    assert all(r[f"t_{i}"] is not None for i in (1, 2, 3, 4))
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        funnel_stages(e, ["view"])
+    with _pytest.raises(ValueError, match="transition"):
+        funnel_stages(e, ["view", "click"], max_gaps=[1, 2])
