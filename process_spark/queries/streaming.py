@@ -1461,7 +1461,28 @@ def incremental_vector_sink(
             census = sized.filter(F.col("__bn") > max_block_size).agg(
                 F.countDistinct("cell_id").cast("long").alias("n_cut_cells")
             )
-            pairs = pairs.crossJoin(F.broadcast(census))
+            pairs = pairs.localCheckpoint(eager=False)  # 2 consumers
+            out = pairs.crossJoin(F.broadcast(census))
+            # All-skipped observability (minhash_lsh_pairs' sentinel
+            # contract): a hostile batch whose EVERY cell is cut emits
+            # no pairs, and a cross join alone would erase the census
+            # exactly in the most-truncated case — emit one NULL-id
+            # sentinel row iff cells were cut AND no pair survived.
+            id_type = dict(pairs.dtypes)["id_a"]
+            sentinel = (
+                census.filter(F.col("n_cut_cells") > 0)
+                .join(
+                    F.broadcast(pairs.select("id_a").limit(1)),
+                    F.lit(True),
+                    "left_anti",
+                )
+                .select(
+                    F.lit(None).cast(id_type).alias("id_a"),
+                    F.lit(None).cast(id_type).alias("id_b"),
+                    F.col("n_cut_cells"),
+                )
+            )
+            pairs = out.unionByName(sentinel)
         pairs = pairs.withColumn("batch_id", F.lit(batch_id))
         pairs.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
@@ -1852,7 +1873,13 @@ def stream_srp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p1.id_a, p1.id_b, cut1.n_cut AS n_cut_cells FROM p1, cut1
     UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), cut1.n_cut
+    FROM cut1 WHERE cut1.n_cut > 0 AND NOT EXISTS (SELECT 1 FROM p1)
+    UNION ALL
     SELECT p2.id_a, p2.id_b, cut2.n_cut AS n_cut_cells FROM p2, cut2
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), cut2.n_cut
+    FROM cut2 WHERE cut2.n_cut > 0 AND NOT EXISTS (SELECT 1 FROM p2)
     """,
 )
 def stream_semantic_dedup_probe_guarded(

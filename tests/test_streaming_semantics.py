@@ -874,14 +874,12 @@ def test_incremental_vector_sink_hot_cell_guard(spark, tmp_path):
 
     import os
 
-    pair_files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(out_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    ] if os.path.isdir(out_dir) else []
-    n_pairs = spark.read.parquet(out_dir).count() if pair_files else 0
-    assert n_pairs == 0, f"guard leaked {n_pairs} quadratic pairs"
+    # the only output row is the all-skipped SENTINEL (NULL ids, the
+    # cut-cell census) — no quadratic pairs, no silent truncation
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r["id_a"], r["id_b"], r["n_cut_cells"]) for r in rows] == [
+        (None, None, 1)
+    ], rows
 
     # but history accreted: every batch vector is in the index
     idx = spark.read.parquet(idx_dir)
