@@ -1952,3 +1952,201 @@ def stream_semantic_dedup_probe_guarded(
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir).select("id_a", "id_b", "n_cut_cells")
+
+
+@register(
+    "stream_semantic_dedup_compacted",
+    # Same batch-count-invariant relation as stream_semantic_dedup_probe
+    # (the whole-corpus cell-blocked threshold join under the md5 IVF
+    # chain, restricted to pairs with a streamed member): the driver
+    # stop between waves, the compaction (cell dirs rewritten to one
+    # file, batch_ids sealed to -1) and the resumed wave's probe of the
+    # sealed index are storage/lifecycle details the pair union is
+    # invariant to — which is exactly what this hash checks.
+    oracle=f"""
+    WITH {_ivf_md5_ctes(build_where="vec_id % 2 = 0")},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign1 a JOIN assign1 b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE (1 + a.tv * b.tv)
+              / (sqrt(1 + a.tv * a.tv) * sqrt(1 + b.tv * b.tv)) >= 0.9995
+        AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
+    )
+    SELECT id_a, id_b FROM pairs
+    """,
+)
+def stream_semantic_dedup_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O64+O95 — the semantic family's production lifecycle, now
+    REGISTERABLE because round 10 made the vector sink sealed-own
+    hygienic: ingest wave 1 (availableNow), STOP the driver, run the
+    offline maintenance pass (compact_partitioned_index on the cell
+    layout — one file per cell dir, batch_ids sealed to -1), RESUME
+    wave 2 on the same checkpoint. Wave 2's probe reads the compacted
+    sealed index (batch_id = -1 < everything) and must find wave-1 and
+    historical near-dups exactly as if no maintenance ran — the oracle
+    is stream_semantic_dedup_probe's whole-corpus relation verbatim,
+    so the hash proves restart + compaction moved bytes, never pairs.
+    Completes the compacted-resume column of the lifecycle matrix for
+    the IVF family (the text family has stream_dedup_index_compacted;
+    SRP gets its twin below)."""
+    import shutil
+
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.operators.similarity import ivf_build
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.vectors import _t32
+
+    base = os.path.join(_SCRATCH, "stream_vec_index_compacted")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, assign_even = ivf_build(
+        e.filter(F.col("vec_id") % 2 == 0), n_cells=8, seed_hash="md5"
+    )
+    assign_even.withColumn("batch_id", F.lit(-1)).repartition(
+        8, F.col("cell_id")
+    ).write.mode("overwrite").partitionBy("cell_id", "batch_id").parquet(
+        idx_dir
+    )
+
+    vecs = e.filter(F.col("vec_id") % 2 == 1)
+
+    def run_wave() -> None:
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_vector_sink(idx_dir, out_dir, cells)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    vecs.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    run_wave()
+    compact_partitioned_index(spark, idx_dir, ["cell_id"])
+    vecs.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_wave()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).select("id_a", "id_b").distinct()
+
+
+@register(
+    "stream_srp_index_compacted",
+    # stream_srp_index_probe's whole-corpus band-collision relation
+    # verbatim — the restart + compaction between waves must not move
+    # a single shared-band count.
+    oracle="""
+    WITH planes(p_idx, w) AS (VALUES
+      {pool}
+    ),
+    bands(band_idx, sel) AS (VALUES
+      {bandsel}
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {odot} > 0
+                      THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ),
+    bb AS (
+      SELECT s.vec_id, b.band_idx,
+             CAST({obucket} AS BIGINT) AS bucket
+      FROM sig s CROSS JOIN bands b
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bb a JOIN bb b
+      ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+     AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 2 = 1 OR b.vec_id % 2 = 1
+    GROUP BY 1, 2
+    """.format(
+        pool=_ANN_POOL_VALUES,
+        bandsel=_ANN_BAND_VALUES,
+        odot=_o_dot("e.embedding", "p.w"),
+        obucket=_O_ANN_BUCKET,
+    ),
+)
+def stream_srp_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68+O95 — the SRP family's compacted-resume lifecycle (the last
+    empty cell of the {MinHash, IVF, SRP} × {…, compact-between-waves}
+    matrix): wave 1 ingests, the driver stops, compact_partitioned_index
+    rewrites the band dirs to one file each sealing batch_ids to -1,
+    wave 2 resumes on the same checkpoint and probes the sealed index.
+    Safe to run precisely because the SRP sink detects its own sealed
+    vec_ids (round-10 hygiene); the oracle — the whole-corpus
+    band-collision join with summed shared-band counts — proves the
+    maintenance moved bytes, never candidates."""
+    import shutil
+
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.vectors import _ann_banded
+
+    base = os.path.join(_SCRATCH, "stream_srp_index_compacted")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _ann_banded(e.filter(F.col("vec_id") % 2 == 0)).withColumn(
+        "batch_id", F.lit(-1)
+    ).repartition(64, F.col("band_idx")).write.mode("overwrite").partitionBy(
+        "band_idx", "batch_id"
+    ).parquet(idx_dir)
+
+    vecs = e.filter(F.col("vec_id") % 2 == 1)
+
+    def run_wave() -> None:
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_srp_sink(idx_dir, out_dir)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    vecs.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    run_wave()
+    compact_partitioned_index(spark, idx_dir, ["band_idx"])
+    vecs.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_wave()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
+    )

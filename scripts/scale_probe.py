@@ -132,6 +132,24 @@ PIPELINE_PROBE = [
     "dedup_simhash_index_probe",
     "text_heavy_hitters_by_lang",
     "stream_heavy_hitters_by_lang",
+    "stream_semantic_dedup_probe_guarded",
+    "vec_pq_drift_report",
+    "vec_sq8_drift_report",
+    "agg_funnel_windowed",
+]
+
+#: x100 probe (round-10 task): documents/embeddings replicated 100x —
+#: the scale where a guard that merely SLOWED quadratic growth at x10
+#: would be unmistakable. Only the GUARDED paths run here (their
+#: unguarded twins are quadratic-by-design and would be building
+#: multi-billion-row pair sets on purpose); every other table symlinks
+#: to the x1 source so disk stays bounded.
+X100_PROBE = [
+    "text_lsh_hot_bucket_guard",
+    "pipeline_dedup_keeper",
+    "pipeline_dedup_keeper_lsh",
+    "pipeline_semantic_keeper_guarded",
+    "stream_semantic_dedup_probe_guarded",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -243,6 +261,11 @@ QUADRATIC_BY_DESIGN = {
     "stream_heavy_hitters_compacted": "same per-batch constants as "
     "stream_heavy_hitters, plus the between-wave mg_compact_state "
     "(driver-side fold of <= batches x 1 tiny rows - constant)",
+    "stream_semantic_dedup_probe_guarded": "at x10 every per-batch cell "
+    "blows past the 20-vector cap and is cut (the guard working): each "
+    "batch emits only the NULL-id sentinel carrying its cut-cell census, "
+    "so the output collapses to 2 rows while the unguarded twin grows "
+    "quadratically - the banding/assignment scan itself grows linearly",
 }
 
 
@@ -271,6 +294,44 @@ def build(spark) -> None:
         print(f"built {name} x{REPLICAS}", file=sys.stderr)
 
 
+DST100 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "scale100",
+)
+REPLICAS100 = 100
+
+
+def build100(spark) -> None:
+    """x100 replica of documents + embeddings ONLY (the tables the
+    guarded dedup/keeper/stream-probe family reads); every other table
+    symlinks to the x1 source so the build stays bounded on disk."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST100, exist_ok=True)
+    for name in ("documents", "embeddings"):
+        col = OFFSET_COLS[name]
+        df = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        (k, domain), = col.items()
+        stride = (
+            df.agg(F.max(F.col(k)).cast("long")).collect()[0][0] + 1
+        )
+        reps = spark.range(REPLICAS100).withColumnRenamed("id", "__rep")
+        out = df.crossJoin(reps).withColumn(
+            k, F.col(k) + F.col("__rep") * F.lit(stride)
+        ).drop("__rep")
+        out.write.mode("overwrite").parquet(
+            os.path.join(DST100, f"{name}.parquet")
+        )
+        print(f"built {name} x{REPLICAS100}", file=sys.stderr)
+    for name in list(OFFSET_COLS) + COPY_ONLY:
+        if name in ("documents", "embeddings"):
+            continue
+        link = os.path.join(DST100, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), link)
+
+
 def main() -> None:
     from bench import HEADLINE
     from process_spark.queries import REGISTRY
@@ -280,6 +341,8 @@ def main() -> None:
     spark.range(1).count()
     if "--rebuild" in sys.argv or not os.path.isdir(DST):
         build(spark)
+    if "--rebuild" in sys.argv or not os.path.isdir(DST100):
+        build100(spark)
 
     print("# SCALE — headline queries at sf0.1 vs a x10 key-offset replica DB")
     print()
@@ -320,6 +383,41 @@ def main() -> None:
     print("| --- | --- | --- | --- | --- |")
     for name in PIPELINE_PROBE:
         probe_row(name)
+    print()
+    print("## x100 probe — the guarded family at 100x documents/embeddings")
+    print()
+    print(f"{REPLICAS100} key-offset replicas of documents and embeddings")
+    print("(other tables at x1 — these queries only read the two corpus")
+    print("tables). The x10 probe shows guards ENGAGING; this shows the")
+    print("plans still TERMINATING in linear-ish time two orders of")
+    print("magnitude up, which a quadratic guard-bypass could not. Single")
+    print("timed run at x100 (no warm-up — cold is the honest number at")
+    print("this size); t(x1) warm, as above.")
+    print()
+    print("| query | t(x1) s | t(x100) s | ratio | rows x1 -> x100 |")
+    print("| --- | --- | --- | --- | --- |")
+    for name in X100_PROBE:
+        fn = REGISTRY[name].fn
+        fn(spark, SRC).count()  # warm
+        t0 = time.time()
+        n1 = fn(spark, SRC).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        n100 = fn(spark, DST100).count()
+        t100 = time.time() - t0
+        print(
+            f"| {name} | {t1:.2f} | {t100:.2f} | "
+            f"{t100 / t1:.1f}x | {n1:,} -> {n100:,} |"
+        )
+    print()
+    print("Footnotes: every x100 query runs its guard wide open — LSH")
+    print("buckets, keeper blocks and IVF cells all hold ~100x their cap,")
+    print("so outputs collapse to sentinels/singletons + skip censuses")
+    print("(truncation stays IN the hash-checked result). The wall ratio")
+    print("is then the linear part only: banding/assigning 100x the")
+    print("corpus. A ratio near 100 on 32 local cores = linear scan")
+    print("growth with amortized fixed overhead; the quadratic")
+    print("alternative would be ~10,000x.")
     print()
     for name, note in QUADRATIC_BY_DESIGN.items():
         print(f"- `*` `{name}`: {note}.")
