@@ -136,6 +136,8 @@ PIPELINE_PROBE = [
     "vec_pq_drift_report",
     "vec_sq8_drift_report",
     "agg_funnel_windowed",
+    "stream_semantic_dedup_compacted",
+    "stream_srp_index_compacted",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —
@@ -266,6 +268,12 @@ QUADRATIC_BY_DESIGN = {
     "batch emits only the NULL-id sentinel carrying its cut-cell census, "
     "so the output collapses to 2 rows while the unguarded twin grows "
     "quadratically - the banding/assignment scan itself grows linearly",
+    "stream_semantic_dedup_compacted": "same quadratic-by-replica pair "
+    "OUTPUT as stream_semantic_dedup_probe (identical relation), plus "
+    "the between-wave compaction rewriting the 10x index once",
+    "stream_srp_index_compacted": "same quadratic-by-replica candidate "
+    "output as stream_srp_index_probe, plus the between-wave compaction "
+    "rewriting the 10x band index once",
 }
 
 
