@@ -1454,3 +1454,166 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_frac_e6"),
         (frac <= 20000).alias("keep"),
     )
+
+
+@register(
+    "text_vocab_drift_report",
+    # Pure integer-ratio arithmetic over the shared tokenizer chain:
+    # counts are exact BIGINTs, the ppm rates are one double division
+    # of identical integers + half-up floor — hash-exact.
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_O_TOKS}) AS tok FROM documents
+    ),
+    train AS (SELECT DISTINCT tok FROM tk WHERE doc_id % 2 = 0),
+    cur AS (SELECT tok FROM tk WHERE doc_id % 2 = 1),
+    occ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(CASE WHEN t.tok IS NULL THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS n_oov
+      FROM cur c LEFT JOIN train t USING (tok)
+    ),
+    types AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(COALESCE(SUM(CASE WHEN t.tok IS NULL THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS n_new_types
+      FROM (SELECT DISTINCT tok FROM cur) c LEFT JOIN train t USING (tok)
+    )
+    SELECT n_tokens, n_oov,
+           CAST(FLOOR(n_oov * 1000000.0 / n_tokens + 0.5) AS BIGINT)
+             AS oov_ppm,
+           n_types, n_new_types,
+           CAST(FLOOR(n_new_types * 1000000.0 / n_types + 0.5) AS BIGINT)
+             AS new_type_ppm
+    FROM occ, types
+    """,
+)
+def text_vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O73/O76 — the STORED-TOKENIZER staleness monitor, completing the
+    drift family across the text artifacts (IVF and PQ got theirs in
+    r9/r10): every pinned text artifact — BPE merges, TF-IDF document
+    frequencies, lexicons — was trained on a vocabulary snapshot, and
+    the signal that it has gone stale is the INCOMING cohort's
+    out-of-vocabulary mass. One row: the current (odd-doc) cohort's
+    token occurrences and distinct types, how many of each are absent
+    from the training (even-doc) vocabulary, and both as ppm rates. A
+    deployment alerts on oov_ppm (occurrence mass the artifacts have
+    never seen) and retrains on new_type_ppm growth (Heaps-law creep
+    vs genuine distribution shift).
+
+    Scale shape: one tokenize+explode scan per cohort; the training
+    VOCABULARY (distinct types — vocabulary-sized by Heaps' law, never
+    corpus-sized) broadcasts to both left joins; everything else is
+    map-side counting into a 1-row result. The synthetic testdata's 31
+    shared token types have NO cross-cohort drift, so the all-zero
+    rates the oracle hash-checks are the true answer there; the
+    mechanism firing on a genuinely shifted corpus is pinned in
+    tests/test_properties.py (BPE twin)."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    train = (
+        tk.filter(F.col("doc_id") % 2 == 0)
+        .select("tok")
+        .distinct()
+        .withColumn("__known", F.lit(1))
+    )
+    cur = tk.filter(F.col("doc_id") % 2 == 1).select("tok")
+    occ = cur.join(F.broadcast(train), "tok", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_oov"),
+    )
+    types = (
+        cur.distinct()
+        .join(F.broadcast(train), "tok", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.coalesce(
+                F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_new_types"),
+        )
+    )
+
+    def ppm(num: str, den: str) -> "F.Column":
+        return F.floor(
+            F.col(num) * 1000000.0 / F.col(den) + 0.5
+        ).cast("long")
+
+    return occ.crossJoin(types).select(
+        "n_tokens",
+        "n_oov",
+        ppm("n_oov", "n_tokens").alias("oov_ppm"),
+        "n_types",
+        "n_new_types",
+        ppm("n_new_types", "n_types").alias("new_type_ppm"),
+    )
+
+
+@register("text_bpe_drift_report", oracle=None)
+def text_bpe_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O73 — the BPE-merge twin of :func:`text_vocab_drift_report`,
+    run against the REAL stored artifact: merges train on the even-doc
+    cohort, persist and reload (bpe_save_merges / bpe_load_merges —
+    the deployment always encodes with pinned merges, never a fresh
+    train), then BOTH cohorts encode under those merges and report
+    occurrence-weighted compression: (cohort, n_words, n_pieces,
+    pieces_per_kword). Stale merges show as the incoming cohort's
+    pieces_per_kword rising above the training cohort's — the
+    distribution has shifted toward words the merge table fragments
+    (exactly the drift-vs-training-error shape vec_pq_drift_report
+    reports for codebooks; the rising-on-shift property is pinned in
+    tests/test_properties.py). Learned merges are data-dependent, so
+    the report is rows-only by nature (the module contract); its
+    oracle-backed sibling is text_vocab_drift_report on the same
+    cohort split.
+
+    Scale shape: merge training is one map-side-combined word count +
+    a bounded driver merge loop; encoding runs once per DISTINCT word
+    (Heaps-law bounded) and hash-joins back; the report is a 2-row
+    aggregate. Integer outputs → deterministic across runs."""
+    import os as _os
+
+    from process_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_load_merges,
+        bpe_save_merges,
+        bpe_train,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_train(d.filter(F.col("doc_id") % 2 == 0))
+    path = _os.path.join(_SCRATCH, "bpe_drift_merges")
+    bpe_save_merges(spark, merges, path)
+    pinned = bpe_load_merges(spark, path)
+
+    words = d.select(
+        (F.col("doc_id") % 2).alias("cohort"),
+        F.explode(tokens("text")).alias("word"),
+    )
+    encoded = bpe_encode_words(
+        words.select("word").distinct(), pinned
+    ).select("word", "n_pieces")
+    return (
+        words.join(encoded, "word")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "cohort",
+            "n_words",
+            "n_pieces",
+            F.floor(F.col("n_pieces") * 1000.0 / F.col("n_words") + 0.5)
+            .cast("long")
+            .alias("pieces_per_kword"),
+        )
+    )

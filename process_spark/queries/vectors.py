@@ -2600,3 +2600,154 @@ def vec_sq8_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recon_err_ppb"),
         )
     )
+
+
+#: Rebuild threshold for vec_ivf_rebuild_trigger, in ppm of centroid
+#: movement (the vec_ivf_drift_report unit). At sf0.01 the even-half
+#: trained cells drift up to ~23,700 ppm against the full corpus, so
+#: the fixture exercises the REBUILD branch; the decision is an exact
+#: integer comparison, so both engines take the same branch at any sf.
+_IVF_REBUILD_PPM = 10000
+
+
+@register(
+    "vec_ivf_rebuild_trigger",
+    # Both chains replayed with suffixed CTEs (the shared prefix names
+    # in _ivf_md5_ctes can only appear once): the even-trained chain
+    # feeds the drift census and the keep branch, the full-trained
+    # chain feeds the rebuild branch; a scalar boolean subquery picks
+    # exactly one side — the same exact-integer decision the engine
+    # takes on its collected 1-row max.
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h32,
+             {_O_T32} AS tv
+      FROM embeddings
+    ),
+    hb AS (SELECT * FROM h WHERE vec_id % 2 = 0),
+    seeds_e AS (
+      SELECT vec_id, tv,
+             ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
+      FROM hb QUALIFY cell_id < 8
+    ),
+    a0_e AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 's.tv')} DESC, s.cell_id
+               ) AS rn
+        FROM hb v CROSS JOIN seeds_e s
+      ) WHERE rn = 1
+    ),
+    r_e AS (SELECT cell_id, CAST(AVG(tv) AS REAL) AS m
+            FROM a0_e GROUP BY cell_id),
+    assign_e AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN r_e r
+      ) WHERE rn = 1
+    ),
+    cur AS (SELECT cell_id, CAST(AVG(tv) AS REAL) AS m2
+            FROM assign_e GROUP BY cell_id),
+    drift AS (
+      SELECT r.cell_id,
+             CAST(FLOOR(ABS(CAST(r.m AS DOUBLE) - CAST(cur.m2 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS drift_ppm
+      FROM r_e r JOIN cur USING (cell_id)
+    ),
+    trig AS (SELECT MAX(drift_ppm) > {_IVF_REBUILD_PPM} AS rebuild
+             FROM drift),
+    seeds_f AS (
+      SELECT vec_id, tv,
+             ROW_NUMBER() OVER (ORDER BY h32 % 9973, vec_id) - 1 AS cell_id
+      FROM h QUALIFY cell_id < 8
+    ),
+    a0_f AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 's.tv')} DESC, s.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN seeds_f s
+      ) WHERE rn = 1
+    ),
+    r_f AS (SELECT cell_id, CAST(AVG(tv) AS REAL) AS m
+            FROM a0_f GROUP BY cell_id),
+    assign_f AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM h v CROSS JOIN r_f r
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell_id, TRUE AS rebuilt FROM assign_f
+    WHERE (SELECT rebuild FROM trig)
+    UNION ALL
+    SELECT vec_id, cell_id, FALSE AS rebuilt FROM assign_e
+    WHERE NOT (SELECT rebuild FROM trig)
+    """,
+)
+def vec_ivf_rebuild_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68/O69 — the monitor ACTING: vec_ivf_drift_report measures how
+    far the stored centroids have drifted; this query closes the loop
+    a deployment actually runs on a schedule — compute the drift
+    census against the STORED (history-trained) cells, and if any
+    cell's drift_ppm exceeds the threshold, retrain from scratch on
+    the full corpus and re-assign; otherwise keep the stored
+    assignment. Output: every vector's (vec_id, cell_id) under the
+    CHOSEN index plus the decision as a ``rebuilt`` flag — so the
+    decision itself is part of the hash-checked result, and a
+    threshold regression (rebuilding too eagerly or never) fails the
+    oracle, not just a dashboard.
+
+    Scale shape: the drift census is one aggregation to n_cells rows;
+    the decision is ONE collected scalar (the engine's only
+    driver-side step); each branch is the standard build/assign chain
+    — one corpus scan + broadcast cells. At sf0.01 the even-trained
+    cells drift up to ~23,700 ppm vs the 10,000 ppm threshold, so the
+    fixture exercises the rebuild branch; the oracle replays BOTH
+    branches and picks by the same exact-integer comparison."""
+    from process_spark.operators.similarity import ivf_assign, ivf_build
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, _ = ivf_build(
+        e.filter(F.col("vec_id") % 2 == 0), n_cells=8, seed_hash="md5"
+    )
+    assign_stored = ivf_assign(e, cells)
+    cur = assign_stored.groupBy("cell_id").agg(
+        F.avg(F.element_at("embedding", 2)).cast("float").alias("m2")
+    )
+    max_drift = (
+        cells.select("cell_id", F.element_at("centroid", 2).alias("m"))
+        .join(cur, "cell_id")
+        .agg(
+            F.max(
+                F.floor(
+                    F.abs(
+                        F.col("m").cast("double")
+                        - F.col("m2").cast("double")
+                    )
+                    * 1000000.0
+                    + 0.5
+                ).cast("long")
+            )
+        )
+        .collect()[0][0]
+    )
+    if max_drift is not None and max_drift > _IVF_REBUILD_PPM:
+        _, assign_new = ivf_build(e, n_cells=8, seed_hash="md5")
+        out, rebuilt = assign_new, True
+    else:
+        out, rebuilt = assign_stored, False
+    return out.select(
+        "vec_id", "cell_id", F.lit(rebuilt).alias("rebuilt")
+    )

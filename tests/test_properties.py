@@ -820,3 +820,41 @@ def test_funnel_stages_gap_and_order_semantics(spark):
         funnel_stages(e, ["view"])
     with _pytest.raises(ValueError, match="transition"):
         funnel_stages(e, ["view", "click"], max_gaps=[1, 2])
+
+
+def test_bpe_drift_rises_on_distribution_shift(spark):
+    """The premise of text_bpe_drift_report: under PINNED merges
+    trained on cohort A, a shifted cohort B (words the merge table
+    never saw) encodes to MORE pieces per word than A does — the
+    retrain signal. Also pins the save/load path used by the report."""
+    from process_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_load_merges,
+        bpe_save_merges,
+        bpe_train,
+    )
+
+    train_words = ["lowering", "lowered", "lower", "newest", "wider",
+                   "widest", "newer", "lowest"] * 20
+    train = spark.createDataFrame(
+        [(" ".join(train_words),)], "text string"
+    )
+    merges = bpe_train(train, n_merges=60)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        bpe_save_merges(spark, merges, td + "/m")
+        pinned = bpe_load_merges(spark, td + "/m")
+    assert [tuple(p) for p in pinned] == [tuple(p) for p in merges]
+
+    def ppw(words: list) -> float:
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        rows = bpe_encode_words(df.distinct(), pinned).collect()
+        per = {r["word"]: r["n_pieces"] for r in rows}
+        return sum(per[w] for w in words) / len(words)
+
+    in_dist = ["lowering", "newest", "wider", "lowest"] * 10
+    shifted = ["zyxqvjkp", "qqqjjjzz", "xkcdxkcd", "vvqqppzz"] * 10
+    assert ppw(shifted) > ppw(in_dist) * 1.5, (
+        ppw(in_dist), ppw(shifted)
+    )
