@@ -1617,3 +1617,57 @@ def text_bpe_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pieces_per_kword"),
         )
     )
+
+
+@register(
+    "dedup_lsh_skew_report",
+    # One GROUP BY over the shared md5 band chain then a 16-row
+    # census — every output cell an exact integer.
+    oracle="""
+    WITH {ctes},
+    g AS (
+      SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM banded GROUP BY 1, 2
+    )
+    SELECT band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(MAX(sz) AS BIGINT) AS max_group_size,
+           CAST(SUM(CASE WHEN sz > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap
+    FROM g GROUP BY band_idx
+    """.format(ctes=_minhash_md5_ctes(where="TRUE")),
+)
+def dedup_lsh_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 — the BUCKET-SKEW census that SIZES the hot-bucket guard:
+    per band, how many (band, signature) join groups exist, the
+    largest group, and how many exceed the guard cap (3 — the
+    text_lsh_hot_bucket_guard setting). The banded join's per-task
+    work is Σ(group²), so this 16-row report is exactly the
+    information a deployment needs BEFORE choosing max_bucket_size —
+    run it on a corpus sample, read max_group_size, and set the cap
+    where the report says the boilerplate mass starts; re-run it on
+    ingest waves to catch an emerging template flood before the join
+    degrades (the monitoring twin of the guard itself, completing the
+    monitor family: IVF/PQ/SQ8 drift, vocab/BPE OOV, and now LSH
+    skew). One banding scan, one map-side-combinable GROUP BY to the
+    group-size table, one census aggregation to n_bands rows."""
+    from process_spark.operators.dedup import minhash_band_index
+
+    d = t(spark, sf_dir, "documents")
+    bidx = minhash_band_index(
+        d, "doc_id", "text",
+        num_hashes=64, bands=16, base_hash="md5", band_key="concat",
+        n_buckets=16,
+    )
+    g = bidx.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return g.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.max("sz").cast("long").alias("max_group_size"),
+        F.sum(F.when(F.col("sz") > 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_cap"),
+    )
