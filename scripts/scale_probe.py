@@ -138,6 +138,10 @@ PIPELINE_PROBE = [
     "agg_funnel_windowed",
     "stream_semantic_dedup_compacted",
     "stream_srp_index_compacted",
+    "vec_ivf_rebuild_trigger",
+    "text_vocab_drift_report",
+    "text_bpe_drift_report",
+    "dedup_lsh_skew_report",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —
