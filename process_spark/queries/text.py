@@ -1501,10 +1501,14 @@ def text_vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     never seen) and retrains on new_type_ppm growth (Heaps-law creep
     vs genuine distribution shift).
 
-    Scale shape: one tokenize+explode scan per cohort; the training
-    VOCABULARY (distinct types — vocabulary-sized by Heaps' law, never
-    corpus-sized) broadcasts to both left joins; everything else is
-    map-side counting into a 1-row result. The synthetic testdata's 31
+    Scale shape: one tokenize+explode scan per cohort; the joins key
+    on the token, UNHINTED — the training vocabulary is
+    vocabulary-sized (Heaps' law), which is small enough for AQE to
+    broadcast at survey scale but NOT bounded by construction, so
+    forcing the hint is exactly the text_tfidf vocabulary-broadcast
+    bug the plan lint exists to prevent; at 100 TB the join shuffles
+    on the token key. Everything downstream is map-side counting into
+    a 1-row result. The synthetic testdata's 31
     shared token types have NO cross-cohort drift, so the all-zero
     rates the oracle hash-checks are the true answer there; the
     mechanism firing on a genuinely shifted corpus is pinned in
@@ -1518,7 +1522,7 @@ def text_vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__known", F.lit(1))
     )
     cur = tk.filter(F.col("doc_id") % 2 == 1).select("tok")
-    occ = cur.join(F.broadcast(train), "tok", "left").agg(
+    occ = cur.join(train, "tok", "left").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.coalesce(
             F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)),
@@ -1529,7 +1533,7 @@ def text_vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = (
         cur.distinct()
-        .join(F.broadcast(train), "tok", "left")
+        .join(train, "tok", "left")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_types"),
             F.coalesce(

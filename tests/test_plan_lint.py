@@ -33,6 +33,7 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_sq8_knn",        # same ivf_build seed window (n_cells rows)
     "vec_ivf_sq8_md5_idset",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_drift_report",   # same ivf_build seed window (n_cells rows)
+    "vec_ivf_rebuild_trigger",  # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -73,6 +74,10 @@ CROSS_OK = {
     "pipeline_lm_quality_score",  # 1-row vocab-totals aggregate broadcast
     "pipeline_mixture_temperature",  # two 1-row aggregate broadcasts
     "vec_sq8_knn",              # broadcast query side (bounded sample)
+    "vec_pq_drift_report",      # m·k-row codebook BNLJ (16 rows) + 1-row
+                                # err-report joins — bounded by construction
+    "vec_ivf_rebuild_trigger",  # broadcast cell/centroid tables (k rows)
+    "text_vocab_drift_report",  # 1-row occurrence census × 1-row type census
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -221,6 +226,15 @@ BROADCAST_HINT_OK = {
         "ivf_build seed/centroid tables (n_cells rows) — the drift "
         "join itself is n_cells × n_cells rows"
     ),
+    "vec_ivf_rebuild_trigger": (
+        "ivf_build seed/centroid tables (n_cells rows) — whichever "
+        "branch the drift decision picks, the hinted sides are the "
+        "same n_cells-row tables"
+    ),
+    "vec_pq_drift_report": (
+        "loaded codebook table (m·k = 16 rows by construction) + "
+        "8-row per-subspace seed tables in the deterministic trainer"
+    ),
     "text_heavy_hitters_by_lang": (
         "grouped-sketch pass-2 candidate table (≤ capacity×|langs| "
         "rows) + per-language threshold table (≤ |langs| rows) — the "
@@ -296,26 +310,30 @@ BROADCAST_SITES = {
         "census is out-of-band now, no broadcast inside the operator)",
     ),
     "operators/similarity.py": (
-        11,
+        12,
         "k-row cell/probe/centroid tables + bounded query side "
         "(incl. 1 docstring mention of the contract; +2 in "
         "ivf_tune_n_probe, +1 in soft_assign_cells, +1 in pq_search's "
-        "re-rank, +1 in sq8_search: same k-row / bounded-query "
+        "re-rank, +1 in sq8_search, +1 in pq_quantization_error's "
+        "m·k-row codebook table: same k-row / bounded-query "
         "broadcasts)",
     ),
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
     "queries/streaming.py": (
-        7,
+        15,
         "constant event-type weights table + grouped-sketch pass-2 "
         "candidate/threshold tables (≤ capacity×|langs| / |langs| rows) "
         "+ 3 incremental-dedup-sink crash-compaction hygiene "
         "broadcasts (bounded per-micro-batch doc-id set and its "
-        "≤|batch| sealed-own subset, probe + append sides)",
+        "≤|batch| sealed-own subset, probe + append sides) + 3 each "
+        "for the vector and SRP sinks' round-10 sealed-own hygiene "
+        "(same bounds) + the guarded vector sink's 1-row cut-cell "
+        "census and its ≤1-row sentinel head probe",
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (
-        12,
+        13,
         "bounded query-band/query/centroid sides (+2 tuner sample "
         "broadcasts, +1 soft-assign k-row cell broadcast, +1 "
         "ivf_sq8 probe-code broadcast ≤ |Q|·n_probe rows, +1 "
@@ -323,7 +341,8 @@ BROADCAST_SITES = {
         "ivf_sq8 md5-twin probe-code broadcast — same bound, +1 "
         "guarded-keeper 1-row skip-census broadcast, +2 stored-SRP "
         "probe broadcasts: query-band table ≤ |Q|·112 rows and query "
-        "vectors — both 1% samples, bounded)",
+        "vectors — both 1% samples, bounded, +1 pq-drift 8-row "
+        "per-subspace seed broadcast in the deterministic trainer)",
     ),
     "queries/tpch_rest.py": (10, "nation/region dims + 1-row aggregates"),
     "queries/tpch_more.py": (3, "1-row max-revenue / avg-balance aggregates"),
