@@ -693,8 +693,12 @@ def incremental_dedup_sink(
     self-join task at cap² and linearizing the probe task at
     |stored bucket|·cap — while the APPEND still writes every band
     (history must stay complete; the cap bounds join work, not
-    storage). None (the registered query's setting) keeps exact
-    oracle parity with the whole-corpus band join."""
+    storage). When the guard is on, the batch's cut-bucket count rides
+    every pair row as ``n_cut_buckets`` (NULL-id sentinel when a batch
+    cuts everything) — truncation is part of the result, never a
+    silent drop. None (the unguarded registered queries' setting)
+    keeps exact oracle parity with the whole-corpus band join;
+    stream_dedup_index_probe_guarded registers the guarded form."""
     from pyspark.sql import Window
 
     from process_spark.operators.dedup import minhash_band_index
@@ -796,8 +800,36 @@ def incremental_dedup_sink(
             within.unionByName(cross)
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-            .withColumn("batch_id", F.lit(batch_id))
         )
+        if max_bucket_size is not None:
+            # guarded mode: the batch's cut-bucket census rides every
+            # pair row, with the NULL-id sentinel when everything was
+            # cut — the minhash_lsh_pairs contract (truncation is part
+            # of the hash-checked result, never a silent drop)
+            census = sized.filter(F.col("__bn") > max_bucket_size).agg(
+                F.countDistinct("band_idx", "band_hash")
+                .cast("long")
+                .alias("n_cut_buckets")
+            )
+            pairs = pairs.localCheckpoint(eager=False)  # 2 consumers
+            out = pairs.crossJoin(F.broadcast(census))
+            id_type = dict(pairs.dtypes)["id_a"]
+            sentinel = (
+                census.filter(F.col("n_cut_buckets") > 0)
+                .join(
+                    F.broadcast(pairs.select("id_a").limit(1)),
+                    F.lit(True),
+                    "left_anti",
+                )
+                .select(
+                    F.lit(None).cast(id_type).alias("id_a"),
+                    F.lit(None).cast(id_type).alias("id_b"),
+                    F.lit(None).cast("long").alias("n_shared_bands"),
+                    F.col("n_cut_buckets"),
+                )
+            )
+            pairs = out.unionByName(sentinel)
+        pairs = pairs.withColumn("batch_id", F.lit(batch_id))
         # Both writes are IDEMPOTENT per batch_id (foreachBatch is
         # at-least-once: a mid-batch failure replays the whole batch).
         # Dynamic partition overwrite keyed on batch_id — the
@@ -1641,9 +1673,13 @@ def incremental_srp_sink(
     pairs per band): the batch's over-cap (band_idx, bucket) groups
     are cut from BOTH the self-join and the history probe, while the
     APPEND still writes every band row — history stays complete; the
-    cap bounds join work, not storage. None (the registered query's
-    setting) keeps exact oracle parity with the whole-corpus band
-    join — the text sink's ``max_bucket_size`` contract verbatim."""
+    cap bounds join work, not storage. When the guard is on, the
+    batch's cut-bucket count rides every pair row as ``n_cut_buckets``
+    (NULL-id sentinel when a batch cuts everything). None (the
+    unguarded registered queries' setting) keeps exact oracle parity
+    with the whole-corpus band join — the text sink's
+    ``max_bucket_size`` contract verbatim;
+    stream_srp_index_probe_guarded registers the guarded form."""
     from pyspark.sql import Window
 
     from process_spark.queries.vectors import _ann_banded
@@ -1706,8 +1742,34 @@ def incremental_srp_sink(
             within.unionByName(cross)
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-            .withColumn("batch_id", F.lit(batch_id))
         )
+        if max_bucket_size is not None:
+            # same census + all-cut sentinel contract as the text and
+            # vector sinks (see incremental_dedup_sink)
+            census = sized.filter(F.col("__bn") > max_bucket_size).agg(
+                F.countDistinct("band_idx", "bucket")
+                .cast("long")
+                .alias("n_cut_buckets")
+            )
+            pairs = pairs.localCheckpoint(eager=False)  # 2 consumers
+            out = pairs.crossJoin(F.broadcast(census))
+            id_type = dict(pairs.dtypes)["id_a"]
+            sentinel = (
+                census.filter(F.col("n_cut_buckets") > 0)
+                .join(
+                    F.broadcast(pairs.select("id_a").limit(1)),
+                    F.lit(True),
+                    "left_anti",
+                )
+                .select(
+                    F.lit(None).cast(id_type).alias("id_a"),
+                    F.lit(None).cast(id_type).alias("id_b"),
+                    F.lit(None).cast("long").alias("n_shared_bands"),
+                    F.col("n_cut_buckets"),
+                )
+            )
+            pairs = out.unionByName(sentinel)
+        pairs = pairs.withColumn("batch_id", F.lit(batch_id))
         pairs.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch_id").parquet(out_dir)
@@ -2149,4 +2211,294 @@ def stream_srp_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out_dir)
         .groupBy("id_a", "id_b")
         .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "stream_dedup_index_probe_guarded",
+    # The guarded relation is NOT batch-count-invariant (a band
+    # group's over/under-cap status depends on which batch its docs
+    # arrived in), so the oracle replays the PINNED two-batch staging
+    # (doc_id%4==1 then %4==3) batch by batch: per batch, (band,
+    # signature) groups over the cap are cut from the self-join and
+    # the probe (history stays complete — the append is unguarded),
+    # shared-band counts aggregate per batch, the cut census rides
+    # every row, and an all-cut batch emits the NULL-id sentinel.
+    oracle="""
+    WITH {ctes},
+    hist0 AS (SELECT doc_id, band_idx, band_key FROM banded
+              WHERE doc_id % 2 = 0),
+    b1 AS (SELECT doc_id, band_idx, band_key FROM banded
+           WHERE doc_id % 4 = 1),
+    b2 AS (SELECT doc_id, band_idx, band_key FROM banded
+           WHERE doc_id % 4 = 3),
+    b1c AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key)
+                      AS cn FROM b1),
+    u1 AS (SELECT doc_id, band_idx, band_key FROM b1c WHERE cn <= 3),
+    cut1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cut FROM
+             (SELECT DISTINCT band_idx, band_key FROM b1c WHERE cn > 3)),
+    b2c AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key)
+                      AS cn FROM b2),
+    u2 AS (SELECT doc_id, band_idx, band_key FROM b2c WHERE cn <= 3),
+    cut2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cut FROM
+             (SELECT DISTINCT band_idx, band_key FROM b2c WHERE cn > 3)),
+    h2 AS (SELECT * FROM hist0 UNION ALL SELECT * FROM b1),
+    p1 AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM u1 a JOIN u1 b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT LEAST(h.doc_id, p.doc_id), GREATEST(h.doc_id, p.doc_id)
+        FROM hist0 h JOIN u1 p
+          ON h.band_idx = p.band_idx AND h.band_key = p.band_key
+      ) GROUP BY 1, 2
+    ),
+    p2 AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM u2 a JOIN u2 b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT LEAST(h.doc_id, p.doc_id), GREATEST(h.doc_id, p.doc_id)
+        FROM h2 h JOIN u2 p
+          ON h.band_idx = p.band_idx AND h.band_key = p.band_key
+      ) GROUP BY 1, 2
+    )
+    SELECT p1.id_a, p1.id_b, p1.n_shared_bands,
+           cut1.n_cut AS n_cut_buckets FROM p1, cut1
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), cut1.n_cut
+    FROM cut1 WHERE cut1.n_cut > 0 AND NOT EXISTS (SELECT 1 FROM p1)
+    UNION ALL
+    SELECT p2.id_a, p2.id_b, p2.n_shared_bands,
+           cut2.n_cut AS n_cut_buckets FROM p2, cut2
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), cut2.n_cut
+    FROM cut2 WHERE cut2.n_cut > 0 AND NOT EXISTS (SELECT 1 FROM p2)
+    """.format(ctes=_minhash_md5_ctes(where="TRUE")),
+)
+def stream_dedup_index_probe_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O63+O95 — stream_dedup_index_probe with the hot-bucket guard
+    ENGAGED (max_bucket_size=3, the text_lsh_hot_bucket_guard cap):
+    the deployment setting for boilerplate bursts, where one shared
+    band signature otherwise makes a batch's self-join a single
+    O(|batch ∩ group|²) task. Per batch, over-cap (band, signature)
+    groups are cut from the self-join and the history probe while the
+    APPEND stays complete, the batch's cut census rides every pair row
+    as ``n_cut_buckets``, and an all-cut batch emits the NULL-id
+    sentinel instead of silently vanishing. At sf0.01 the synthetic
+    corpus's per-batch groups max out at 2, so the guard passes
+    everything through (census 0 — the true answer, hash-checked); at
+    x10 every replicated doc's group is ≥ 10 and the guard engages
+    (SCALE.md). The oracle replays the pinned two-batch staging —
+    capping is batch-composition-dependent, so the batch-count-
+    invariance theorem of the unguarded twin deliberately does NOT
+    apply."""
+    import shutil
+
+    from process_spark.operators.dedup import minhash_band_index
+    from process_spark.queries.io_udf import _SCRATCH
+
+    kw = dict(
+        num_hashes=64, bands=16, base_hash="md5", band_key="concat",
+        n_buckets=16,
+    )
+    base = os.path.join(_SCRATCH, "stream_dedup_index_guarded")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = t(spark, sf_dir, "documents")
+    minhash_band_index(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", **kw
+    ).withColumn("batch_id", F.lit(-1)).repartition(
+        64, F.col("band_idx"), F.col("band_bucket")
+    ).write.mode("overwrite").partitionBy(
+        "band_idx", "band_bucket", "batch_id"
+    ).parquet(idx_dir)
+
+    docs = d.select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_dedup_sink(idx_dir, out_dir, kw, max_bucket_size=3)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "id_a", "id_b", "n_shared_bands", "n_cut_buckets"
+    )
+
+
+@register(
+    "stream_srp_index_probe_guarded",
+    # Same pinned-two-batch replay as the text and vector guarded
+    # twins, over the SRP band relation: per batch, (band, bucket)
+    # groups over 8 are cut from the self-join and probe, the cut
+    # census rides every row, all-cut batches emit the sentinel. The
+    # cap ENGAGES at sf0.01 (hot buckets hold 10-11 of a ~125-vector
+    # batch).
+    oracle="""
+    WITH planes(p_idx, w) AS (VALUES
+      {pool}
+    ),
+    bands(band_idx, sel) AS (VALUES
+      {bandsel}
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {odot} > 0
+                      THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ),
+    bb AS (
+      SELECT s.vec_id, b.band_idx,
+             CAST({obucket} AS BIGINT) AS bucket
+      FROM sig s CROSS JOIN bands b
+    ),
+    hist0 AS (SELECT * FROM bb WHERE vec_id % 2 = 0),
+    b1 AS (SELECT * FROM bb WHERE vec_id % 4 = 1),
+    b2 AS (SELECT * FROM bb WHERE vec_id % 4 = 3),
+    b1c AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bucket)
+                      AS cn FROM b1),
+    u1 AS (SELECT vec_id, band_idx, bucket FROM b1c WHERE cn <= 8),
+    cut1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cut FROM
+             (SELECT DISTINCT band_idx, bucket FROM b1c WHERE cn > 8)),
+    b2c AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bucket)
+                      AS cn FROM b2),
+    u2 AS (SELECT vec_id, band_idx, bucket FROM b2c WHERE cn <= 8),
+    cut2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cut FROM
+             (SELECT DISTINCT band_idx, bucket FROM b2c WHERE cn > 8)),
+    h2 AS (SELECT * FROM hist0 UNION ALL SELECT * FROM b1),
+    p1 AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM u1 a JOIN u1 b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT LEAST(h.vec_id, p.vec_id), GREATEST(h.vec_id, p.vec_id)
+        FROM hist0 h JOIN u1 p
+          ON h.band_idx = p.band_idx AND h.bucket = p.bucket
+      ) GROUP BY 1, 2
+    ),
+    p2 AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM u2 a JOIN u2 b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT LEAST(h.vec_id, p.vec_id), GREATEST(h.vec_id, p.vec_id)
+        FROM h2 h JOIN u2 p
+          ON h.band_idx = p.band_idx AND h.bucket = p.bucket
+      ) GROUP BY 1, 2
+    )
+    SELECT p1.id_a, p1.id_b, p1.n_shared_bands,
+           cut1.n_cut AS n_cut_buckets FROM p1, cut1
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), cut1.n_cut
+    FROM cut1 WHERE cut1.n_cut > 0 AND NOT EXISTS (SELECT 1 FROM p1)
+    UNION ALL
+    SELECT p2.id_a, p2.id_b, p2.n_shared_bands,
+           cut2.n_cut AS n_cut_buckets FROM p2, cut2
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), cut2.n_cut
+    FROM cut2 WHERE cut2.n_cut > 0 AND NOT EXISTS (SELECT 1 FROM p2)
+    """.format(
+        pool=_ANN_POOL_VALUES,
+        bandsel=_ANN_BAND_VALUES,
+        odot=_o_dot("e.embedding", "p.w"),
+        obucket=_O_ANN_BUCKET,
+    ),
+)
+def stream_srp_index_probe_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O68+O95 — stream_srp_index_probe with the hot-bucket guard
+    ENGAGED (max_bucket_size=8): near-identical embedding bursts share
+    every band bucket, so an unguarded burst emits O(|batch|²)
+    candidates per band; here each batch's over-cap (band, bucket)
+    groups are cut from the self-join and the history probe (append
+    complete), the cut census rides every candidate row, and an
+    all-cut batch emits the NULL-id sentinel. The cap genuinely binds
+    on the fixture: at sf0.01 each ~125-vector batch has hot buckets
+    of 10-11 vectors, so several hundred groups are cut per batch and
+    the candidate set visibly shrinks vs the unguarded twin — all of
+    it replayed exactly by the pinned-two-batch oracle."""
+    import shutil
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.vectors import _ann_banded
+
+    base = os.path.join(_SCRATCH, "stream_srp_index_guarded")
+    idx_dir = os.path.join(base, "index")
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _ann_banded(e.filter(F.col("vec_id") % 2 == 0)).withColumn(
+        "batch_id", F.lit(-1)
+    ).repartition(64, F.col("band_idx")).write.mode("overwrite").partitionBy(
+        "band_idx", "batch_id"
+    ).parquet(idx_dir)
+
+    vecs = e.filter(F.col("vec_id") % 2 == 1)
+    vecs.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    vecs.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_srp_sink(idx_dir, out_dir, max_bucket_size=8)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "id_a", "id_b", "n_shared_bands", "n_cut_buckets"
     )

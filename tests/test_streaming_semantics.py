@@ -364,17 +364,13 @@ def test_incremental_dedup_sink_hot_bucket_guard(spark, tmp_path):
     sink = incremental_dedup_sink(idx_dir, out_dir, kw, max_bucket_size=3)
     sink(batch, 0)
 
-    # no pair burst: either no parquet written or zero pair rows
-    pair_files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(out_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    ] if os.path.isdir(out_dir) else []
-    n_pairs = (
-        spark.read.parquet(out_dir).count() if pair_files else 0
-    )
-    assert n_pairs == 0, f"guard leaked {n_pairs} quadratic pairs"
+    # no pair burst — only the all-cut SENTINEL (NULL ids, the
+    # cut-bucket census: 10 identical docs -> one hot group per band)
+    rows = spark.read.parquet(out_dir).collect()
+    assert [
+        (r["id_a"], r["id_b"], r["n_shared_bands"], r["n_cut_buckets"])
+        for r in rows
+    ] == [(None, None, None, kw["bands"])], rows
 
     # but history accreted: the batch's bands are in the index
     idx = spark.read.parquet(idx_dir)
@@ -935,14 +931,13 @@ def test_incremental_srp_sink_hot_bucket_guard(spark, tmp_path):
     sink = incremental_srp_sink(idx_dir, out_dir, max_bucket_size=3)
     sink(batch, 0)
 
-    pair_files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(out_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    ] if os.path.isdir(out_dir) else []
-    n_pairs = spark.read.parquet(out_dir).count() if pair_files else 0
-    assert n_pairs == 0, f"guard leaked {n_pairs} quadratic pairs"
+    # no pair burst — only the all-cut SENTINEL (near-identical
+    # vectors share one hot bucket in every one of the 112 bands)
+    rows = spark.read.parquet(out_dir).collect()
+    assert [
+        (r["id_a"], r["id_b"], r["n_shared_bands"], r["n_cut_buckets"])
+        for r in rows
+    ] == [(None, None, None, 112)], rows
 
     # but history accreted: all 10 vectors' bands are in the index
     idx = spark.read.parquet(idx_dir)
