@@ -142,6 +142,8 @@ PIPELINE_PROBE = [
     "text_vocab_drift_report",
     "text_bpe_drift_report",
     "dedup_lsh_skew_report",
+    "stream_dedup_index_probe_guarded",
+    "stream_srp_index_probe_guarded",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —
