@@ -158,6 +158,9 @@ X100_PROBE = [
     "pipeline_dedup_keeper_lsh",
     "pipeline_semantic_keeper_guarded",
     "stream_semantic_dedup_probe_guarded",
+    "stream_dedup_index_probe_guarded",
+    "stream_srp_index_probe_guarded",
+    "dedup_lsh_skew_report",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
