@@ -1576,7 +1576,9 @@ def text_bpe_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py). Learned merges are data-dependent, so
     the report is rows-only by nature (the module contract); its
     oracle-backed sibling is text_vocab_drift_report on the same
-    cohort split.
+    cohort split. On the synthetic testdata both cohorts share the
+    same 31-type vocabulary, so equal compression (zero drift) is the
+    true answer there — the report's job is the comparison itself.
 
     Scale shape: merge training is one map-side-combined word count +
     a bounded driver merge loop; encoding runs once per DISTINCT word

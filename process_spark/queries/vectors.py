@@ -2554,7 +2554,9 @@ def vec_sq8_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass concentrating in many small components) and the SQ8 tier
     needs re-validation or a re-ranked composition
     (vec_ivf_sq8_rerank). One scan, map-side agg, 2 output rows;
-    quantization uses the real :func:`_sq8_unit_code` codes."""
+    quantization uses the real :func:`_sq8_unit_code` codes. The md5
+    fixture draws both cohorts from one distribution, so near-equal
+    cohort errors (no drift) are the true hash-checked answer there."""
     from process_spark.operators.similarity import _sq8_unit_code
 
     e = t(spark, sf_dir, "embeddings").select(
