@@ -321,15 +321,16 @@ BROADCAST_SITES = {
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
     "queries/streaming.py": (
-        15,
+        19,
         "constant event-type weights table + grouped-sketch pass-2 "
         "candidate/threshold tables (≤ capacity×|langs| / |langs| rows) "
         "+ 3 incremental-dedup-sink crash-compaction hygiene "
         "broadcasts (bounded per-micro-batch doc-id set and its "
         "≤|batch| sealed-own subset, probe + append sides) + 3 each "
         "for the vector and SRP sinks' round-10 sealed-own hygiene "
-        "(same bounds) + the guarded vector sink's 1-row cut-cell "
-        "census and its ≤1-row sentinel head probe",
+        "(same bounds) + each guarded sink's 1-row cut-group census "
+        "and its ≤1-row sentinel head probe (vector, text, SRP — 2 "
+        "sites per sink)",
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "queries/vectors.py": (
