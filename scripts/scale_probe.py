@@ -161,6 +161,10 @@ X100_PROBE = [
     "stream_dedup_index_probe_guarded",
     "stream_srp_index_probe_guarded",
     "dedup_lsh_skew_report",
+    "vec_pq_drift_report",
+    "vec_sq8_drift_report",
+    "text_vocab_drift_report",
+    "vec_ivf_rebuild_trigger",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
