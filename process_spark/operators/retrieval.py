@@ -1,0 +1,315 @@
+"""Text retrieval operators: BM25 scoring, inverted (postings) index
+with a partition-pruned stored layout, and reciprocal-rank fusion
+(SURVEY.md §2 contract extension "similarity search" — the lexical
+channel a hybrid retrieval stack pairs with the vector family in
+operators/similarity.py).
+
+Scale shape (the 100 TB contract):
+
+- **Query-terms-first pruning**: BM25 needs corpus statistics (df,
+  doc length, N, avgdl) only for the TERMS IN THE QUERY SET. The
+  kernel semi-joins the exploded corpus against the (tiny, broadcast)
+  query-term relation BEFORE any aggregation, so the shuffled state is
+  ``O(docs containing a query term)``, never the full corpus vocabulary
+  (billions of distinct tokens at 100 TB of multilingual text — the
+  same reason queries/text.py's TF-IDF refuses a broadcast hint on the
+  full df side).
+- **Integer-summed scores**: per-(query, doc, term) contributions are
+  half-up-scaled to int64 (``contrib_e6``) and SUMMED AS INTEGERS, so
+  the per-document score is order-independent and engine-exact — the
+  `_util` float policy applied one level earlier than usual, which is
+  what lets a DuckDB oracle hash-match a ranked float formula. The
+  only cross-engine wobble left is ``ln`` (libm vs JVM, ~1 ULP before
+  the 1e6 grid snaps it).
+- **Stored postings layout**: ``(term_bucket=hash(tok) % n_buckets)``
+  partition dirs, exactly the banded-index discipline of
+  operators/dedup.py — every posting for a term lives in ONE bucket,
+  so a probe reads ``len(query buckets) / n_buckets`` of the index via
+  PartitionFilters, and per-term document frequency is computable from
+  the pruned read alone. Global stats (N, total token count) ride in a
+  1-row ``_stats`` sidecar — the Lucene segment-stats shape — because
+  corpus-wide N must NOT be derived from a pruned scan.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from process_spark.functions.textfn import tokens
+
+#: Lucene-default BM25 parameters; inlined identically into oracles.
+K1 = 1.2
+B = 0.75
+
+#: Half-up scale for per-term contributions (``contrib_e6``): scores
+#: are O(1..30); 1e6 leaves ULP-level ln() noise ~1e-10 of the grid.
+SCORE_SCALE = 1_000_000
+
+
+def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(doc, token) term frequencies + per-doc token length:
+    ``(doc_id, tok, tf, dl)``. One explode + one hash agg (map-side
+    combine); dl rides the groupBy as a first() of a per-row constant
+    so the corpus is scanned once."""
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+        F.size(tokens(text_col)).alias("dl"),
+    )
+    return tk.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def _corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, float]:
+    """(N, avgdl) — exact integer sum of token lengths / exact count,
+    one bounded 1-row collect. Both engines compute the identical
+    bigint sum, then ONE IEEE division → bit-identical avgdl."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(text_col))).alias("sdl"),
+    ).collect()[0]
+    return int(row["n"]), float(row["sdl"]) / float(row["n"])
+
+
+def bm25_contrib_e6(
+    tf, df, dl, n_docs: int, avgdl: float, k1: float = K1, b: float = B
+):
+    """Half-up-scaled int64 BM25 contribution of one (query, doc, term)
+    match. Expression order is pinned — the DuckDB oracle replays the
+    identical parenthesization (queries/retrieval.py `_O_CONTRIB`):
+
+        idf    = ln(((N - df + 0.5) / (df + 0.5)) + 1.0)   # Lucene BM25
+        denom  = tf + k1 * ((1 - b) + b * (dl / avgdl))
+        contrib = idf * ((tf * (k1 + 1)) / denom)
+    """
+    idf = F.log(
+        ((F.lit(float(n_docs)) - F.col(df) + 0.5) / (F.col(df) + 0.5)) + 1.0
+    )
+    denom = F.col(tf) + k1 * (
+        (1.0 - b) + b * (F.col(dl) / F.lit(float(avgdl)))
+    )
+    contrib = idf * ((F.col(tf) * (k1 + 1.0)) / denom)
+    return F.floor(contrib * float(SCORE_SCALE) + 0.5).cast("long")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 score of every document against every query:
+    ``(query_id, doc_id, score_e6)`` — only (query, doc) pairs sharing
+    at least one term appear (score 0 pairs are implicit, as in any
+    posting-list engine).
+
+    ``query_terms`` is ``(query_id, term)`` — assumed SMALL (a query
+    workload, not a table) and broadcast. Corpus stats (df per term)
+    are computed AFTER the semi-join restriction to query terms, so
+    nothing vocabulary-sized ever shuffles."""
+    qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
+    terms = qt.select("tok").distinct()
+
+    dtf = doc_term_freqs(docs, id_col, text_col)
+    # restrict to query terms BEFORE df aggregation — the whole corpus
+    # vocabulary never aggregates.
+    hit = dtf.join(F.broadcast(terms), "tok", "left_semi")
+    df_t = hit.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+
+    n_docs, avgdl = _corpus_stats(docs, text_col)
+    contrib = (
+        hit.join(F.broadcast(qt), "tok")
+        .join(F.broadcast(df_t), "tok")
+        .select(
+            "query_id",
+            "doc_id",
+            bm25_contrib_e6("tf", "df", "dl", n_docs, avgdl, k1, b).alias(
+                "contrib_e6"
+            ),
+        )
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_e6").alias("score_e6")
+    )
+
+
+def topk_ranked(
+    scored: DataFrame, score_col: str, k: int, part_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-query top-k: rank on the SCALED INTEGER score
+    (desc) then id (asc) — rank ties cannot flip on float ULP seams
+    because the ordering key is already an exact integer."""
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stored postings index (the 5th stored-index family: MinHash / IVF /
+# SRP / SimHash / postings)
+# ---------------------------------------------------------------------------
+
+
+def postings_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Inverted-index rows ``(term_bucket, tok, doc_id, tf, dl)``.
+
+    ``dl`` is denormalized onto every posting (Lucene's norms file does
+    the same) so a pruned probe can score BM25 without touching any
+    other partition. ``term_bucket = pmod(hash(tok), n_buckets)`` is
+    the partition key: all postings for a term co-locate in one dir,
+    probe reads prune to the query's buckets via PartitionFilters, and
+    per-term df is exact within the pruned read."""
+    return doc_term_freqs(docs, id_col, text_col).select(
+        F.pmod(F.hash("tok"), F.lit(n_buckets)).cast("int").alias("term_bucket"),
+        "tok",
+        "doc_id",
+        "tf",
+        "dl",
+    )
+
+
+def write_postings_index(
+    pidx: DataFrame,
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Write postings partitioned by term_bucket (one file per dir per
+    batch — the compactable layout) plus the 1-row ``_stats`` sidecar
+    (n_docs, sum_dl). On append, stats are recomputed from the incoming
+    batch and ADDED to the stored row — global stats never require
+    re-scanning the historical corpus."""
+    stats_path = posixpath.join(path, "_stats")
+    data_path = posixpath.join(path, "data")
+    spark = pidx.sparkSession
+    batch = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("sum_dl"),
+    )
+    if mode == "append":
+        prev = spark.read.parquet(stats_path)
+        batch = (
+            batch.unionByName(prev)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+        ).localCheckpoint(eager=True)  # must not lazily read what we overwrite
+    (
+        pidx.repartition(64, F.col("term_bucket"))
+        .write.mode(mode)
+        .partitionBy("term_bucket")
+        .parquet(data_path)
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(stats_path)
+
+
+def bm25_probe_postings(
+    spark: SparkSession,
+    path: str,
+    query_terms: DataFrame,
+    n_buckets: int = 16,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score a query workload against the STORED postings index:
+    ``(query_id, doc_id, score_e6)``.
+
+    The probe computes each query term's bucket with the same
+    ``pmod(hash(tok), n_buckets)`` the writer used, collects the
+    bounded bucket IN-set (≤ n_buckets ints), and filters the stored
+    scan on it — PartitionFilters, so only the query's buckets' dirs
+    are opened. df per term comes from the pruned postings themselves
+    (complete by the co-location invariant); N/avgdl from the 1-row
+    sidecar."""
+    qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
+    buckets = sorted(
+        r["b"]
+        for r in qt.select(
+            F.pmod(F.hash("tok"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    stats = spark.read.parquet(posixpath.join(path, "_stats")).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["sum_dl"]) / float(stats["n_docs"])
+
+    stored = spark.read.parquet(posixpath.join(path, "data")).filter(
+        F.col("term_bucket").isin(buckets)
+    )
+    hit = stored.join(
+        F.broadcast(qt.select("tok").distinct()), "tok", "left_semi"
+    )
+    df_t = hit.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        hit.join(F.broadcast(qt), "tok")
+        .join(F.broadcast(df_t), "tok")
+        .select(
+            "query_id",
+            "doc_id",
+            bm25_contrib_e6("tf", "df", "dl", n_docs, avgdl, k1, b).alias(
+                "contrib_e6"
+            ),
+        )
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_e6").alias("score_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+#: RRF dampening constant (Cormack, Clarke & Buettcher SIGIR'09).
+RRF_K = 60
+
+#: Half-up scale for 1/(k + rank) contributions: one IEEE division of
+#: exact-integer operands then floor — bit-identical across engines.
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_contrib_e9(rank_col, k: int = RRF_K):
+    """int64 RRF contribution of one channel's rank."""
+    return F.floor(
+        F.lit(float(RRF_SCALE)) / (F.lit(float(k)) + F.col(rank_col)) + 0.5
+    ).cast("long")
+
+
+def rrf_fuse(channels: list[DataFrame], k: int = RRF_K) -> DataFrame:
+    """Fuse per-channel rankings ``(query_id, doc_id, rank)`` into
+    ``(query_id, doc_id, rrf_e9)``. A doc missing from a channel's
+    top-k contributes nothing for that channel (the standard RRF
+    union-of-top-k convention) — so the fuse is a unionByName + one
+    integer-sum groupBy, no outer join, no null handling."""
+    contribs = [
+        ch.select(
+            "query_id", "doc_id", rrf_contrib_e9("rank", k).alias("c_e9")
+        )
+        for ch in channels
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return allc.groupBy("query_id", "doc_id").agg(
+        F.sum("c_e9").alias("rrf_e9")
+    )

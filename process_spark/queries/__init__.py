@@ -25,5 +25,6 @@ from process_spark.queries import tpch_more  # noqa: E402,F401
 from process_spark.queries import tpch_rest  # noqa: E402,F401
 from process_spark.queries import pipeline  # noqa: E402,F401
 from process_spark.queries import suites  # noqa: E402,F401
+from process_spark.queries import retrieval  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "queries", "oracle_sql", "register"]

@@ -2465,3 +2465,70 @@ def pipeline_quality_cascade_dedup(
         .cast("long")
         .alias("total_scrubbed_words"),
     )
+
+
+@register(
+    "pipeline_domain_cap",
+    oracle="""
+    WITH rn AS (
+      SELECT source, lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn > 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cut,
+           md5(string_agg(CASE WHEN rn <= 4 THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id)) AS kept_ids_md5
+    FROM rn
+    GROUP BY source, lang
+    """,
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the crawl-pipeline rule "keep at most
+    N documents per (domain, language)" that stops a single boilerplate-
+    heavy site from dominating a training mix (the source column stands
+    in for the registered domain; the per-source fixture counts are
+    uniform BY CONSTRUCTION — 25 docs/source at every SF — so the cap
+    cells are (source, lang), whose sizes genuinely vary 1..16).
+
+    Selection is content-keyed and PRNG-free (the engine's sampling
+    policy): rank within each cell by md5(text) then doc_id — a
+    deterministic shuffle that keeps a content-hash-uniform sample, not
+    the first-N by crawl order, and replays identically in both
+    engines. One window over the cell partitioning, one hash agg — no
+    self-join; at 100 TB the cap is a single exchange keyed on the cell
+    (the same shape as pipeline_pack_sequences' per-source window), and
+    skewed mega-domains are exactly the rows the cap CUTS, so the
+    post-filter distribution is bounded by construction. Output: the
+    attrition report per cell plus an md5 chain over the kept doc-id
+    set (ORDER BY doc_id — selection is auditable, not just counted).
+    """
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5("text"), F.col("doc_id")
+    )
+    rn = d.select("source", "lang", "doc_id", "text").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept_ids = F.sort_array(
+        F.collect_list(F.when(F.col("rn") <= 4, F.col("doc_id")))
+    )
+    return rn.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cut"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(kept_ids, lambda x: x.cast("string"))
+            )
+        ).alias("kept_ids_md5"),
+    )

@@ -1,0 +1,290 @@
+"""Lexical + hybrid retrieval queries over ``documents`` /
+``embeddings`` (contract extension "similarity search" — the BM25
+channel, the stored inverted index, and reciprocal-rank fusion with
+the vector family).
+
+Scale shape: BM25 restricts every corpus aggregation to the QUERY
+TERMS before anything vocabulary-sized shuffles (operators/
+retrieval.py); the stored postings index prunes probes to the query's
+term buckets via PartitionFilters; fusion is a unionByName + one
+integer-sum groupBy. Scores are half-up-scaled int64 SUMS of per-term
+int64 contributions — order-independent and engine-exact, so ranked
+BM25 output hash-matches a DuckDB oracle (`_util` float policy applied
+per term instead of per aggregate).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from process_spark.operators.retrieval import (
+    B,
+    K1,
+    RRF_K,
+    RRF_SCALE,
+    SCORE_SCALE,
+    bm25_probe_postings,
+    bm25_scores,
+    postings_index,
+    rrf_fuse,
+    topk_ranked,
+    write_postings_index,
+)
+from process_spark.functions.textfn import tokens
+from process_spark.operators.similarity import brute_force_knn
+from process_spark.queries._util import t
+from process_spark.queries.registry import register
+from process_spark.queries.text import _O_TOKS
+from process_spark.queries.vectors import _o_dot, _o_unit_cte
+
+#: Fixed BM25 query workload — inlined identically into both engines
+#: (the fixed-seed-constants policy). Mid-frequency fixture terms so
+#: every query matches a strict subset of the corpus at every SF.
+_WORKLOAD: tuple[tuple[int, str], ...] = (
+    (0, "spark"), (0, "hash"), (0, "join"),
+    (1, "window"), (1, "sort"), (1, "order"),
+    (2, "slow"), (2, "customer"), (2, "scan"),
+    (3, "merge"), (3, "batch"), (3, "stream"), (3, "fast"),
+)
+
+#: DuckDB twin of the workload: ``(query_id INT, tok VARCHAR)``.
+_O_WORKLOAD = (
+    "SELECT CAST(q.query_id AS INT) AS query_id, q.tok FROM (VALUES "
+    + ", ".join(f"({qid}, '{term}')" for qid, term in _WORKLOAD)
+    + ") AS q(query_id, tok)"
+)
+
+# BM25 constants, Python-evaluated once and repr-inlined so both
+# engines parse the identical shortest-repr double literals.
+_K1 = repr(K1)
+_B = repr(B)
+_1MB = repr(1.0 - B)          # (1 - b)
+_K1P1 = repr(K1 + 1.0)        # (k1 + 1)
+_SC = repr(float(SCORE_SCALE))
+
+
+def _workload_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(_WORKLOAD), "query_id int, term string"
+    )
+
+
+def _o_bm25(p: str, qt_sql: str, where: str = "TRUE") -> str:
+    """CTE chain (prefix ``p``) replaying operators/retrieval.bm25_scores
+    over ``documents WHERE {where}`` for query terms ``qt_sql``
+    (query_id, tok). Terminal CTE: ``{p}score(query_id, doc_id,
+    score_e6)``. Expression parenthesization mirrors
+    bm25_contrib_e6 token for token — the scaled-int grid absorbs the
+    one remaining libm-vs-JVM ``ln`` ULP."""
+    return f"""
+    {p}q AS ({qt_sql}),
+    {p}d AS (SELECT doc_id, {_O_TOKS} AS toks FROM documents WHERE {where}),
+    {p}tk AS (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM {p}d),
+    {p}tf AS (SELECT doc_id, tok, MAX(dl) AS dl, COUNT(*) AS tf
+              FROM {p}tk GROUP BY doc_id, tok),
+    {p}hit AS (SELECT * FROM {p}tf WHERE tok IN (SELECT tok FROM {p}q)),
+    {p}df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+              FROM {p}hit GROUP BY tok),
+    {p}st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(len(toks)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM {p}d),
+    {p}contrib AS (
+      SELECT q.query_id, h.doc_id,
+             CAST(FLOOR(
+               ln((((s.n - f.df) + 0.5) / (f.df + 0.5)) + 1.0)
+               * ((h.tf * {_K1P1})
+                  / (h.tf + {_K1} * ({_1MB} + {_B} * (h.dl / s.avgdl))))
+               * {_SC} + 0.5) AS BIGINT) AS contrib_e6
+      FROM {p}hit h
+      JOIN {p}q q USING (tok)
+      JOIN {p}df f USING (tok)
+      CROSS JOIN {p}st s
+    ),
+    {p}score AS (SELECT query_id, doc_id,
+                        CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
+                 FROM {p}contrib GROUP BY query_id, doc_id)
+    """
+
+
+_O_TOPK = """
+    SELECT query_id, doc_id, score_e6,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_e6 DESC, doc_id) AS INT)
+             AS rank
+    FROM {score}
+    QUALIFY rank <= {k}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_o_bm25("b", _O_WORKLOAD)}
+    {_O_TOPK.format(score="bscore", k=10)}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval of a fixed 4-query workload — the lexical
+    channel of a retrieval stack (Robertson & Zaragoza's BM25 with
+    Lucene's +1 idf floor). Corpus statistics aggregate only AFTER the
+    semi-join onto the (broadcast) query terms, so the full corpus
+    vocabulary never shuffles; ranks order on the exact int64 score,
+    ties on doc_id — no float seam can flip a rank."""
+    d = t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, _workload_df(spark))
+    return topk_ranked(scored, "score_e6", k=10)
+
+
+@register(
+    "text_postings_stored_lifecycle",
+    # Phase 1 history = even docs (written as TWO batches — stats must
+    # accumulate across appends); phase 2 = all docs, probed AFTER the
+    # odd-docs append AND a full compaction. Storage layout (batch file
+    # counts, compaction) must be invisible: each phase's scores equal
+    # plain BM25 over that phase's corpus slice — which is exactly what
+    # the oracle computes, from the base table alone.
+    oracle=f"""
+    WITH {_o_bm25("p1", _O_WORKLOAD, where="doc_id % 2 = 0")},
+    {_o_bm25("p2", _O_WORKLOAD, where="TRUE")},
+    r1 AS ({_O_TOPK.format(score="p1score", k=10)}),
+    r2 AS ({_O_TOPK.format(score="p2score", k=10)})
+    SELECT CAST(1 AS INT) AS phase, * FROM r1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS phase, * FROM r2
+    """,
+)
+def text_postings_stored_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED inverted-index lifecycle — the 5th stored-index family
+    (after the MinHash / IVF / SRP / SimHash banded-or-celled layouts):
+    build postings for half the corpus in two ingest batches (stats
+    sidecar accumulates), probe the BM25 workload reading ONLY the
+    query terms' ``term_bucket`` dirs (PartitionFilters — asserted in
+    tests/test_plan_shapes.py), append the other half, COMPACT every
+    bucket dir to one file (operators.dedup.compact_partitioned_index),
+    and re-probe the full pool. Both phases must reproduce plain
+    in-memory BM25 over their corpus slice exactly."""
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.queries.io_udf import _SCRATCH
+
+    d = t(spark, sf_dir, "documents")
+    qt = _workload_df(spark)
+    path = os.path.join(_SCRATCH, "postings_index_lifecycle")
+
+    b0 = d.filter(F.col("doc_id") % 4 == 0)
+    write_postings_index(postings_index(b0), b0, path, mode="overwrite")
+    b1 = d.filter(F.col("doc_id") % 4 == 2)
+    write_postings_index(postings_index(b1), b1, path, mode="append")
+    spark.catalog.refreshByPath(path)
+    # materialize phase 1 BEFORE the next append mutates the index
+    r1 = topk_ranked(
+        bm25_probe_postings(spark, path, qt), "score_e6", k=10
+    ).localCheckpoint(eager=True)
+
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    write_postings_index(postings_index(b2), b2, path, mode="append")
+    compact_partitioned_index(
+        spark, os.path.join(path, "data"), ["term_bucket"]
+    )
+    spark.catalog.refreshByPath(path)
+    r2 = topk_ranked(bm25_probe_postings(spark, path, qt), "score_e6", k=10)
+
+    return r1.select(F.lit(1).cast("int").alias("phase"), "*").unionByName(
+        r2.select(F.lit(2).cast("int").alias("phase"), "*")
+    )
+
+
+#: Hybrid query set: query-by-example on every 100th embedding id; the
+#: paired document (doc_id = vec_id) supplies the lexical query terms.
+_Q_FILTER = "vec_id % 100 = 0"
+
+#: Lexical queries derived from the query docs' distinct tokens.
+_O_HYBRID_QT = f"""
+    SELECT d.doc_id AS query_id, unnest(list_distinct({_O_TOKS})) AS tok
+    FROM documents d
+    WHERE d.doc_id IN (SELECT vec_id FROM embeddings WHERE {_Q_FILTER})
+"""
+
+
+@register(
+    "vec_hybrid_rrf",
+    oracle=f"""
+    WITH {_o_bm25("b", _O_HYBRID_QT)},
+    lex AS ({_O_TOPK.format(score="bscore", k=10)}),
+    {_o_unit_cte("SELECT * FROM embeddings")},
+    vq AS (SELECT vec_id AS q_id, nemb AS q_emb FROM u WHERE {_Q_FILTER}),
+    vscored AS (
+      SELECT q.q_id AS query_id, e.vec_id AS doc_id,
+             {_o_dot("q.q_emb", "e.nemb")} AS score
+      FROM vq q CROSS JOIN u e
+    ),
+    vec AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS INT)
+               AS rank
+      FROM vscored
+      QUALIFY rank <= 10
+    ),
+    fused AS (
+      SELECT query_id, doc_id, CAST(SUM(c_e9) AS BIGINT) AS rrf_e9
+      FROM (
+        SELECT query_id, doc_id,
+               CAST(FLOOR({RRF_SCALE!r}.0 / ({RRF_K!r}.0 + rank) + 0.5)
+                    AS BIGINT) AS c_e9
+        FROM lex
+        UNION ALL
+        SELECT query_id, doc_id,
+               CAST(FLOOR({RRF_SCALE!r}.0 / ({RRF_K!r}.0 + rank) + 0.5)
+                    AS BIGINT) AS c_e9
+        FROM vec
+      )
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_e9,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e9 DESC, doc_id) AS INT)
+             AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+)
+def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical channel + exact-cosine vector
+    channel, fused by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher SIGIR'09: score = Σ 1/(60 + rank), union of per-channel
+    top-10). Query-by-example — every 100th embedding, with its paired
+    document's distinct tokens as the lexical query. RRF contributions
+    are int64 (one IEEE division of exact operands, then floor), so
+    fusion is an exact integer sum and the fused ranking is
+    engine-deterministic. The channels never join — fusion is a
+    unionByName + one small groupBy on (query, doc)."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+
+    q_ids = e.filter(F.expr(_Q_FILTER)).select("vec_id")
+    qt = d.join(F.broadcast(q_ids), d.doc_id == q_ids.vec_id).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(tokens("text"))).alias("term"),
+    )
+    lex = topk_ranked(bm25_scores(d, qt), "score_e6", k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+
+    q = e.filter(F.expr(_Q_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    vec = (
+        brute_force_knn(q, e, k=10)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+    )
+
+    fused = rrf_fuse([lex, vec])
+    return topk_ranked(fused, "rrf_e9", k=10)

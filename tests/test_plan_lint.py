@@ -78,6 +78,8 @@ CROSS_OK = {
                                 # err-report joins — bounded by construction
     "vec_ivf_rebuild_trigger",  # broadcast cell/centroid tables (k rows)
     "text_vocab_drift_report",  # 1-row occurrence census × 1-row type census
+    "vec_hybrid_rrf",           # brute_force_knn broadcast query side (every
+                                # 100th embedding — bounded by construction)
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -157,6 +159,19 @@ BROADCAST_HINT_OK = {
     ),
     "text_lexicon_score": "constant in-code lexicon table",
     "text_lsh_hot_bucket_guard": "1-row skipped-count + ≤1-row sentinel probe",
+    "text_bm25_topk": (
+        "query-workload term table (13 literal rows) + per-query-term "
+        "df table (≤ |workload terms| rows)"
+    ),
+    "text_postings_stored_lifecycle": (
+        "same bounded workload/df broadcasts as text_bm25_topk, "
+        "stored-probe side (phase 1 sits behind a localCheckpoint; "
+        "phase 2's hints are the visible ones)"
+    ),
+    "vec_hybrid_rrf": (
+        "lexical query terms from every-100th doc (bounded sample) + "
+        "per-term df table + brute_force_knn's bounded query side"
+    ),
     "vec_knn_bruteforce": "query side (fixed 1% id sample, bounded)",
     "vec_ann_srp_bucketed": "query side (fixed 1% id sample, bounded)",
     "vec_ivf_knn": "cell/probe tables (k rows)",
@@ -333,6 +348,17 @@ BROADCAST_SITES = {
         "sites per sink)",
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
+    "operators/retrieval.py": (
+        6,
+        "BM25's query-term table (a query workload, small by "
+        "contract), the per-query-term df table (≤ |workload terms| "
+        "rows), 3 sites each in bm25_scores and bm25_probe_postings",
+    ),
+    "queries/retrieval.py": (
+        1,
+        "hybrid-retrieval query-id sample (every 100th embedding id — "
+        "bounded by construction)",
+    ),
     "queries/vectors.py": (
         13,
         "bounded query-band/query/centroid sides (+2 tuner sample "

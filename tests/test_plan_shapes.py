@@ -595,3 +595,38 @@ def test_simhash_stored_index_prunes(spark):
                 continue
             files = [f for f in os.listdir(bk) if f.endswith(".parquet")]
             assert len(files) == 1, f"{band_dir}/{bucket_dir}: {len(files)}"
+
+
+def test_postings_stored_lifecycle_prunes_and_compacts(spark):
+    """text_postings_stored_lifecycle: (a) the stored-probe scan prunes
+    on term_bucket (the query terms' bucket IN-set reaches the parquet
+    scan as PartitionFilters); (b) after the overwrite + 2 appends and
+    the compaction every term_bucket dir holds exactly ONE file; (c)
+    both phases return rows (score parity with in-memory BM25 is the
+    registered exact-hash oracle's job)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from process_spark.queries.io_udf import _SCRATCH
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["text_postings_stored_lifecycle"].fn(spark, SF)
+    rows = df.collect()  # executes the full lifecycle incl. compaction
+    phases = {r["phase"] for r in rows}
+    assert phases == {1, 2}, phases
+
+    root = os.path.join(_SCRATCH, "postings_index_lifecycle", "data")
+    pruned = spark.read.parquet(root).filter(
+        F.col("term_bucket").isin([0, 3, 7])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "term_bucket" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+    for bucket_dir in os.listdir(root):
+        bp = os.path.join(root, bucket_dir)
+        if not os.path.isdir(bp):
+            continue
+        files = [f for f in os.listdir(bp) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{bucket_dir}: {len(files)} files"

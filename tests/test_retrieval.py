@@ -1,0 +1,154 @@
+"""BM25 / stored postings / RRF fusion semantics (operators/retrieval.py,
+queries/retrieval.py). The registered oracles prove engine parity; these
+tests pin the MATH (hand-computed BM25), the determinism contracts, and
+the stored-index stats accumulation the oracles can't see directly."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from process_spark.operators.retrieval import (
+    SCORE_SCALE,
+    bm25_probe_postings,
+    bm25_scores,
+    postings_index,
+    rrf_fuse,
+    topk_ranked,
+    write_postings_index,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _qt(spark, rows):
+    return spark.createDataFrame(rows, "query_id int, term string")
+
+
+def _expected_contrib(tf, df, dl, n, avgdl, k1=1.2, b=0.75):
+    """Python replay of bm25_contrib_e6's exact expression order."""
+    idf = math.log(((float(n) - df + 0.5) / (df + 0.5)) + 1.0)
+    denom = tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+    return math.floor(idf * ((tf * (k1 + 1.0)) / denom) * SCORE_SCALE + 0.5)
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus, 1-term query: the score is the hand-computed
+    Lucene-BM25 value (±1 grid cell for the JVM-vs-libm ln ULP)."""
+    d = _docs(
+        spark,
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["score_e6"]
+        for r in bm25_scores(d, _qt(spark, [(0, "apple")])).collect()
+    }
+    assert set(out) == {1}  # only d1 contains 'apple'
+    want = _expected_contrib(tf=2, df=1, dl=3, n=3, avgdl=3.0)
+    assert abs(out[1] - want) <= 1, (out[1], want)
+
+
+def test_bm25_tf_and_rarity_monotone(spark):
+    """More occurrences of the query term → higher score (same dl);
+    a rarer term outranks a common one at equal tf/dl."""
+    d = _docs(
+        spark,
+        [
+            (1, "x x y z"),
+            (2, "x y y z"),   # same length, fewer x
+            (3, "w q r s"),
+            (4, "w a b c"),   # 'w' in 2 docs, 'q' in 1 — q is rarer
+        ],
+    )
+    s = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(
+            d, _qt(spark, [(0, "x"), (1, "w"), (2, "q")])
+        ).collect()
+    }
+    assert s[(0, 1)] > s[(0, 2)]          # tf monotone
+    assert s[(2, 3)] > s[(1, 3)]          # rarity (df) monotone
+
+
+def test_topk_ties_break_on_doc_id(spark):
+    scored = spark.createDataFrame(
+        [(0, 10, 100), (0, 7, 100), (0, 3, 200)],
+        "query_id int, doc_id long, score_e6 long",
+    )
+    rows = topk_ranked(scored, "score_e6", k=2).orderBy("rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(3, 1), (7, 2)]
+
+
+def test_rrf_both_channels_beat_one(spark):
+    """A doc ranked 3rd in BOTH channels fuses above a doc ranked 1st
+    in only one (1/63 + 1/63 > 1/61) — the union-not-intersection RRF
+    convention, and the integer contribution math."""
+    ch1 = spark.createDataFrame(
+        [(0, 100, 1), (0, 300, 3)], "query_id long, doc_id long, rank int"
+    )
+    ch2 = spark.createDataFrame(
+        [(0, 200, 1), (0, 300, 3)], "query_id long, doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r["rrf_e9"] for r in rrf_fuse([ch1, ch2]).collect()}
+    assert out[300] > out[100] == out[200]
+    want = math.floor(1e9 / 63.0 + 0.5) * 2
+    assert out[300] == want
+
+
+def test_postings_stats_accumulate_across_appends(spark, tmp_path):
+    """The 1-row _stats sidecar must hold corpus-wide N / Σdl after
+    appends (global BM25 stats never re-scan history), and the stored
+    probe must equal the in-memory kernel on the union corpus."""
+    path = str(tmp_path / "pidx")
+    b0 = _docs(spark, [(1, "apple banana apple"), (2, "banana cherry")])
+    b1 = _docs(spark, [(3, "cherry cherry cherry durian")])
+    write_postings_index(postings_index(b0), b0, path, mode="overwrite")
+    write_postings_index(postings_index(b1), b1, path, mode="append")
+
+    stats = spark.read.parquet(path + "/_stats").collect()[0]
+    assert (stats["n_docs"], stats["sum_dl"]) == (3, 9)
+
+    qt = _qt(spark, [(0, "apple"), (0, "cherry"), (1, "banana")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(b0.unionByName(b1), qt).collect()
+    }
+    assert got == want and len(got) == 5
+
+
+def test_domain_cap_invariants(spark):
+    """pipeline_domain_cap: kept ≤ cap, kept + cut = total, and the
+    kept-id selection is deterministic across runs (same md5 chain)."""
+    from process_spark.queries.registry import REGISTRY
+
+    fn = REGISTRY["pipeline_domain_cap"].fn
+    a = {tuple(r[:2]): r[2:] for r in map(tuple, fn(spark, SF_SMALL).collect())}
+    b = {tuple(r[:2]): r[2:] for r in map(tuple, fn(spark, SF_SMALL).collect())}
+    assert a == b
+    for (_, _), (n_docs, n_kept, n_cut, _md5) in a.items():
+        assert n_kept <= 4 and n_kept + n_cut == n_docs
+
+
+def test_hybrid_rrf_self_retrieval(spark):
+    """Query-by-example sanity: each query's own item is rank 1 in the
+    fused output (it is rank 1 in BOTH channels — exact-duplicate text
+    and a cosine-1.0 vector with doc_id/vec_id the smallest tiebreak)."""
+    from process_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["vec_hybrid_rrf"].fn(spark, SF_SMALL).collect()
+    top = {r["query_id"]: r["doc_id"] for r in rows if r["rank"] == 1}
+    assert top and all(qid == did for qid, did in top.items())
