@@ -249,9 +249,18 @@ def bm25_probe_postings(
         .distinct()
         .collect()
     )
-    stats = spark.read.parquet(posixpath.join(path, "_stats")).collect()[0]
-    n_docs = int(stats["n_docs"])
-    avgdl = float(stats["sum_dl"]) / float(stats["n_docs"])
+    # Two sidecar layouts share this reader: the batch lifecycle's
+    # single accumulated row, and the streaming layout's one row PER
+    # ingested batch (partitionBy(batch_id) — replay overwrites its own
+    # row). Integer-summing the rows is exact either way, and the one
+    # IEEE division lands both engines on the identical avgdl.
+    stats = (
+        spark.read.parquet(posixpath.join(path, "_stats"))
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("sdl"))
+        .collect()[0]
+    )
+    n_docs = int(stats["n"])
+    avgdl = float(stats["sdl"]) / float(stats["n"])
 
     stored = spark.read.parquet(posixpath.join(path, "data")).filter(
         F.col("term_bucket").isin(buckets)
@@ -313,3 +322,84 @@ def rrf_fuse(channels: list[DataFrame], k: int = RRF_K) -> DataFrame:
     return allc.groupBy("query_id", "doc_id").agg(
         F.sum("c_e9").alias("rrf_e9")
     )
+
+
+def incremental_postings_sink(path: str, n_buckets: int = 16):
+    """foreachBatch sink of the CONTINUOUS postings-index maintenance
+    stream — the streaming column of the postings (inverted-index)
+    lifecycle, the same rhythm as the engine's MinHash/IVF/SRP sinks
+    (queries/streaming.py). Unlike the dedup sinks there is no
+    per-batch pair emission: BM25 retrieval is a query-time op, so the
+    stream's whole job is keeping the index fresh — per micro-batch,
+    append the batch's postings under ``(term_bucket, batch_id)`` and
+    its 1-row corpus-stats delta under ``_stats/batch_id=B``.
+
+    Idempotence: both writes use dynamic partition overwrite keyed on
+    the batch (exactly-once-via-batchId), so at-least-once replay
+    rewrites identical rows instead of double-counting — including the
+    stats row, which is why stats are stored per batch and SUMMED at
+    probe time rather than accumulated in place (an accumulate-on-
+    append sidecar would double-add under replay).
+
+    Sealed-own crash-compaction hygiene (the invariant all the
+    engine's streaming sinks share — see compact_partitioned_index's
+    crash-ordering caveat): if a compaction sealed this batch's
+    postings into ``batch_id = -1`` after a mid-batch crash, the
+    replayed batch detects its own sealed doc_ids — one lookup pruned
+    to the batch's term-bucket IN-set (≤ n_buckets partitions),
+    semi-joined against the bounded batch doc-id set — and excludes
+    them from the re-append. Bucketing is deterministic, so every
+    sealed copy sits exactly in the batch's own bucket partitions.
+    Empty (and nearly free) on every clean run. The stats row needs no
+    such guard: replay overwrites it with identical values.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        data_dir = posixpath.join(path, "data")
+        stats_dir = posixpath.join(path, "_stats")
+        pidx = postings_index(batch_df, n_buckets=n_buckets).localCheckpoint(
+            eager=False
+        )  # two consumers: bucket IN-set + append
+        buckets = sorted(  # bounded: ≤ n_buckets ints
+            r["term_bucket"]
+            for r in pidx.select("term_bucket").distinct().collect()
+        )
+        sealed_own = (
+            ss.read.parquet(data_dir)
+            .filter(
+                (F.col("batch_id") == -1)
+                & F.col("term_bucket").isin(buckets)
+            )
+            .join(
+                F.broadcast(batch_df.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        (
+            pidx.join(F.broadcast(sealed_own), "doc_id", "left_anti")
+            .withColumn("batch_id", F.lit(batch_id))
+            .repartition(8, F.col("term_bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("term_bucket", "batch_id")
+            .parquet(data_dir)
+        )
+        (
+            batch_df.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(tokens("text"))).cast("long").alias("sum_dl"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(stats_dir)
+        )
+        ss.catalog.refreshByPath(data_dir)
+
+    return sink

@@ -288,3 +288,160 @@ def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fused = rrf_fuse([lex, vec])
     return topk_ranked(fused, "rrf_e9", k=10)
+
+
+#: Shared oracle for the streamed postings probes: the stored layout,
+#: the batching, the restart, and the compaction are all
+#: storage/lifecycle details — the final probe must equal plain BM25
+#: over the WHOLE corpus, which is text_bm25_topk's relation verbatim.
+_O_STREAM_BM25 = f"""
+    WITH {_o_bm25("b", _O_WORKLOAD)}
+    {_O_TOPK.format(score="bscore", k=10)}
+    """
+
+
+def _bootstrap_postings(spark: SparkSession, path: str, hist: DataFrame) -> None:
+    """Write the pre-stream history under the sink's streaming layout:
+    postings partitioned (term_bucket, batch_id = -1), stats sidecar
+    one row per batch partitioned (batch_id = -1)."""
+    from process_spark.operators.retrieval import postings_index as _pi
+
+    (
+        _pi(hist)
+        .withColumn("batch_id", F.lit(-1))
+        .repartition(8, F.col("term_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket", "batch_id")
+        .parquet(os.path.join(path, "data"))
+    )
+    (
+        hist.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text"))).cast("long").alias("sum_dl"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(path, "_stats"))
+    )
+
+
+def _run_postings_wave(spark: SparkSession, base: str, docs_schema) -> None:
+    from process_spark.operators.retrieval import incremental_postings_sink
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "incoming"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_postings_sink(os.path.join(base, "index"))
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register("stream_bm25_index_probe", oracle=_O_STREAM_BM25)
+def stream_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O74+O95 — the postings index under CONTINUOUS ingestion: the
+    historical half of the corpus (even doc_ids) bootstraps the stored
+    layout as batch_id = -1; new documents arrive as a file stream
+    (availableNow, maxFilesPerTrigger=1 → multiple micro-batches) and
+    each micro-batch appends its postings + its 1-row stats delta,
+    idempotent per batch_id (incremental_postings_sink). The final
+    BM25 probe of the stored index must equal the in-memory kernel
+    over the whole corpus NO MATTER how the source batched the files —
+    batch-count invariance is trivial here by index-accretion
+    idempotence, and that is exactly what makes continuous maintenance
+    the right streaming story for a query-time operator (no per-batch
+    emission to keep invariant). Replay and sealed-own crash hygiene
+    are pinned in tests/test_retrieval.py."""
+    import shutil
+
+    base = os.path.join(_scratch(), "stream_postings_index")
+    shutil.rmtree(base, ignore_errors=True)
+    d = t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    _bootstrap_postings(spark, os.path.join(base, "index"),
+                        docs.filter(F.col("doc_id") % 2 == 0))
+
+    src = os.path.join(base, "incoming")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    odd.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    odd.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_postings_wave(spark, base, docs.schema)
+
+    return topk_ranked(
+        bm25_probe_postings(
+            spark, os.path.join(base, "index"), _workload_df(spark)
+        ),
+        "score_e6",
+        k=10,
+    )
+
+
+@register("stream_bm25_index_compacted", oracle=_O_STREAM_BM25)
+def stream_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O74+O95 — the postings family's full production lifecycle:
+    ingest wave 1, STOP the driver, run the offline maintenance pass
+    (compact_partitioned_index — every (term_bucket, batch_id) dir
+    rewritten to one file, batch_ids SEALED to -1), then RESUME wave 2
+    against the same checkpoint and probe. The sealed index is safe to
+    resume onto because the sink detects its own sealed doc_ids before
+    re-appending (the engine's sealed-own hygiene invariant); the
+    stats sidecar stays per-batch and is NOT compacted — summing its
+    rows is exact regardless. Final probe = whole-corpus BM25, same
+    oracle as the probe twin."""
+    import shutil
+
+    from process_spark.operators.dedup import compact_partitioned_index
+
+    base = os.path.join(_scratch(), "stream_postings_compacted")
+    shutil.rmtree(base, ignore_errors=True)
+    d = t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    _bootstrap_postings(spark, os.path.join(base, "index"),
+                        docs.filter(F.col("doc_id") % 2 == 0))
+
+    src = os.path.join(base, "incoming")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    # wave 1, then "driver stops"
+    odd.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _run_postings_wave(spark, base, docs.schema)
+    # offline maintenance between waves: one file per dir, seal history
+    compact_partitioned_index(
+        spark,
+        os.path.join(base, "index", "data"),
+        ["term_bucket", "batch_id"],
+    )
+    spark.catalog.refreshByPath(os.path.join(base, "index", "data"))
+    # wave 2: rest of the stream, same checkpoint (resume)
+    odd.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_postings_wave(spark, base, docs.schema)
+
+    return topk_ranked(
+        bm25_probe_postings(
+            spark, os.path.join(base, "index"), _workload_df(spark)
+        ),
+        "score_e6",
+        k=10,
+    )
+
+
+def _scratch() -> str:
+    from process_spark.queries.io_udf import _SCRATCH
+
+    return _SCRATCH

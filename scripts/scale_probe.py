@@ -144,6 +144,12 @@ PIPELINE_PROBE = [
     "dedup_lsh_skew_report",
     "stream_dedup_index_probe_guarded",
     "stream_srp_index_probe_guarded",
+    "text_bm25_topk",
+    "text_postings_stored_lifecycle",
+    "vec_hybrid_rrf",
+    "pipeline_domain_cap",
+    "stream_bm25_index_probe",
+    "stream_bm25_index_compacted",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —
@@ -165,6 +171,8 @@ X100_PROBE = [
     "vec_sq8_drift_report",
     "text_vocab_drift_report",
     "vec_ivf_rebuild_trigger",
+    "text_bm25_topk",
+    "pipeline_domain_cap",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -209,6 +217,13 @@ QUADRATIC_BY_DESIGN = {
     "recall/cost knob, and the isotropic worst case pins the default "
     "at 6/8 cells (a clustered corpus tunes it down via ivf_tune_n_probe); "
     "the exact re-rank tail is bounded at 4k ids/query",
+    "vec_hybrid_rrf": "the probe derives its query-by-example set "
+    "from every 100th id, so at x10 BOTH the query workload and the "
+    "corpus grow 10x and the cosine channel's scored pair count grows "
+    "~100x (same |Q| x |C| shape as vec_knn_bruteforce); in a real "
+    "deployment the query workload is FIXED, so the production ratio "
+    "tracks corpus size only - text_bm25_topk (fixed workload) shows "
+    "the corpus-linear behavior",
     "dedup_connected_components": "replicated docs are true near-dups; "
     "the edge set (exact Jaccard pairs within blocks) grows "
     "~quadratically per duplicated doc before components form",

@@ -168,6 +168,14 @@ BROADCAST_HINT_OK = {
         "stored-probe side (phase 1 sits behind a localCheckpoint; "
         "phase 2's hints are the visible ones)"
     ),
+    "stream_bm25_index_probe": (
+        "same bounded workload/df broadcasts — the final stored-index "
+        "probe after the stream drains"
+    ),
+    "stream_bm25_index_compacted": (
+        "same bounded workload/df broadcasts — the final probe of the "
+        "compacted, resumed index"
+    ),
     "vec_hybrid_rrf": (
         "lexical query terms from every-100th doc (bounded sample) + "
         "per-term df table + brute_force_knn's bounded query side"
@@ -349,10 +357,13 @@ BROADCAST_SITES = {
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "operators/retrieval.py": (
-        6,
+        8,
         "BM25's query-term table (a query workload, small by "
         "contract), the per-query-term df table (≤ |workload terms| "
-        "rows), 3 sites each in bm25_scores and bm25_probe_postings",
+        "rows), 3 sites each in bm25_scores and bm25_probe_postings; "
+        "+2 in incremental_postings_sink's sealed-own hygiene "
+        "(bounded per-micro-batch doc-id set and its ≤|batch| sealed "
+        "subset — the same bounds as the other three sinks)",
     ),
     "queries/retrieval.py": (
         1,

@@ -152,3 +152,71 @@ def test_hybrid_rrf_self_retrieval(spark):
     rows = REGISTRY["vec_hybrid_rrf"].fn(spark, SF_SMALL).collect()
     top = {r["query_id"]: r["doc_id"] for r in rows if r["rank"] == 1}
     assert top and all(qid == did for qid, did in top.items())
+
+
+def test_postings_sink_replay_and_sealed_own(spark, tmp_path):
+    """incremental_postings_sink: (a) replaying a batch (at-least-once
+    delivery) leaves index rows AND summed stats unchanged — dynamic
+    partition overwrite keyed on batch_id; (b) after a compaction that
+    sealed the batch into batch_id = -1 (the crash-compaction race), a
+    replay detects its own sealed doc_ids and appends NOTHING — no
+    duplicated postings, probe still equals the in-memory kernel."""
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.operators.retrieval import incremental_postings_sink
+
+    path = str(tmp_path / "pidx")
+    hist = _docs(spark, [(0, "apple banana"), (2, "banana cherry")])
+    # bootstrap history as batch_id = -1 under the streaming layout
+    from pyspark.sql import functions as FF
+
+    postings_index(hist).withColumn("batch_id", FF.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket", "batch_id").parquet(path + "/data")
+    hist.agg(
+        FF.count(FF.lit(1)).alias("n_docs"),
+        FF.sum(FF.size(FF.split("text", " "))).cast("long").alias("sum_dl"),
+    ).withColumn("batch_id", FF.lit(-1)).write.mode("overwrite").partitionBy(
+        "batch_id"
+    ).parquet(path + "/_stats")
+
+    sink = incremental_postings_sink(path)
+    batch = _docs(spark, [(1, "apple cherry durian"), (3, "durian apple")])
+
+    def state():
+        rows = sorted(
+            map(tuple, spark.read.parquet(path + "/data")
+                .select("tok", "doc_id", "tf", "dl").collect())
+        )
+        st = spark.read.parquet(path + "/_stats").agg(
+            FF.sum("n_docs"), FF.sum("sum_dl")
+        ).collect()[0]
+        return rows, tuple(st)
+
+    sink(batch, 0)
+    first = state()
+    sink(batch, 0)  # clean replay
+    assert state() == first
+
+    # crash-compaction race: seal everything to batch_id = -1, replay
+    compact_partitioned_index(spark, path + "/data", ["term_bucket", "batch_id"])
+    spark.catalog.refreshByPath(path + "/data")
+    sealed_rows = sorted(
+        map(tuple, spark.read.parquet(path + "/data")
+            .select("tok", "doc_id", "tf", "dl").collect())
+    )
+    assert sealed_rows == first[0]  # compaction moved bytes, not rows
+    sink(batch, 0)  # replay AFTER sealing — must append nothing
+    rows_after, stats_after = state()
+    assert rows_after == first[0], "sealed-own replay duplicated postings"
+    assert stats_after == first[1]
+
+    qt = _qt(spark, [(0, "apple"), (0, "durian")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(hist.unionByName(batch), qt).collect()
+    }
+    assert got == want
