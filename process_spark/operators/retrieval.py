@@ -54,11 +54,23 @@ def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-(doc, token) term frequencies + per-doc token length:
     ``(doc_id, tok, tf, dl)``. One explode + one hash agg (map-side
     combine); dl rides the groupBy as a first() of a per-row constant
-    so the corpus is scanned once."""
-    tk = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(text_col)).alias("tok"),
-        F.size(tokens(text_col)).alias("dl"),
+    so the corpus is scanned once. The tokens() HOF (interpreted, not
+    codegen'd — the expensive per-row stage) is evaluated exactly ONCE
+    per document: projected below the Generate, with explode_OUTER +
+    a post-Generate null filter instead of plain explode — Catalyst's
+    InferFiltersFromGenerate would otherwise push an
+    isnotnull/size pre-filter below the projection and re-inline the
+    tokenize into it (measured: 3 evaluations per row)."""
+    tk = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+        )
+        .select(
+            "doc_id",
+            F.explode_outer("__toks").alias("tok"),
+            F.size("__toks").alias("dl"),
+        )
+        .filter(F.col("tok").isNotNull())
     )
     return tk.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
@@ -73,7 +85,13 @@ def _corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, float]:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(tokens(text_col))).alias("sdl"),
     ).collect()[0]
-    return int(row["n"]), float(row["sdl"]) / float(row["n"])
+    n = int(row["n"])
+    # Degenerate corpora (0 docs → sdl NULL; all-empty docs → sdl 0)
+    # must not crash: no (doc, term) hit row exists to evaluate a
+    # score against, so the avgdl placeholder is never read.
+    if n == 0:
+        return 0, 1.0
+    return n, float(row["sdl"] or 0) / float(n)
 
 
 def bm25_contrib_e6(
@@ -186,35 +204,49 @@ def postings_index(
 
 
 def write_postings_index(
-    pidx: DataFrame,
     docs: DataFrame,
     path: str,
+    id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "overwrite",
+    n_buckets: int = 16,
 ) -> None:
-    """Write postings partitioned by term_bucket (one file per dir per
-    batch — the compactable layout) plus the 1-row ``_stats`` sidecar
-    (n_docs, sum_dl). On append, stats are recomputed from the incoming
-    batch and ADDED to the stored row — global stats never require
-    re-scanning the historical corpus."""
+    """Write ``postings_index(docs)`` partitioned by term_bucket (one
+    file per dir per batch — the compactable layout) plus the 1-row
+    ``_stats`` sidecar (n_docs, sum_dl, n_buckets). The postings are
+    derived HERE from the same ``docs`` the stats aggregate — a
+    (pidx, docs) parameter pair would let the two silently diverge.
+    On append, stats are recomputed from the incoming batch and ADDED
+    to the stored row — global stats never require re-scanning the
+    historical corpus. ``n_buckets`` is persisted with the stats so a
+    probe under a different bucket count fails loudly instead of
+    pruning to the wrong partitions."""
     stats_path = posixpath.join(path, "_stats")
     data_path = posixpath.join(path, "data")
-    spark = pidx.sparkSession
+    spark = docs.sparkSession
     batch = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(text_col))).cast("long").alias("sum_dl"),
-    )
+    ).withColumn("n_buckets", F.lit(n_buckets).cast("int"))
     if mode == "append":
         prev = spark.read.parquet(stats_path)
+        stored_nb = int(prev.collect()[0]["n_buckets"])
+        if stored_nb != n_buckets:
+            raise ValueError(
+                f"postings index at {path} was written with "
+                f"n_buckets={stored_nb}, append requested {n_buckets}"
+            )
         batch = (
             batch.unionByName(prev)
             .agg(
                 F.sum("n_docs").alias("n_docs"),
                 F.sum("sum_dl").alias("sum_dl"),
+                F.max("n_buckets").alias("n_buckets"),
             )
         ).localCheckpoint(eager=True)  # must not lazily read what we overwrite
     (
-        pidx.repartition(64, F.col("term_bucket"))
+        postings_index(docs, id_col, text_col, n_buckets)
+        .repartition(64, F.col("term_bucket"))
         .write.mode(mode)
         .partitionBy("term_bucket")
         .parquet(data_path)
@@ -256,11 +288,29 @@ def bm25_probe_postings(
     # IEEE division lands both engines on the identical avgdl.
     stats = (
         spark.read.parquet(posixpath.join(path, "_stats"))
-        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("sdl"))
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("sdl"),
+            F.min("n_buckets").alias("nb_min"),
+            F.max("n_buckets").alias("nb_max"),
+        )
         .collect()[0]
     )
-    n_docs = int(stats["n"])
-    avgdl = float(stats["sdl"]) / float(stats["n"])
+    # Bucket-count mismatch = silently wrong pruning (query terms would
+    # be looked up in partitions the writer never used) — fail loudly.
+    if stats["nb_min"] is not None and (
+        stats["nb_min"] != n_buckets or stats["nb_max"] != n_buckets
+    ):
+        raise ValueError(
+            f"postings index at {path} was written with n_buckets="
+            f"{stats['nb_min']}..{stats['nb_max']}, probe requested "
+            f"{n_buckets}"
+        )
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        avgdl = 1.0  # empty index: no hit rows exist to score
+    else:
+        avgdl = float(stats["sdl"] or 0) / float(n_docs)
 
     stored = spark.read.parquet(posixpath.join(path, "data")).filter(
         F.col("term_bucket").isin(buckets)
@@ -352,6 +402,14 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
     sealed copy sits exactly in the batch's own bucket partitions.
     Empty (and nearly free) on every clean run. The stats row needs no
     such guard: replay overwrites it with identical values.
+
+    Precondition (shared with the engine's other streaming sinks):
+    doc_ids are append-only and unique across the index lifetime — a
+    batch never re-ingests a doc_id the index already holds. This
+    stream models index GROWTH; re-ingesting an existing doc_id is an
+    UPDATE, which this sink does not implement (the sealed-own
+    anti-join would drop the new postings while the stats row still
+    counted the doc — stale index, skewed N/avgdl).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -393,6 +451,7 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.size(tokens("text"))).cast("long").alias("sum_dl"),
             )
+            .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
             .withColumn("batch_id", F.lit(batch_id))
             .coalesce(1)
             .write.mode("overwrite")

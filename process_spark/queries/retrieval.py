@@ -28,7 +28,6 @@ from process_spark.operators.retrieval import (
     SCORE_SCALE,
     bm25_probe_postings,
     bm25_scores,
-    postings_index,
     rrf_fuse,
     topk_ranked,
     write_postings_index,
@@ -175,9 +174,9 @@ def text_postings_stored_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
     path = os.path.join(_SCRATCH, "postings_index_lifecycle")
 
     b0 = d.filter(F.col("doc_id") % 4 == 0)
-    write_postings_index(postings_index(b0), b0, path, mode="overwrite")
+    write_postings_index(b0, path, mode="overwrite")
     b1 = d.filter(F.col("doc_id") % 4 == 2)
-    write_postings_index(postings_index(b1), b1, path, mode="append")
+    write_postings_index(b1, path, mode="append")
     spark.catalog.refreshByPath(path)
     # materialize phase 1 BEFORE the next append mutates the index
     r1 = topk_ranked(
@@ -185,7 +184,7 @@ def text_postings_stored_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
     ).localCheckpoint(eager=True)
 
     b2 = d.filter(F.col("doc_id") % 2 == 1)
-    write_postings_index(postings_index(b2), b2, path, mode="append")
+    write_postings_index(b2, path, mode="append")
     compact_partitioned_index(
         spark, os.path.join(path, "data"), ["term_bucket"]
     )
@@ -319,6 +318,7 @@ def _bootstrap_postings(spark: SparkSession, path: str, hist: DataFrame) -> None
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(tokens("text"))).cast("long").alias("sum_dl"),
         )
+        .withColumn("n_buckets", F.lit(16).cast("int"))
         .withColumn("batch_id", F.lit(-1))
         .coalesce(1)
         .write.mode("overwrite")
@@ -419,11 +419,16 @@ def stream_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(src)
     _run_postings_wave(spark, base, docs.schema)
-    # offline maintenance between waves: one file per dir, seal history
+    # offline maintenance between waves: one file per dir, seal history.
+    # part_cols is the NON-batch key only — the compactor's sealing
+    # branch requires batch_id to be a rewritable column, not a
+    # partition key it must preserve (operators/dedup.py `has_batch`);
+    # passing it in part_cols would silently skip the seal and leave
+    # one file per (bucket, batch) dir.
     compact_partitioned_index(
         spark,
         os.path.join(base, "index", "data"),
-        ["term_bucket", "batch_id"],
+        ["term_bucket"],
     )
     spark.catalog.refreshByPath(os.path.join(base, "index", "data"))
     # wave 2: rest of the stream, same checkpoint (resume)

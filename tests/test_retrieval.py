@@ -112,8 +112,8 @@ def test_postings_stats_accumulate_across_appends(spark, tmp_path):
     path = str(tmp_path / "pidx")
     b0 = _docs(spark, [(1, "apple banana apple"), (2, "banana cherry")])
     b1 = _docs(spark, [(3, "cherry cherry cherry durian")])
-    write_postings_index(postings_index(b0), b0, path, mode="overwrite")
-    write_postings_index(postings_index(b1), b1, path, mode="append")
+    write_postings_index(b0, path, mode="overwrite")
+    write_postings_index(b1, path, mode="append")
 
     stats = spark.read.parquet(path + "/_stats").collect()[0]
     assert (stats["n_docs"], stats["sum_dl"]) == (3, 9)
@@ -175,7 +175,9 @@ def test_postings_sink_replay_and_sealed_own(spark, tmp_path):
     hist.agg(
         FF.count(FF.lit(1)).alias("n_docs"),
         FF.sum(FF.size(FF.split("text", " "))).cast("long").alias("sum_dl"),
-    ).withColumn("batch_id", FF.lit(-1)).write.mode("overwrite").partitionBy(
+    ).withColumn("n_buckets", FF.lit(16).cast("int")).withColumn(
+        "batch_id", FF.lit(-1)
+    ).write.mode("overwrite").partitionBy(
         "batch_id"
     ).parquet(path + "/_stats")
 
@@ -197,12 +199,18 @@ def test_postings_sink_replay_and_sealed_own(spark, tmp_path):
     sink(batch, 0)  # clean replay
     assert state() == first
 
-    # crash-compaction race: seal everything to batch_id = -1, replay
-    compact_partitioned_index(spark, path + "/data", ["term_bucket", "batch_id"])
+    # crash-compaction race: seal everything to batch_id = -1, replay.
+    # part_cols = the non-batch key only — including batch_id would
+    # disable the compactor's sealing branch and make this test
+    # vacuous (replay idempotence alone would pass it).
+    compact_partitioned_index(spark, path + "/data", ["term_bucket"])
     spark.catalog.refreshByPath(path + "/data")
+    sealed = spark.read.parquet(path + "/data")
+    assert sealed.filter(FF.col("batch_id") != -1).count() == 0, (
+        "compaction did not seal batch_ids to -1"
+    )
     sealed_rows = sorted(
-        map(tuple, spark.read.parquet(path + "/data")
-            .select("tok", "doc_id", "tf", "dl").collect())
+        map(tuple, sealed.select("tok", "doc_id", "tf", "dl").collect())
     )
     assert sealed_rows == first[0]  # compaction moved bytes, not rows
     sink(batch, 0)  # replay AFTER sealing — must append nothing
