@@ -45,6 +45,10 @@ HEADLINE = [
     "text_lsh_hot_bucket_guard",
     "pipeline_lm_quality_score",
     "pipeline_scrubbed_pack",
+    # round-10 retrieval family: fixed-workload BM25 (corpus-linear)
+    # and the hybrid BM25+cosine RRF fusion
+    "text_bm25_topk",
+    "vec_hybrid_rrf",
 ]
 
 #: Each query is run once un-timed at the bench SF before the timed
