@@ -19,6 +19,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: Per-query scale commentary: why this plan survives a 100× scale-up.
 NOTES = {
+    "text_bm25_topk": (
+        "BM25 with a fixed query workload: the corpus tokenizes ONCE "
+        "(explode_outer keeps the interpreted HOF out of inferred "
+        "pre-filters), the (doc, term) aggregate combines map-side, and "
+        "every join against the 13-row workload/df tables is broadcast - "
+        "nothing vocabulary-sized shuffles. The only O(corpus) exchange "
+        "is the (doc_id, tok) partial-agg shuffle; score summation is "
+        "int64 (order-independent). x100 probe: 16.8x at 100x docs."
+    ),
+    "vec_hybrid_rrf": (
+        "Two independent retrieval channels - BM25 (broadcast workload "
+        "joins) and brute-cosine (broadcast query side, corpus never "
+        "shuffles for scoring) - fused by a unionByName + one small "
+        "integer-sum groupBy on (query, doc): the channels NEVER join. "
+        "Work is O(corpus x |queries|) in the cosine channel by "
+        "definition; a fixed production workload makes it linear in the "
+        "corpus, and the IVF/SRP family replaces the exact channel when "
+        "the corpus outgrows full scans."
+    ),
+    "text_postings_stored_lifecycle": (
+        "Stored inverted index: postings partitioned on term_bucket = "
+        "pmod(hash(tok), 16), so the probe's bounded bucket IN-set "
+        "reaches the scan as PartitionFilters and df is exact within "
+        "the pruned read; global N/avgdl ride a 1-row sidecar, never "
+        "derived from a pruned scan. Compaction rewrites dirs to one "
+        "file each - probe latency is file-count-bounded forever."
+    ),
+    "pipeline_domain_cap": (
+        "One window over the (source, lang) cell partitioning + one "
+        "hash agg - a single exchange keyed on the cell; the md5 "
+        "content ordering is computed inside the window sort, and "
+        "skewed mega-domains are exactly the rows the cap cuts."
+    ),
     "q1_pricing_summary": (
         "Single scan with `l_shipdate` pushed to parquet; map-side partial "
         "HashAggregate on 6 groups -> one tiny exchange. Scales linearly in "
@@ -184,6 +217,8 @@ NOTES = {
 #: Non-headline queries whose plan shape is a scale showcase worth
 #: auditing alongside the bench set.
 EXTRA_AUDIT = [
+    "text_postings_stored_lifecycle",
+    "pipeline_domain_cap",
     "vec_ann_srp_bucketed",
     "sort_topk_suite",
     "sample_hash_deterministic",
