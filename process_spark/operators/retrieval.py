@@ -462,3 +462,82 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
         ss.catalog.refreshByPath(data_dir)
 
     return sink
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification re-rank
+# ---------------------------------------------------------------------------
+
+#: MMR trade-off (Carbonell & Goldstein SIGIR'98): obj = LAM * rel -
+#: (1 - LAM) * max-sim-to-selected. ONE_MINUS_LAM is the Python-
+#: evaluated double (0.7 -> 0.30000000000000004) inlined verbatim into
+#: oracles — writing "0.3" in SQL would be a DIFFERENT double and the
+#: selection could flip on the discrepancy.
+MMR_LAM = 0.7
+MMR_ONE_MINUS_LAM = 1.0 - MMR_LAM
+
+
+def mmr_rerank(pairs: DataFrame, k: int, lam: float = MMR_LAM) -> DataFrame:
+    """Maximal-marginal-relevance selection of ``k`` items per query
+    from a candidate pool: ``(query_id, doc_id, mmr_rank, obj)``.
+
+    ``pairs`` carries the per-query candidate-pair relation
+    ``(query_id, a_id, b_id, sim, rel_a)`` — every ordered candidate
+    pair with its similarity, plus the relevance of ``a_id``. The
+    selection loop is inherently sequential (step t needs step t-1's
+    pick) but PER-QUERY TINY (k·|pool| comparisons over ≤ pool² pairs),
+    so it runs as one applyInPandas over query groups: the cluster
+    parallelizes across queries, the loop never sees more than one
+    pool. All floating inputs (rel, sim) arrive Arrow-exact, and the
+    objective arithmetic (one mult, one mult, one subtract on identical
+    doubles) is reproduced bit-identically by the SQL oracle's
+    unrolled-step CTE chain — which is what lets a greedy iterative
+    algorithm be hash-checked end to end.
+
+    Selection contract (mirrored by queries/retrieval._o_mmr):
+    step 1 picks argmax(lam * rel) (no diversity term — the standard
+    MMR initialization); step t>1 picks argmax over unselected c of
+    ``lam * rel(c) - (1 - lam) * max_{s in S} sim(c, s)``; all
+    argmaxes tie-break on ascending doc_id.
+    """
+    import pandas as pd
+
+    one_minus_lam = 1.0 - lam
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].iloc[0]
+        rel = dict(
+            g.drop_duplicates("a_id")[["a_id", "rel_a"]].itertuples(
+                index=False, name=None
+            )
+        )
+        sim = {
+            (a, b): s
+            for a, b, s in g[["a_id", "b_id", "sim"]].itertuples(
+                index=False, name=None
+            )
+        }
+        remaining = sorted(rel)  # ascending id = the tie-break order
+        selected: list[int] = []
+        out = []
+        for step in range(min(k, len(remaining))):
+            best_id, best_obj = None, None
+            for c in remaining:
+                if selected:
+                    maxsim = max(sim[(c, s)] for s in selected)
+                    obj = lam * rel[c] - one_minus_lam * maxsim
+                else:
+                    obj = lam * rel[c]
+                # strict > : on obj ties the FIRST (smallest id) wins
+                if best_obj is None or obj > best_obj:
+                    best_id, best_obj = c, obj
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append((qid, best_id, step + 1, best_obj))
+        return pd.DataFrame(
+            out, columns=["query_id", "doc_id", "mmr_rank", "obj"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        select, "query_id long, doc_id long, mmr_rank int, obj double"
+    )

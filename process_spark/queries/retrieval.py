@@ -450,3 +450,137 @@ def _scratch() -> str:
     from process_spark.queries.io_udf import _SCRATCH
 
     return _SCRATCH
+
+
+def _o_mmr(k_sel: int, k_pool: int = 10) -> str:
+    """Generate the unrolled MMR selection as a CTE chain (the
+    vec_kmeans_md5_assignments precedent: an iterative algorithm
+    becomes hash-checkable by unrolling its fixed step count into
+    SQL). Assumes CTEs ``u`` (unit vectors) and ``vscored``
+    (query × corpus cosine) are already in scope. Terminal relation:
+    ``sel1 .. sel{k_sel}`` — union them for the output.
+
+    Constants are repr-inlined from operators/retrieval: writing
+    ``0.3`` for (1 - 0.7) would be a DIFFERENT double than Python's
+    0.30000000000000004 and the greedy argmax could flip on it."""
+    from process_spark.operators.retrieval import MMR_LAM, MMR_ONE_MINUS_LAM
+
+    lam, oml = repr(MMR_LAM), repr(MMR_ONE_MINUS_LAM)
+    parts = [
+        f"""
+    cand AS (
+      SELECT query_id, doc_id, score AS rel
+      FROM (SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rn
+            FROM vscored)
+      WHERE rn <= {k_pool}),
+    msim AS (
+      SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+             {_o_dot("ua.nemb", "ub.nemb")} AS sim
+      FROM cand a
+      JOIN cand b USING (query_id)
+      JOIN u ua ON ua.vec_id = a.doc_id
+      JOIN u ub ON ub.vec_id = b.doc_id),
+    sel1 AS (
+      SELECT query_id, doc_id, 1 AS mmr_rank, ({lam} * rel) AS obj
+      FROM (SELECT query_id, doc_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ({lam} * rel) DESC, doc_id)
+                     AS rn
+            FROM cand)
+      WHERE rn = 1)"""
+    ]
+    for t in range(2, k_sel + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, t))
+        parts.append(
+            f"""
+    prev{t} AS ({prev}),
+    sel{t} AS (
+      SELECT query_id, doc_id, {t} AS mmr_rank, obj FROM (
+        SELECT c.query_id, c.doc_id,
+               ({lam} * c.rel - {oml} * m.maxsim) AS obj,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY ({lam} * c.rel - {oml} * m.maxsim) DESC, c.doc_id)
+                 AS rn
+        FROM cand c
+        JOIN (SELECT s.query_id, ms.a_id, MAX(ms.sim) AS maxsim
+              FROM prev{t} s
+              JOIN msim ms
+                ON ms.query_id = s.query_id AND ms.b_id = s.doc_id
+              GROUP BY s.query_id, ms.a_id) m
+          ON m.query_id = c.query_id AND m.a_id = c.doc_id
+        LEFT JOIN prev{t} p
+          ON p.query_id = c.query_id AND p.doc_id = c.doc_id
+        WHERE p.doc_id IS NULL)
+      WHERE rn = 1)"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "vec_mmr_rerank",
+    oracle=f"""
+    WITH {_o_unit_cte("SELECT * FROM embeddings")},
+    vq AS (SELECT vec_id AS q_id, nemb AS q_emb FROM u WHERE {_Q_FILTER}),
+    vscored AS (
+      SELECT q.q_id AS query_id, e.vec_id AS doc_id,
+             {_o_dot("q.q_emb", "e.nemb")} AS score
+      FROM vq q CROSS JOIN u e
+    ),
+    {_o_mmr(5)}
+    SELECT query_id, doc_id, CAST(mmr_rank AS INT) AS mmr_rank, obj
+    FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+          UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+          UNION ALL SELECT * FROM sel5)
+    """,
+)
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification re-rank (Carbonell & Goldstein SIGIR'98) —
+    the retrieval stack's last stage: from each query's exact-cosine
+    top-10 pool, greedily select 5 results trading relevance against
+    redundancy (obj = 0.7·rel − 0.3·max-sim-to-selected). The greedy
+    loop is sequential per query but k·pool tiny, so it runs as one
+    applyInPandas over query groups (the cluster parallelizes across
+    queries) with the pool's pairwise similarities precomputed
+    JVM-side by the SAME dot fold the oracle replays — the worker only
+    compares and linearly combines doubles that are already
+    bit-identical in both engines, which is what lets a greedy
+    ITERATIVE selection be exact-hash-checked (via the unrolled-step
+    CTE chain, the k-means-unroll precedent)."""
+    from process_spark.functions.vectorfn import dot as _dot
+    from process_spark.functions.vectorfn import l2_norm, unit_with
+    from process_spark.operators.retrieval import mmr_rerank
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.expr(_Q_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = brute_force_knn(q, e, k=10).select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("score").alias("rel"),
+    )
+    unit = e.select(
+        "vec_id", l2_norm("embedding").alias("__n"), "embedding"
+    ).select("vec_id", unit_with("embedding", "__n").alias("nemb"))
+    ca = cands.join(unit, cands.doc_id == unit.vec_id).select(
+        "query_id",
+        F.col("doc_id").alias("a_id"),
+        F.col("rel").alias("rel_a"),
+        F.col("nemb").alias("a_emb"),
+    )
+    cb = cands.join(unit, cands.doc_id == unit.vec_id).select(
+        "query_id",
+        F.col("doc_id").alias("b_id"),
+        F.col("nemb").alias("b_emb"),
+    )
+    pairs = ca.join(cb, "query_id").select(
+        "query_id",
+        "a_id",
+        "b_id",
+        _dot("a_emb", "b_emb").alias("sim"),
+        "rel_a",
+    )
+    return mmr_rerank(pairs, k=5)

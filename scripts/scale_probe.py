@@ -150,6 +150,7 @@ PIPELINE_PROBE = [
     "pipeline_domain_cap",
     "stream_bm25_index_probe",
     "stream_bm25_index_compacted",
+    "vec_mmr_rerank",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —
@@ -217,6 +218,10 @@ QUADRATIC_BY_DESIGN = {
     "recall/cost knob, and the isotropic worst case pins the default "
     "at 6/8 cells (a clustered corpus tunes it down via ivf_tune_n_probe); "
     "the exact re-rank tail is bounded at 4k ids/query",
+    "vec_mmr_rerank": "the candidate pools come from brute-force "
+    "cosine top-10 per query, and the probe's query set grows with the "
+    "corpus - same |Q| x |C| scoring shape as vec_knn_bruteforce "
+    "upstream of the (bounded, pool-squared) MMR stage itself",
     "vec_hybrid_rrf": "the probe derives its query-by-example set "
     "from every 100th id, so at x10 BOTH the query workload and the "
     "corpus grow 10x and the cosine channel's scored pair count grows "

@@ -80,6 +80,8 @@ CROSS_OK = {
     "text_vocab_drift_report",  # 1-row occurrence census × 1-row type census
     "vec_hybrid_rrf",           # brute_force_knn broadcast query side (every
                                 # 100th embedding — bounded by construction)
+    "vec_mmr_rerank",           # same brute_force_knn query-side broadcast;
+                                # the pairs join is pool² per query (≤100 rows)
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -179,6 +181,10 @@ BROADCAST_HINT_OK = {
     "vec_hybrid_rrf": (
         "lexical query terms from every-100th doc (bounded sample) + "
         "per-term df table + brute_force_knn's bounded query side"
+    ),
+    "vec_mmr_rerank": (
+        "brute_force_knn's bounded query side (every 100th embedding); "
+        "everything downstream is the k-pool candidate relation"
     ),
     "vec_knn_bruteforce": "query side (fixed 1% id sample, bounded)",
     "vec_ann_srp_bucketed": "query side (fixed 1% id sample, bounded)",

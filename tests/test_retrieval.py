@@ -228,3 +228,28 @@ def test_postings_sink_replay_and_sealed_own(spark, tmp_path):
         for r in bm25_scores(hist.unionByName(batch), qt).collect()
     }
     assert got == want
+
+
+def test_mmr_defers_redundant_candidate(spark):
+    """MMR contract: with two near-identical high-relevance candidates,
+    the second duplicate is NOT picked at rank 2 — a less relevant but
+    diverse candidate overtakes it (0.7·rel − 0.3·max-sim); with λ = 1
+    ordering would be pure relevance."""
+    from process_spark.operators.retrieval import mmr_rerank
+
+    # pool for one query: docs 1 and 2 are near-duplicates (sim 0.99),
+    # doc 3 is diverse (sim 0.1 to both). rel: 1 > 2 > 3.
+    rows = []
+    rel = {1: 0.95, 2: 0.94, 3: 0.80}
+    sim = {(1, 2): 0.99, (1, 3): 0.10, (2, 3): 0.10}
+    for a in rel:
+        for b in rel:
+            s = 1.0 if a == b else sim.get((min(a, b), max(a, b)))
+            rows.append((0, a, b, s, rel[a]))
+    pairs = spark.createDataFrame(
+        rows, "query_id long, a_id long, b_id long, sim double, rel_a double"
+    )
+    out = {r["mmr_rank"]: r["doc_id"] for r in mmr_rerank(pairs, k=3).collect()}
+    assert out == {1: 1, 2: 3, 3: 2}, out
+    # objective check: rank-2 doc 3 beats doc 2 by the MMR margin
+    # (0.7*0.94 - 0.3*0.99 = 0.361 < 0.7*0.80 - 0.3*0.10 = 0.53)
