@@ -46,6 +46,14 @@ NOTES = {
         "derived from a pruned scan. Compaction rewrites dirs to one "
         "file each - probe latency is file-count-bounded forever."
     ),
+    "vec_mmr_rerank": (
+        "Candidate pools from the broadcast-query brute-force scorer; "
+        "the pool's pairwise-sim relation is pool-squared per query "
+        "(bounded), and the greedy selection runs in one "
+        "FlatMapGroupsInPandas over query groups - the cluster "
+        "parallelizes across queries, the sequential loop never sees "
+        "more than one pool."
+    ),
     "pipeline_domain_cap": (
         "One window over the (source, lang) cell partitioning + one "
         "hash agg - a single exchange keyed on the cell; the md5 "
@@ -217,6 +225,7 @@ NOTES = {
 #: Non-headline queries whose plan shape is a scale showcase worth
 #: auditing alongside the bench set.
 EXTRA_AUDIT = [
+    "vec_mmr_rerank",
     "text_postings_stored_lifecycle",
     "pipeline_domain_cap",
     "vec_ann_srp_bucketed",
