@@ -28,6 +28,7 @@ the total either.
 from __future__ import annotations
 
 import os
+import posixpath
 from typing import Iterator, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -168,9 +169,17 @@ def mg_save_batch_summary(
     ``state_dir/batch_id=<id>/`` (mode=overwrite → idempotent under
     foreachBatch replay). The row is the same arrays shape pass 1
     emits; state volume is one tiny file per batch, compacted away by
-    reload's mg_merge."""
+    reload's mg_merge.
+
+    Sealed-replay guard: a batch at or below the compactor's
+    ``sealed_through`` watermark is already folded into the sealed
+    ``batch_id = -1`` summary — a crash-mid-batch → compact → restart
+    replay of it must NOT write a second copy (the counts would
+    double on every later reload). Such a save is a no-op."""
     import pandas as pd  # noqa: PLC0415
 
+    if batch_id >= 0 and batch_id <= _mg_read_watermark(spark, state_dir):
+        return
     pdf = pd.DataFrame(
         {
             "items": [list(counters.keys())],
@@ -199,7 +208,13 @@ def mg_load_state(
     item above total/capacity over EVERYTHING ingested so far, no
     matter how many restarts interleaved the batches. Returns
     ``({}, 0)`` when no state exists yet. The collect is one row per
-    batch — bounded by batch count, never by data volume."""
+    batch — bounded by batch count, never by data volume.
+
+    Rows from live batches at or below the ``sealed_through``
+    watermark are SKIPPED: their counts already live inside the sealed
+    ``batch_id = -1`` summary (the save-side guard makes such rows
+    unreachable going forward; the load-side skip also neutralizes any
+    written before the guard existed)."""
     try:
         rows = spark.read.option("basePath", state_dir).parquet(
             os.path.join(state_dir, "batch_id=*")
@@ -207,9 +222,12 @@ def mg_load_state(
     except Exception:
         _mg_raise_if_half_swapped(spark, state_dir)
         return {}, 0
+    wm = _mg_read_watermark(spark, state_dir)
     merged: dict = {}
     total = 0
     for r in rows:
+        if 0 <= r["batch_id"] <= wm:
+            continue
         total += r["batch_total"]
         for k, c in zip(r["items"] or [], r["counts"] or []):
             merged[k] = merged.get(k, 0) + c
@@ -331,9 +349,13 @@ def mg_save_batch_summary_by_group(
     GROUP under ``state_dir/batch_id=<id>/`` (mode=overwrite → the
     whole batch directory is rewritten on a foreachBatch replay, so no
     group double-counts). Row volume per batch = |groups| — bounded by
-    the same bounded-group-domain contract as pass 1."""
+    the same bounded-group-domain contract as pass 1. Same
+    sealed-replay guard as the ungrouped save: a batch at or below the
+    ``sealed_through`` watermark is a no-op."""
     import pandas as pd  # noqa: PLC0415
 
+    if batch_id >= 0 and batch_id <= _mg_read_watermark(spark, state_dir):
+        return
     groups = sorted(totals_by_group)
     pdf = pd.DataFrame(
         {
@@ -368,7 +390,8 @@ def mg_load_state_by_group(
     :func:`mg_merge` per group — exact per group by mergeability,
     restart-proof for the same reason the ungrouped loader is.
     Returns ``(counters_by_group, totals_by_group)``; ``({}, {})``
-    when no state exists. The collect is |groups| rows per batch."""
+    when no state exists. The collect is |groups| rows per batch.
+    Same sealed-replay skip as the ungrouped loader."""
     try:
         rows = spark.read.option("basePath", state_dir).parquet(
             os.path.join(state_dir, "batch_id=*")
@@ -376,9 +399,12 @@ def mg_load_state_by_group(
     except Exception:
         _mg_raise_if_half_swapped(spark, state_dir)
         return {}, {}
+    wm = _mg_read_watermark(spark, state_dir)
     merged: dict = {}
     totals: dict = {}
     for r in rows:
+        if 0 <= r["batch_id"] <= wm:
+            continue
         g = r["grp"]
         totals[g] = totals.get(g, 0) + r["batch_total"]
         d = merged.setdefault(g, {})
@@ -403,20 +429,73 @@ def _mg_raise_if_half_swapped(spark: SparkSession, state_dir: str) -> None:
     but if the crash window between the compactor's two renames left
     the only copy under ``__precompact``, silently returning empty
     state would zero the deployment's counters. Detect and fail loudly
-    with the recovery path instead."""
+    with the recovery path instead.
+
+    FS-probe failures are NOT swallowed: this runs only when the state
+    read already failed, and if the FileSystem itself cannot be
+    resolved (mistyped scheme, missing connector) the deployment's
+    counters would otherwise silently reset to empty — the exact
+    outcome the loud-fail exists to prevent. Only the benign case
+    (probe succeeds, no half-swap evidence) returns."""
+    fs, HPath = _mg_fs(spark, state_dir)
+    old = state_dir.rstrip("/") + "__precompact"
+    if (not fs.exists(HPath(state_dir))) and fs.exists(HPath(old)):
+        raise RuntimeError(
+            f"MG state dir {state_dir} is missing but {old} exists — "
+            "a compaction crashed mid-swap; rename the __precompact "
+            "copy back into place before loading"
+        )
+
+
+#: Watermark sidecar written by the compactor INSIDE the state dir (so
+#: it swaps atomically with the sealed summary): the highest batch_id
+#: whose counts are folded into the sealed ``batch_id = -1`` row.
+_MG_WATERMARK_FILE = "_SEALED_THROUGH"
+
+
+def _mg_read_watermark(spark: SparkSession, state_dir: str) -> int:
+    """``sealed_through`` watermark of the state dir: the highest
+    batch_id folded into the sealed summary, or -1 when the dir was
+    never compacted. Routed through the Hadoop FS API (DataInput UTF —
+    no local-path assumption); a missing file is normal, an unreadable
+    FILESYSTEM propagates loudly (same rationale as
+    :func:`_mg_raise_if_half_swapped`)."""
+    fs, HPath = _mg_fs(spark, state_dir)
+    p = HPath(posixpath.join(state_dir, _MG_WATERMARK_FILE))
+    if not fs.exists(p):
+        return -1
+    inp = fs.open(p)
     try:
-        fs, HPath = _mg_fs(spark, state_dir)
-        old = state_dir.rstrip("/") + "__precompact"
-        if (not fs.exists(HPath(state_dir))) and fs.exists(HPath(old)):
-            raise RuntimeError(
-                f"MG state dir {state_dir} is missing but {old} exists — "
-                "a compaction crashed mid-swap; rename the __precompact "
-                "copy back into place before loading"
-            )
-    except RuntimeError:
-        raise
-    except Exception:  # FS probe itself failed — keep the lenient path
-        return
+        return int(inp.readUTF())
+    finally:
+        inp.close()
+
+
+def _mg_write_watermark(spark: SparkSession, state_dir: str, wm: int) -> None:
+    fs, HPath = _mg_fs(spark, state_dir)
+    out = fs.create(HPath(posixpath.join(state_dir, _MG_WATERMARK_FILE)), True)
+    try:
+        out.writeUTF(str(int(wm)))
+    finally:
+        out.close()
+
+
+def _mg_live_batch_ids(spark: SparkSession, state_dir: str) -> list:
+    """Non-sealed batch_ids currently present as partition subdirs —
+    bounded by batch count (one listStatus), used by the compactor to
+    advance the sealed_through watermark."""
+    fs, HPath = _mg_fs(spark, state_dir)
+    hp = HPath(state_dir)
+    if not fs.exists(hp):
+        return []
+    ids = []
+    for st in fs.listStatus(hp):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            b = int(name.split("=", 1)[1])
+            if b >= 0:
+                ids.append(b)
+    return ids
 
 
 def _mg_state_files(spark: SparkSession, state_dir: str) -> int:
@@ -480,18 +559,30 @@ def mg_compact_state(
     object-store connectors all work (S3-like "rename" is copy+delete
     — there, prefer a fresh prefix + catalog pointer flip).
 
-    Same clean-termination caveat as the index compactor: a batch
-    replayed after its summary was sealed would be double-counted
-    (summaries carry no doc identity to dedup against, unlike the
-    band index).
+    Sealed-replay safety: the sealed summary carries a
+    ``sealed_through`` watermark (the ``_SEALED_THROUGH`` sidecar —
+    max batch_id folded in, written INSIDE the scratch dir so it swaps
+    atomically with the summary). A batch replayed after its summary
+    was sealed (crash mid-batch → compact → restart) is skipped by
+    :func:`mg_save_batch_summary` and, defensively, by
+    :func:`mg_load_state` — without the watermark its counts would be
+    double-counted forever (summaries carry no doc identity to
+    anti-join against, unlike the band index, but they don't need it:
+    batch_ids are monotone, so "already folded" is a pure ordering
+    fact).
 
     Returns ``{"files_before", "files_after"}``."""
     counters, total = mg_load_state(spark, state_dir, capacity)
+    wm = max(
+        [_mg_read_watermark(spark, state_dir)]
+        + _mg_live_batch_ids(spark, state_dir)
+    )
     files_before = _mg_state_files(spark, state_dir)
     fs, HPath = _mg_fs(spark, state_dir)
     tmp = state_dir.rstrip("/") + "__compacting"
     fs.delete(HPath(tmp), True)
     mg_save_batch_summary(spark, tmp, -1, counters, total, elem_type)
+    _mg_write_watermark(spark, tmp, wm)
     _mg_swap_in(spark, state_dir, tmp)
     return {
         "files_before": files_before,
@@ -510,9 +601,14 @@ def mg_compact_state_by_group(
     GROUP under ``batch_id = -1`` (|groups| rows total — bounded by
     the bounded-group-domain contract). Same exactness argument
     (mergeable per group), same write-to-scratch-then-swap crash
-    ordering, same Hadoop-FS routing, same clean-termination caveat."""
+    ordering, same Hadoop-FS routing, same ``sealed_through``
+    watermark (sealed-replay batches skip at save AND load)."""
     counters_by_group, totals_by_group = mg_load_state_by_group(
         spark, state_dir, capacity
+    )
+    wm = max(
+        [_mg_read_watermark(spark, state_dir)]
+        + _mg_live_batch_ids(spark, state_dir)
     )
     files_before = _mg_state_files(spark, state_dir)
     fs, HPath = _mg_fs(spark, state_dir)
@@ -522,6 +618,7 @@ def mg_compact_state_by_group(
         spark, tmp, -1, counters_by_group, totals_by_group,
         grp_type, elem_type,
     )
+    _mg_write_watermark(spark, tmp, wm)
     _mg_swap_in(spark, state_dir, tmp)
     return {
         "files_before": files_before,

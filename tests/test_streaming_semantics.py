@@ -835,6 +835,81 @@ def test_mg_state_compaction_preserves_state(spark, tmp_path):
     assert mg_load_state_by_group(spark, sdg, cap) == before_g
 
 
+def test_mg_state_replay_after_compaction(spark, tmp_path):
+    """The MG twin of test_incremental_dedup_sink_replay_after_
+    compaction: crash mid-batch → compact (batch's summary sealed into
+    batch_id=-1) → restart replays the batch. Without the
+    sealed_through watermark the replayed save would write a second
+    copy of counts already inside the sealed row and every later
+    reload would double-count them forever. With it: the save is a
+    no-op, reload is unchanged, and post-watermark batches still
+    accrete normally. Grouped twin checked the same way, plus the
+    loader-side defense (a stale ≤-watermark row already on disk is
+    skipped at load)."""
+    from process_spark.operators.sketch import (
+        _mg_read_watermark,
+        mg_compact_state,
+        mg_compact_state_by_group,
+        mg_load_state,
+        mg_load_state_by_group,
+        mg_save_batch_summary,
+        mg_save_batch_summary_by_group,
+    )
+
+    cap = 4
+    sd = str(tmp_path / "mg")
+    for b in range(3):
+        mg_save_batch_summary(spark, sd, b, {"heavy": 10, f"n{b}": 2}, 12)
+    mg_compact_state(spark, sd, cap)
+    assert _mg_read_watermark(spark, sd) == 2
+    sealed = mg_load_state(spark, sd, cap)
+    # restart replays batch 2 (already folded into the sealed row)
+    mg_save_batch_summary(spark, sd, 2, {"heavy": 10, "n2": 2}, 12)
+    assert mg_load_state(spark, sd, cap) == sealed  # no double-count
+    # loader-side defense: a stale row written around the save guard
+    # (pre-guard deployments) is skipped at load too
+    spark.createDataFrame(
+        [(["heavy"], [10], 12)],
+        "items array<string>, counts array<long>, batch_total long",
+    ).coalesce(1).write.mode("overwrite").parquet(sd + "/batch_id=1")
+    assert mg_load_state(spark, sd, cap) == sealed
+    # post-watermark batches accrete normally
+    mg_save_batch_summary(spark, sd, 3, {"heavy": 7}, 7)
+    counters, total = mg_load_state(spark, sd, cap)
+    assert total == 3 * 12 + 7
+    # a second compaction advances the watermark past the new batch
+    mg_compact_state(spark, sd, cap)
+    assert _mg_read_watermark(spark, sd) == 3
+    mg_save_batch_summary(spark, sd, 3, {"heavy": 7}, 7)  # replay again
+    assert mg_load_state(spark, sd, cap) == (counters, total)
+
+    sdg = str(tmp_path / "mgg")
+    for b in range(3):
+        mg_save_batch_summary_by_group(
+            spark, sdg, b, {"en": {"heavy": 5}}, {"en": 6}
+        )
+    mg_compact_state_by_group(spark, sdg, cap)
+    sealed_g = mg_load_state_by_group(spark, sdg, cap)
+    mg_save_batch_summary_by_group(
+        spark, sdg, 2, {"en": {"heavy": 5}}, {"en": 6}
+    )
+    assert mg_load_state_by_group(spark, sdg, cap) == sealed_g
+
+
+def test_mg_load_state_bogus_scheme_raises(spark):
+    """A mistyped/unresolvable filesystem scheme must RAISE, not
+    degrade to empty state: silently returning ({}, 0) would zero a
+    deployment's counters — the exact outcome the half-swap detector
+    exists to prevent (the r10 ADVICE narrow-the-swallow item)."""
+    import pytest
+
+    from process_spark.operators.sketch import mg_load_state
+
+    with pytest.raises(Exception) as ei:
+        mg_load_state(spark, "bogus-scheme://host/mg_state", 4)
+    assert "bogus-scheme" in str(ei.value)
+
+
 def test_incremental_vector_sink_hot_cell_guard(spark, tmp_path):
     """A hostile (boilerplate-embedding) batch through
     incremental_vector_sink with the guard: the over-cap cell is cut
