@@ -49,6 +49,12 @@ HEADLINE = [
     # and the hybrid BM25+cosine RRF fusion
     "text_bm25_topk",
     "vec_hybrid_rrf",
+    # round-11: the stack's 100 TB forms — stored-IVF vector channel
+    # under a FIXED query workload (the production hybrid shape), and
+    # the end-to-end stored composite (postings-probe BM25 + stored-IVF
+    # ANN -> RRF -> MMR)
+    "vec_hybrid_rrf_ann_fixedq",
+    "retrieval_e2e_stored",
 ]
 
 #: Each query is run once un-timed at the bench SF before the timed

@@ -212,46 +212,63 @@ def write_postings_index(
     n_buckets: int = 16,
 ) -> None:
     """Write ``postings_index(docs)`` partitioned by term_bucket (one
-    file per dir per batch — the compactable layout) plus the 1-row
+    file per dir per batch — the compactable layout) plus the
     ``_stats`` sidecar (n_docs, sum_dl, n_buckets). The postings are
     derived HERE from the same ``docs`` the stats aggregate — a
     (pidx, docs) parameter pair would let the two silently diverge.
-    On append, stats are recomputed from the incoming batch and ADDED
-    to the stored row — global stats never require re-scanning the
-    historical corpus. ``n_buckets`` is persisted with the stats so a
-    probe under a different bucket count fails loudly instead of
-    pruning to the wrong partitions."""
+
+    On append, the batch's stats are APPENDED as a delta row (probes
+    SUM the sidecar's rows — :func:`bm25_probe_postings` already does,
+    for the streaming layout's sake), never accumulated in place: a
+    read-modify-overwrite of the accumulated row would leave the
+    sidecar permanently stale if a crash landed between the postings
+    append and the stats overwrite, silently skewing idf/avgdl on
+    every later probe. With delta rows the same crash window leaves a
+    MISSING delta (the appended postings uncounted until the append is
+    re-run against a cleaned data dir) — a recoverable gap, not a
+    corrupted accumulator. ``n_buckets`` is persisted with every row
+    so a probe (or append) under a different bucket count fails loudly
+    instead of pruning to the wrong partitions."""
     stats_path = posixpath.join(path, "_stats")
     data_path = posixpath.join(path, "data")
     spark = docs.sparkSession
-    batch = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(text_col))).cast("long").alias("sum_dl"),
-    ).withColumn("n_buckets", F.lit(n_buckets).cast("int"))
     if mode == "append":
-        prev = spark.read.parquet(stats_path)
-        stored_nb = int(prev.collect()[0]["n_buckets"])
-        if stored_nb != n_buckets:
+        stored_nb = [
+            int(r["n_buckets"])
+            for r in spark.read.parquet(stats_path)
+            .select("n_buckets")
+            .distinct()
+            .collect()
+        ]
+        if stored_nb != [n_buckets]:
             raise ValueError(
                 f"postings index at {path} was written with "
                 f"n_buckets={stored_nb}, append requested {n_buckets}"
             )
-        batch = (
-            batch.unionByName(prev)
-            .agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("sum_dl").alias("sum_dl"),
-                F.max("n_buckets").alias("n_buckets"),
-            )
-        ).localCheckpoint(eager=True)  # must not lazily read what we overwrite
+    # The write materializes the (lazily pinned) postings; the stats
+    # delta then reads the pinned rows instead of tokenizing the corpus
+    # a second time: Σ dl = Σ tf over the postings EXACTLY (the per-doc
+    # groupBy conserves token counts, and a zero-token doc contributes
+    # 0 either way); n_docs is a tokenize-free count of ``docs``.
+    pidx = postings_index(docs, id_col, text_col, n_buckets).localCheckpoint(
+        eager=False
+    )
     (
-        postings_index(docs, id_col, text_col, n_buckets)
-        .repartition(64, F.col("term_bucket"))
+        pidx.repartition(64, F.col("term_bucket"))
         .write.mode(mode)
         .partitionBy("term_bucket")
         .parquet(data_path)
     )
-    batch.coalesce(1).write.mode("overwrite").parquet(stats_path)
+    batch = (
+        pidx.agg(F.sum("tf").cast("long").alias("sum_dl"))
+        .withColumn("n_docs", F.lit(docs.count()).cast("long"))
+        .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+        .select("n_docs", F.coalesce("sum_dl", F.lit(0)).alias("sum_dl"),
+                "n_buckets")
+    )
+    batch.coalesce(1).write.mode(
+        "append" if mode == "append" else "overwrite"
+    ).parquet(stats_path)
 
 
 def bm25_probe_postings(
@@ -360,6 +377,8 @@ def rrf_fuse(channels: list[DataFrame], k: int = RRF_K) -> DataFrame:
     top-k contributes nothing for that channel (the standard RRF
     union-of-top-k convention) — so the fuse is a unionByName + one
     integer-sum groupBy, no outer join, no null handling."""
+    if not channels:
+        raise ValueError("rrf_fuse requires at least one channel")
     contribs = [
         ch.select(
             "query_id", "doc_id", rrf_contrib_e9("rank", k).alias("c_e9")
@@ -374,6 +393,28 @@ def rrf_fuse(channels: list[DataFrame], k: int = RRF_K) -> DataFrame:
     )
 
 
+def postings_membership(
+    docs: DataFrame, id_col: str = "doc_id", n_buckets: int = 16
+) -> DataFrame:
+    """Membership-sidecar rows ``(doc_bucket, doc_id)`` for the
+    ``_docs`` table: one row per distinct doc, partitioned by
+    ``doc_bucket = pmod(hash(doc_id), n_buckets)``. Unlike the
+    postings themselves (whose term buckets depend on CONTENT), a
+    doc's membership bucket depends only on its id — so "is this
+    doc_id already in the index?" is answerable from a pruned read of
+    a single-column table no matter how the doc's text changed."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .select(
+            F.pmod(F.hash("doc_id"), F.lit(n_buckets))
+            .cast("int")
+            .alias("doc_bucket"),
+            "doc_id",
+        )
+    )
+
+
 def incremental_postings_sink(path: str, n_buckets: int = 16):
     """foreachBatch sink of the CONTINUOUS postings-index maintenance
     stream — the streaming column of the postings (inverted-index)
@@ -381,15 +422,20 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
     (queries/streaming.py). Unlike the dedup sinks there is no
     per-batch pair emission: BM25 retrieval is a query-time op, so the
     stream's whole job is keeping the index fresh — per micro-batch,
-    append the batch's postings under ``(term_bucket, batch_id)`` and
-    its 1-row corpus-stats delta under ``_stats/batch_id=B``.
+    append the batch's postings under ``(term_bucket, batch_id)``, its
+    membership rows under ``_docs/(doc_bucket, batch_id)``, and its
+    1-row corpus-stats delta under ``_stats/batch_id=B``.
 
-    Idempotence: both writes use dynamic partition overwrite keyed on
-    the batch (exactly-once-via-batchId), so at-least-once replay
-    rewrites identical rows instead of double-counting — including the
-    stats row, which is why stats are stored per batch and SUMMED at
-    probe time rather than accumulated in place (an accumulate-on-
-    append sidecar would double-add under replay).
+    Idempotence: all three writes use dynamic partition overwrite
+    keyed on the batch (exactly-once-via-batchId), so at-least-once
+    replay rewrites identical rows instead of double-counting —
+    including the stats row, which is why stats are stored per batch
+    and SUMMED at probe time rather than accumulated in place (an
+    accumulate-on-append sidecar would double-add under replay). If
+    the ``_stats`` sidecar was compacted (:func:`compact_postings_
+    stats` — rows folded into one sealed row), a replayed batch at or
+    below its ``sealed_through`` watermark skips the stats write: its
+    delta already lives inside the sealed row.
 
     Sealed-own crash-compaction hygiene (the invariant all the
     engine's streaming sinks share — see compact_partitioned_index's
@@ -397,46 +443,134 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
     postings into ``batch_id = -1`` after a mid-batch crash, the
     replayed batch detects its own sealed doc_ids — one lookup pruned
     to the batch's term-bucket IN-set (≤ n_buckets partitions),
-    semi-joined against the bounded batch doc-id set — and excludes
-    them from the re-append. Bucketing is deterministic, so every
-    sealed copy sits exactly in the batch's own bucket partitions.
-    Empty (and nearly free) on every clean run. The stats row needs no
-    such guard: replay overwrites it with identical values.
+    semi-joined against the bounded batch doc-id set, severed from the
+    subsequent self-overwrite with an eager localCheckpoint — and
+    excludes them from the re-append. A replayed batch re-presents
+    byte-identical content, so its sealed copies sit exactly in the
+    batch's own term buckets. Empty (and nearly free) on every clean
+    run; on a fresh never-bootstrapped index path the lookup is
+    skipped entirely (no PATH_NOT_FOUND on the first micro-batch).
 
-    Precondition (shared with the engine's other streaming sinks):
-    doc_ids are append-only and unique across the index lifetime — a
-    batch never re-ingests a doc_id the index already holds. This
-    stream models index GROWTH; re-ingesting an existing doc_id is an
-    UPDATE, which this sink does not implement (the sealed-own
-    anti-join would drop the new postings while the stats row still
-    counted the doc — stale index, skewed N/avgdl).
+    Append-only VALIDATION (doc_ids must be unique across the index
+    lifetime — this stream models index growth; an update is a
+    different op): re-ingesting a doc_id the index already holds
+    would silently corrupt it — the sealed-own anti-join would drop
+    the new postings while the stats row still counted the doc (stale
+    index, skewed N/avgdl). The sink therefore RAISES on any batch
+    doc_id already recorded by a DIFFERENT batch, detected two ways:
+
+    - exactly, from the ``_docs`` membership sidecar: rows carry their
+      origin batch as a DATA column (``src_batch`` — compaction seals
+      the partition key to -1 but preserves the column), so a foreign
+      copy is simply ``src_batch != batch_id``, and the lookup prunes
+      to the batch's doc_id buckets (content-independent);
+    - best-effort, from the postings themselves (covers indexes
+      bootstrapped before the sidecar existed): any LIVE row of a
+      batch doc under a foreign batch_id within the batch's term
+      buckets. This leg can miss a changed-content re-ingest whose
+      tokens share no bucket with the new text, and cannot see foreign
+      SEALED copies (indistinguishable from the batch's own replay) —
+      which is exactly why the sidecar exists; bootstrap writers
+      should populate it (``_bootstrap_postings`` does).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from process_spark.operators.fsutil import fs_exists, read_watermark
+
         ss = batch_df.sparkSession
         data_dir = posixpath.join(path, "data")
+        docs_dir = posixpath.join(path, "_docs")
         stats_dir = posixpath.join(path, "_stats")
         pidx = postings_index(batch_df, n_buckets=n_buckets).localCheckpoint(
             eager=False
         )  # two consumers: bucket IN-set + append
+        bids = batch_df.select("doc_id").distinct()  # bounded (micro-batch)
         buckets = sorted(  # bounded: ≤ n_buckets ints
             r["term_bucket"]
             for r in pidx.select("term_bucket").distinct().collect()
         )
-        sealed_own = (
-            ss.read.parquet(data_dir)
-            .filter(
-                (F.col("batch_id") == -1)
-                & F.col("term_bucket").isin(buckets)
+
+        # --- membership-sidecar validation (exact) ------------------
+        docs_sealed_own = None
+        if fs_exists(ss, docs_dir):
+            members = (
+                ss.read.parquet(docs_dir)
+                .filter(
+                    F.col("doc_bucket").isin(
+                        sorted(
+                            r["b"]
+                            for r in postings_membership(
+                                bids, n_buckets=n_buckets
+                            )
+                            .select(F.col("doc_bucket").alias("b"))
+                            .distinct()
+                            .collect()
+                        )
+                    )
+                )
+                .join(F.broadcast(bids), "doc_id", "left_semi")
+                .select("doc_id", "src_batch", "batch_id")
+                .localCheckpoint(eager=True)  # read before self-overwrite
             )
-            .join(
-                F.broadcast(batch_df.select("doc_id").distinct()),
-                "doc_id",
-                "left_semi",
+            foreign = [
+                r["doc_id"]
+                for r in members.filter(F.col("src_batch") != batch_id)
+                .select("doc_id")
+                .distinct()
+                .limit(5)
+                .collect()
+            ]
+            if foreign:
+                raise ValueError(
+                    f"postings index at {path}: batch {batch_id} re-ingests "
+                    f"doc_ids already in the index (sample: {foreign}) — "
+                    "doc_ids are append-only; updates need a tombstone op, "
+                    "not the growth sink"
+                )
+            docs_sealed_own = (
+                members.filter(
+                    (F.col("src_batch") == batch_id)
+                    & (F.col("batch_id") == -1)
+                )
+                .select("doc_id")
+                .distinct()
             )
-            .select("doc_id")
-            .distinct()
-        )
+
+        # --- postings-side lookup: sealed-own skip set + best-effort
+        #     foreign-live detection (one pruned read serves both) ----
+        if fs_exists(ss, data_dir):
+            data_hits = (
+                ss.read.parquet(data_dir)
+                .filter(F.col("term_bucket").isin(buckets))
+                .join(F.broadcast(bids), "doc_id", "left_semi")
+                .select("doc_id", "batch_id")
+                .distinct()
+                .localCheckpoint(eager=True)  # read before self-overwrite
+            )
+            foreign_live = [
+                r["doc_id"]
+                for r in data_hits.filter(
+                    ~F.col("batch_id").isin(-1, batch_id)
+                )
+                .select("doc_id")
+                .distinct()
+                .limit(5)
+                .collect()
+            ]
+            if foreign_live:
+                raise ValueError(
+                    f"postings index at {path}: batch {batch_id} re-ingests "
+                    f"doc_ids already live in the index (sample: "
+                    f"{foreign_live}) — doc_ids are append-only"
+                )
+            sealed_own = data_hits.filter(F.col("batch_id") == -1).select(
+                "doc_id"
+            )
+        else:  # fresh, never-bootstrapped index path: first batch
+            sealed_own = ss.createDataFrame(
+                [], pidx.select("doc_id").schema
+            )
+
         (
             pidx.join(F.broadcast(sealed_own), "doc_id", "left_anti")
             .withColumn("batch_id", F.lit(batch_id))
@@ -446,22 +580,159 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
             .partitionBy("term_bucket", "batch_id")
             .parquet(data_dir)
         )
-        (
-            batch_df.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.size(tokens("text"))).cast("long").alias("sum_dl"),
+        membership = postings_membership(bids, n_buckets=n_buckets).withColumn(
+            "src_batch", F.lit(batch_id)
+        )
+        if docs_sealed_own is not None:
+            # don't re-record docs whose membership rows were already
+            # sealed to -1 (the sidecar would hold two rows per doc)
+            membership = membership.join(
+                F.broadcast(docs_sealed_own), "doc_id", "left_anti"
             )
-            .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .coalesce(1)
+        (
+            membership.withColumn("batch_id", F.lit(batch_id))
+            .repartition(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(stats_dir)
+            .partitionBy("doc_bucket", "batch_id")
+            .parquet(docs_dir)
         )
+        if batch_id > read_watermark(ss, stats_dir):
+            (
+                batch_df.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size(tokens("text")))
+                    .cast("long")
+                    .alias("sum_dl"),
+                )
+                .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(stats_dir)
+            )
         ss.catalog.refreshByPath(data_dir)
 
     return sink
+
+
+def compact_postings_stats(spark: SparkSession, stats_dir: str) -> dict:
+    """Maintenance op for the STREAMING postings ``_stats`` sidecar:
+    fold the one-row-per-micro-batch deltas into ONE sealed
+    ``batch_id = -1`` row — the same small-files rhythm every other
+    durable artifact gets (without it the sidecar grows one directory
+    per micro-batch forever, and every probe's stats read opens every
+    historical batch file). Summing is exact, so the folded row is
+    precisely what probe-time aggregation computes anyway.
+
+    Crash-safe ordering and sealed-replay safety are the MG state
+    compactor's, via the shared fsutil toolkit: the sealed row is
+    written COMPLETE to a ``__compacting`` scratch sibling together
+    with a ``sealed_through`` watermark (max folded batch_id), then
+    swapped in whole — and :func:`incremental_postings_sink` skips the
+    stats write for any replayed batch at or below the watermark, so a
+    crash-mid-batch → compact → restart replay cannot double-add its
+    delta. Only valid for the streaming (batch_id-partitioned) layout;
+    the batch lifecycle's unpartitioned delta rows have no batch
+    identity to seal against and stay as written.
+
+    Returns ``{"files_before", "files_after"}``."""
+    from process_spark.operators.fsutil import (
+        fs_path,
+        live_batch_ids,
+        read_watermark,
+        swap_in,
+        write_watermark,
+    )
+
+    fs0, HPath0 = fs_path(spark, stats_dir)
+    part_dirs = [
+        st.getPath().getName()
+        for st in fs0.listStatus(HPath0(stats_dir))
+        if st.getPath().getName().startswith("batch_id=")
+    ] if fs0.exists(HPath0(stats_dir)) else []
+    if not part_dirs:
+        raise ValueError(
+            f"compact_postings_stats: {stats_dir} has no batch_id= "
+            "partitions — only the streaming stats layout is compactable"
+        )
+    live = live_batch_ids(spark, stats_dir)
+    wm = max([read_watermark(spark, stats_dir)] + live)
+    folded = spark.read.parquet(stats_dir).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+        F.min("n_buckets").alias("nb_min"),
+        F.max("n_buckets").alias("nb_max"),
+    ).collect()[0]
+    if folded["nb_min"] != folded["nb_max"]:
+        raise ValueError(
+            f"postings stats at {stats_dir} carry mixed n_buckets "
+            f"{folded['nb_min']}..{folded['nb_max']} — refusing to seal"
+        )
+    fs, HPath = fs_path(spark, stats_dir)
+
+    def _n_files(p: str) -> int:
+        if not fs.exists(HPath(p)):
+            return 0
+        it, n = fs.listFiles(HPath(p), True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    files_before = _n_files(stats_dir)
+    tmp = stats_dir.rstrip("/") + "__compacting"
+    fs.delete(HPath(tmp), True)
+    (
+        spark.createDataFrame(
+            [(int(folded["n_docs"] or 0), int(folded["sum_dl"] or 0),
+              int(folded["nb_min"]), -1)],
+            "n_docs long, sum_dl long, n_buckets int, batch_id int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    write_watermark(spark, tmp, wm)
+    swap_in(spark, stats_dir, tmp, label="postings stats")
+    return {"files_before": files_before, "files_after": _n_files(stats_dir)}
+
+
+def compact_postings_index(
+    spark: SparkSession, path: str, n_write_tasks: int = 64
+) -> dict:
+    """Full offline maintenance pass over a STREAMING-layout postings
+    index: compact the postings data (one file per term_bucket dir,
+    batch_ids sealed to -1), the ``_docs`` membership sidecar if
+    present (same, keyed on doc_bucket — ``src_batch`` survives as a
+    data column, so re-ingest validation still works on sealed rows),
+    and fold the ``_stats`` deltas into one sealed row with a
+    ``sealed_through`` watermark. Run it between streaming runs, like
+    every compactor (the swaps are not transactional against in-flight
+    readers). Returns per-component file-count stats."""
+    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.operators.fsutil import fs_exists
+
+    data_dir = posixpath.join(path, "data")
+    docs_dir = posixpath.join(path, "_docs")
+    stats_dir = posixpath.join(path, "_stats")
+    out = {
+        "data": compact_partitioned_index(
+            spark, data_dir, ["term_bucket"], n_write_tasks
+        )
+    }
+    if fs_exists(spark, docs_dir):
+        out["docs"] = compact_partitioned_index(
+            spark, docs_dir, ["doc_bucket"], n_write_tasks
+        )
+        spark.catalog.refreshByPath(docs_dir)
+    out["stats"] = compact_postings_stats(spark, stats_dir)
+    spark.catalog.refreshByPath(data_dir)
+    spark.catalog.refreshByPath(stats_dir)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,6 @@ the total either.
 from __future__ import annotations
 
 import os
-import posixpath
 from typing import Iterator, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -418,10 +417,9 @@ def _mg_fs(spark: SparkSession, path: str):
     FS-agnostic routing :func:`compact_partitioned_index` uses, so the
     durable MG state table works on local disk, HDFS, or any
     configured ``hadoop-*`` connector alike."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    return HPath(path).getFileSystem(hconf), HPath
+    from process_spark.operators.fsutil import fs_path
+
+    return fs_path(spark, path)
 
 
 def _mg_raise_if_half_swapped(spark: SparkSession, state_dir: str) -> None:
@@ -447,55 +445,29 @@ def _mg_raise_if_half_swapped(spark: SparkSession, state_dir: str) -> None:
         )
 
 
-#: Watermark sidecar written by the compactor INSIDE the state dir (so
-#: it swaps atomically with the sealed summary): the highest batch_id
-#: whose counts are folded into the sealed ``batch_id = -1`` row.
-_MG_WATERMARK_FILE = "_SEALED_THROUGH"
-
-
 def _mg_read_watermark(spark: SparkSession, state_dir: str) -> int:
     """``sealed_through`` watermark of the state dir: the highest
     batch_id folded into the sealed summary, or -1 when the dir was
-    never compacted. Routed through the Hadoop FS API (DataInput UTF —
-    no local-path assumption); a missing file is normal, an unreadable
-    FILESYSTEM propagates loudly (same rationale as
-    :func:`_mg_raise_if_half_swapped`)."""
-    fs, HPath = _mg_fs(spark, state_dir)
-    p = HPath(posixpath.join(state_dir, _MG_WATERMARK_FILE))
-    if not fs.exists(p):
-        return -1
-    inp = fs.open(p)
-    try:
-        return int(inp.readUTF())
-    finally:
-        inp.close()
+    never compacted (operators/fsutil.py — the shared sealed-state
+    discipline; the postings ``_stats`` sidecar uses the same one)."""
+    from process_spark.operators.fsutil import read_watermark
+
+    return read_watermark(spark, state_dir)
 
 
 def _mg_write_watermark(spark: SparkSession, state_dir: str, wm: int) -> None:
-    fs, HPath = _mg_fs(spark, state_dir)
-    out = fs.create(HPath(posixpath.join(state_dir, _MG_WATERMARK_FILE)), True)
-    try:
-        out.writeUTF(str(int(wm)))
-    finally:
-        out.close()
+    from process_spark.operators.fsutil import write_watermark
+
+    write_watermark(spark, state_dir, wm)
 
 
 def _mg_live_batch_ids(spark: SparkSession, state_dir: str) -> list:
     """Non-sealed batch_ids currently present as partition subdirs —
     bounded by batch count (one listStatus), used by the compactor to
     advance the sealed_through watermark."""
-    fs, HPath = _mg_fs(spark, state_dir)
-    hp = HPath(state_dir)
-    if not fs.exists(hp):
-        return []
-    ids = []
-    for st in fs.listStatus(hp):
-        name = st.getPath().getName()
-        if name.startswith("batch_id="):
-            b = int(name.split("=", 1)[1])
-            if b >= 0:
-                ids.append(b)
-    return ids
+    from process_spark.operators.fsutil import live_batch_ids
+
+    return live_batch_ids(spark, state_dir)
 
 
 def _mg_state_files(spark: SparkSession, state_dir: str) -> int:
@@ -513,20 +485,12 @@ def _mg_state_files(spark: SparkSession, state_dir: str) -> int:
 
 def _mg_swap_in(spark: SparkSession, state_dir: str, tmp: str) -> None:
     """Atomically-as-the-FS-allows replace ``state_dir`` with ``tmp``:
-    rename aside, rename in, restore on failure, drop the old copy.
-    Identical contract (and S3 copy+delete caveat) to the index
-    compactor's swap."""
-    fs, HPath = _mg_fs(spark, state_dir)
-    old = state_dir.rstrip("/") + "__precompact"
-    fs.delete(HPath(old), True)
-    if not fs.rename(HPath(state_dir), HPath(old)):
-        raise IOError(f"mg state swap failed: rename {state_dir} -> {old}")
-    if not fs.rename(HPath(tmp), HPath(state_dir)):
-        # restore the original state before failing — never leave the
-        # path empty with the only copy under a scratch suffix
-        fs.rename(HPath(old), HPath(state_dir))
-        raise IOError(f"mg state swap failed: rename {tmp} -> {state_dir}")
-    fs.delete(HPath(old), True)
+    rename aside, rename in, restore on failure, drop the old copy
+    (operators/fsutil.py swap_in). Identical contract (and S3
+    copy+delete caveat) to the index compactor's swap."""
+    from process_spark.operators.fsutil import swap_in
+
+    swap_in(spark, state_dir, tmp, label="mg state")
 
 
 def mg_compact_state(

@@ -200,12 +200,30 @@ def text_postings_stored_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
 #: paired document (doc_id = vec_id) supplies the lexical query terms.
 _Q_FILTER = "vec_id % 100 = 0"
 
-#: Lexical queries derived from the query docs' distinct tokens.
-_O_HYBRID_QT = f"""
+def _o_hybrid_qt(qfilter: str) -> str:
+    """Lexical queries derived from the query docs' distinct tokens."""
+    return f"""
     SELECT d.doc_id AS query_id, unnest(list_distinct({_O_TOKS})) AS tok
     FROM documents d
-    WHERE d.doc_id IN (SELECT vec_id FROM embeddings WHERE {_Q_FILTER})
+    WHERE d.doc_id IN (SELECT vec_id FROM embeddings WHERE {qfilter})
 """
+
+
+_O_HYBRID_QT = _o_hybrid_qt(_Q_FILTER)
+
+
+def _hybrid_qt(
+    d: DataFrame, e: DataFrame, qfilter: str = _Q_FILTER
+) -> DataFrame:
+    """Spark twin of :func:`_o_hybrid_qt`: the query-by-example lexical
+    workload — each query doc's distinct tokens, query_id = doc_id.
+    The query-id sample (every 100th embedding id) is bounded by
+    construction, hence the broadcast."""
+    q_ids = e.filter(F.expr(qfilter)).select("vec_id")
+    return d.join(F.broadcast(q_ids), d.doc_id == q_ids.vec_id).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(tokens("text"))).alias("term"),
+    )
 
 
 @register(
@@ -264,11 +282,7 @@ def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
 
-    q_ids = e.filter(F.expr(_Q_FILTER)).select("vec_id")
-    qt = d.join(F.broadcast(q_ids), d.doc_id == q_ids.vec_id).select(
-        F.col("doc_id").alias("query_id"),
-        F.explode(F.array_distinct(tokens("text"))).alias("term"),
-    )
+    qt = _hybrid_qt(d, e)
     lex = topk_ranked(bm25_scores(d, qt), "score_e6", k=10).select(
         "query_id", "doc_id", "rank"
     )
@@ -301,9 +315,12 @@ _O_STREAM_BM25 = f"""
 
 def _bootstrap_postings(spark: SparkSession, path: str, hist: DataFrame) -> None:
     """Write the pre-stream history under the sink's streaming layout:
-    postings partitioned (term_bucket, batch_id = -1), stats sidecar
-    one row per batch partitioned (batch_id = -1)."""
+    postings partitioned (term_bucket, batch_id = -1), the ``_docs``
+    membership sidecar (doc_bucket, batch_id = -1, src_batch = -1 —
+    what arms the sink's exact re-ingest validation), and the stats
+    sidecar one row per batch partitioned (batch_id = -1)."""
     from process_spark.operators.retrieval import postings_index as _pi
+    from process_spark.operators.retrieval import postings_membership
 
     (
         _pi(hist)
@@ -312,6 +329,15 @@ def _bootstrap_postings(spark: SparkSession, path: str, hist: DataFrame) -> None
         .write.mode("overwrite")
         .partitionBy("term_bucket", "batch_id")
         .parquet(os.path.join(path, "data"))
+    )
+    (
+        postings_membership(hist)
+        .withColumn("src_batch", F.lit(-1))
+        .withColumn("batch_id", F.lit(-1))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("doc_bucket", "batch_id")
+        .parquet(os.path.join(path, "_docs"))
     )
     (
         hist.agg(
@@ -393,17 +419,20 @@ def stream_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O74+O95 — the postings family's full production lifecycle:
     ingest wave 1, STOP the driver, run the offline maintenance pass
-    (compact_partitioned_index — every (term_bucket, batch_id) dir
-    rewritten to one file, batch_ids SEALED to -1), then RESUME wave 2
-    against the same checkpoint and probe. The sealed index is safe to
-    resume onto because the sink detects its own sealed doc_ids before
-    re-appending (the engine's sealed-own hygiene invariant); the
-    stats sidecar stays per-batch and is NOT compacted — summing its
-    rows is exact regardless. Final probe = whole-corpus BM25, same
-    oracle as the probe twin."""
+    (compact_postings_index — every (term_bucket, batch_id) postings
+    dir AND every (doc_bucket, batch_id) membership dir rewritten to
+    one file with batch_ids SEALED to -1, and the per-batch ``_stats``
+    deltas folded into one sealed row under a ``sealed_through``
+    watermark), then RESUME wave 2 against the same checkpoint and
+    probe. The sealed index is safe to resume onto because the sink
+    detects its own sealed doc_ids before re-appending and skips the
+    stats delta of any batch at or below the watermark (the engine's
+    sealed-own hygiene invariant, now covering all three postings
+    components). Final probe = whole-corpus BM25, same oracle as the
+    probe twin."""
     import shutil
 
-    from process_spark.operators.dedup import compact_partitioned_index
+    from process_spark.operators.retrieval import compact_postings_index
 
     base = os.path.join(_scratch(), "stream_postings_compacted")
     shutil.rmtree(base, ignore_errors=True)
@@ -419,18 +448,12 @@ def stream_bm25_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(src)
     _run_postings_wave(spark, base, docs.schema)
-    # offline maintenance between waves: one file per dir, seal history.
-    # part_cols is the NON-batch key only — the compactor's sealing
+    # offline maintenance between waves: one file per dir, seal history
+    # (postings + membership sidecar), fold the stats deltas. The
+    # compactor passes only NON-batch partition keys down — the sealing
     # branch requires batch_id to be a rewritable column, not a
-    # partition key it must preserve (operators/dedup.py `has_batch`);
-    # passing it in part_cols would silently skip the seal and leave
-    # one file per (bucket, batch) dir.
-    compact_partitioned_index(
-        spark,
-        os.path.join(base, "index", "data"),
-        ["term_bucket"],
-    )
-    spark.catalog.refreshByPath(os.path.join(base, "index", "data"))
+    # partition key it must preserve (operators/dedup.py `has_batch`).
+    compact_postings_index(spark, os.path.join(base, "index"))
     # wave 2: rest of the stream, same checkpoint (resume)
     odd.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
         "append"
@@ -452,12 +475,15 @@ def _scratch() -> str:
     return _SCRATCH
 
 
-def _o_mmr(k_sel: int, k_pool: int = 10) -> str:
+def _o_mmr(k_sel: int, k_pool: int = 10, cand_sql: str | None = None) -> str:
     """Generate the unrolled MMR selection as a CTE chain (the
     vec_kmeans_md5_assignments precedent: an iterative algorithm
     becomes hash-checkable by unrolling its fixed step count into
-    SQL). Assumes CTEs ``u`` (unit vectors) and ``vscored``
-    (query × corpus cosine) are already in scope. Terminal relation:
+    SQL). Assumes CTE ``u`` (unit vectors) is in scope, plus either
+    ``vscored`` (query × corpus cosine — the default candidate pool)
+    or whatever relations ``cand_sql`` references: passing ``cand_sql``
+    swaps the pool source (the ANN/fused-pool variants) while the
+    msim + selection chain stays identical. Terminal relation:
     ``sel1 .. sel{k_sel}`` — union them for the output.
 
     Constants are repr-inlined from operators/retrieval: writing
@@ -466,15 +492,17 @@ def _o_mmr(k_sel: int, k_pool: int = 10) -> str:
     from process_spark.operators.retrieval import MMR_LAM, MMR_ONE_MINUS_LAM
 
     lam, oml = repr(MMR_LAM), repr(MMR_ONE_MINUS_LAM)
-    parts = [
-        f"""
-    cand AS (
+    if cand_sql is None:
+        cand_sql = f"""
       SELECT query_id, doc_id, score AS rel
       FROM (SELECT query_id, doc_id, score,
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, doc_id) AS rn
             FROM vscored)
-      WHERE rn <= {k_pool}),
+      WHERE rn <= {k_pool}"""
+    parts = [
+        f"""
+    cand AS ({cand_sql}),
     msim AS (
       SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
              {_o_dot("ua.nemb", "ub.nemb")} AS sim
@@ -549,8 +577,6 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines, which is what lets a greedy
     ITERATIVE selection be exact-hash-checked (via the unrolled-step
     CTE chain, the k-means-unroll precedent)."""
-    from process_spark.functions.vectorfn import dot as _dot
-    from process_spark.functions.vectorfn import l2_norm, unit_with
     from process_spark.operators.retrieval import mmr_rerank
 
     e = t(spark, sf_dir, "embeddings")
@@ -562,9 +588,28 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.col("score").alias("rel"),
     )
-    unit = e.select(
+    return mmr_rerank(_mmr_pairs(cands, _unit_of(e)), k=5)
+
+
+def _unit_of(e: DataFrame) -> DataFrame:
+    """(vec_id, nemb) unit vectors — norm folded once per vector, then
+    elementwise division (the normalize-once layout _o_unit_cte
+    replays)."""
+    from process_spark.functions.vectorfn import l2_norm, unit_with
+
+    return e.select(
         "vec_id", l2_norm("embedding").alias("__n"), "embedding"
     ).select("vec_id", unit_with("embedding", "__n").alias("nemb"))
+
+
+def _mmr_pairs(cands: DataFrame, unit: DataFrame) -> DataFrame:
+    """The per-query candidate-pair relation mmr_rerank consumes:
+    ``(query_id, a_id, b_id, sim, rel_a)`` — every ordered pool pair
+    with its unit-dot similarity (pool² per query, ≤ 100 rows for a
+    10-candidate pool) plus the relevance of ``a_id``. ``cands`` is
+    ``(query_id, doc_id, rel)``."""
+    from process_spark.functions.vectorfn import dot as _dot
+
     ca = cands.join(unit, cands.doc_id == unit.vec_id).select(
         "query_id",
         F.col("doc_id").alias("a_id"),
@@ -576,11 +621,366 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("b_id"),
         F.col("nemb").alias("b_emb"),
     )
-    pairs = ca.join(cb, "query_id").select(
+    return ca.join(cb, "query_id").select(
         "query_id",
         "a_id",
         "b_id",
         _dot("a_emb", "b_emb").alias("sim"),
         "rel_a",
     )
-    return mmr_rerank(pairs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# ANN-channel variants: the retrieval stack's 100 TB story as REGISTERED,
+# oracle-checked queries — the vector channel served by the STORED IVF
+# index (partition-pruned probe) instead of the O(|Q|×|C|) exact-cosine
+# scan, under the md5-keyed 2-d margin-guarded fixture that lets the
+# whole index chain carry an exact DuckDB oracle
+# (vec_ivf_knn_md5_idset's precedent).
+# ---------------------------------------------------------------------------
+
+
+def _fixture_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5 fixture corpus: embeddings replaced by [1.0, t32] with
+    t32 the per-id md5-derived scalar both engines compute
+    bit-identically (queries/vectors._t32 / _O_T32)."""
+    from process_spark.queries.vectors import _t32
+
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+
+
+def _stored_ivf_knn(
+    spark: SparkSession,
+    e2: DataFrame,
+    scratch_name: str,
+    k: int,
+    qfilter: str = _Q_FILTER,
+) -> DataFrame:
+    """Build the md5-seeded IVF index over the fixture corpus, WRITE
+    assignments partitioned by cell_id (the stored-ANN layout of
+    vec_ivf_stored_probe), collect the probe's bounded cell IN-set
+    (≤ n_cells ints) into a PartitionFilters prune, and ivf_search the
+    pruned cells — (q_id, vec_id, score, rank). The probed fraction ≈
+    n_probe/n_cells of the stored corpus is the whole point: this is
+    the channel a 100 TB hybrid stack feeds from."""
+    import os as _os
+
+    from process_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe_cells,
+        ivf_search,
+    )
+
+    cells, assignments = ivf_build(e2, n_cells=8, seed_hash="md5")
+    # 8-row cell table, consumed three times (probe IN-set, search's
+    # probe selection, search's re-rank): pin it so the Lloyd
+    # refinement chain runs once, not per consumer.
+    cells = cells.localCheckpoint(eager=True)
+    path = _os.path.join(_scratch(), scratch_name)
+    assignments.repartition(8, F.col("cell_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(path)
+    stored = spark.read.parquet(path)
+    q = e2.filter(F.expr(qfilter)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = sorted(  # bounded: cell domain is n_cells=8
+        r["cell_id"]
+        for r in ivf_probe_cells(cells, q, n_probe=2)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    pruned = stored.filter(F.col("cell_id").isin(probed))
+    return ivf_search(q, cells, pruned, k=k, n_probe=2)
+
+
+def _o_fixture_emb() -> str:
+    """DuckDB source of the fixture corpus (feeds _o_unit_cte)."""
+    from process_spark.queries.vectors import _O_T32
+
+    return (
+        "SELECT vec_id, list_value(CAST(1.0 AS DOUBLE), "
+        f"{_O_T32}) AS embedding FROM embeddings"
+    )
+
+
+def _o_ivf_cand() -> str:
+    """CTE ``ivfcand(query_id, doc_id, score)``: the stored-IVF
+    channel's candidates — probed cells (from _ivf_md5_ctes' ``probes``)
+    joined to assignments, scored by the SAME unit-dot fold the engine
+    computes (_o_dot over _o_unit_cte vectors), so the scores are
+    bit-identical doubles, not just margin-safe rankings — which is
+    what lets the MMR variant output ``obj`` and still hash-match."""
+    return f"""
+    ivfcand AS (
+      SELECT p.q_id AS query_id, a.vec_id AS doc_id,
+             {_o_dot("qu.nemb", "cu.nemb")} AS score
+      FROM probes p
+      JOIN assign1 a ON a.cell_id = p.cell_id
+      JOIN u qu ON qu.vec_id = p.q_id
+      JOIN u cu ON cu.vec_id = a.vec_id
+    )"""
+
+
+_O_IVF_VEC_RANK = """
+    vec AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS INT)
+               AS rank
+      FROM ivfcand
+      QUALIFY rank <= 10)"""
+
+_O_RRF_FUSE = f"""
+    fused AS (
+      SELECT query_id, doc_id, CAST(SUM(c_e9) AS BIGINT) AS rrf_e9
+      FROM (
+        SELECT query_id, doc_id,
+               CAST(FLOOR({RRF_SCALE!r}.0 / ({RRF_K!r}.0 + rank) + 0.5)
+                    AS BIGINT) AS c_e9
+        FROM lex
+        UNION ALL
+        SELECT query_id, doc_id,
+               CAST(FLOOR({RRF_SCALE!r}.0 / ({RRF_K!r}.0 + rank) + 0.5)
+                    AS BIGINT) AS c_e9
+        FROM vec
+      )
+      GROUP BY query_id, doc_id
+    )"""
+
+
+def _o_ivf_fixture_ctes(query_where: str = _Q_FILTER) -> str:
+    from process_spark.queries.vectors import _ivf_md5_ctes
+
+    return f"""{_ivf_md5_ctes(query_where=query_where)},
+    {_o_unit_cte(_o_fixture_emb())},
+    {_o_ivf_cand()}"""
+
+
+def _register_hybrid_ann() -> None:
+    oracle = f"""
+    WITH {_o_ivf_fixture_ctes()},
+    {_o_bm25("b", _O_HYBRID_QT)},
+    lex AS ({_O_TOPK.format(score="bscore", k=10)}),
+    {_O_IVF_VEC_RANK},
+    {_O_RRF_FUSE}
+    SELECT query_id, doc_id, rrf_e9,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e9 DESC, doc_id) AS INT)
+             AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """
+
+    @register("vec_hybrid_rrf_ann", oracle=oracle)
+    def vec_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """vec_hybrid_rrf's 100 TB form: the vector channel comes from
+        the STORED IVF index (cell-partitioned layout, bounded probe
+        IN-set pushed as PartitionFilters, ~n_probe/n_cells of the
+        corpus read) instead of the exact-cosine scan; the BM25 channel
+        and the RRF fuse are byte-identical to the exact variant. Under
+        the md5 2-d fixture the whole chain — seed pick, Lloyd
+        refinement, probe selection, pruned re-rank, fusion — replays
+        in DuckDB, so swapping the channel stays hash-checked (the
+        r10 verdict's "the ANN substitute is a footnote" gap, closed
+        as a registered query)."""
+        d = t(spark, sf_dir, "documents")
+        e = t(spark, sf_dir, "embeddings")
+        lex = topk_ranked(
+            bm25_scores(d, _hybrid_qt(d, e)), "score_e6", k=10
+        ).select("query_id", "doc_id", "rank")
+        knn = _stored_ivf_knn(
+            spark, _fixture_e2(spark, sf_dir), "hybrid_ann_ivf_index", k=10
+        )
+        vec = knn.select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+        return topk_ranked(rrf_fuse([lex, vec]), "rrf_e9", k=10)
+
+
+_register_hybrid_ann()
+
+
+def _register_mmr_ivf() -> None:
+    cand_sql = """
+      SELECT query_id, doc_id, score AS rel
+      FROM (SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rn
+            FROM ivfcand)
+      WHERE rn <= 10"""
+    oracle = f"""
+    WITH {_o_ivf_fixture_ctes()},
+    {_o_mmr(5, cand_sql=cand_sql)}
+    SELECT query_id, doc_id, CAST(mmr_rank AS INT) AS mmr_rank, obj
+    FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+          UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+          UNION ALL SELECT * FROM sel5)
+    """
+
+    @register("vec_mmr_rerank_ivf", oracle=oracle)
+    def vec_mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """vec_mmr_rerank's 100 TB form: the candidate pool comes from
+        the STORED IVF probe (pruned to the query's cells) instead of
+        brute-force cosine; the greedy MMR selection, its applyInPandas
+        execution shape, and the pool-pairwise unit-dot sims are
+        byte-identical to the exact variant. Pool relevances are the
+        IVF channel's unit-dot scores — replayed in SQL by the same
+        fold, so ``obj`` stays a bit-identical double and the unrolled
+        5-step selection chain hash-matches end to end."""
+        from process_spark.operators.retrieval import mmr_rerank
+
+        e2 = _fixture_e2(spark, sf_dir)
+        knn = _stored_ivf_knn(spark, e2, "mmr_ivf_index", k=10)
+        cands = knn.select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("score").alias("rel"),
+        )
+        return mmr_rerank(_mmr_pairs(cands, _unit_of(e2)), k=5)
+
+
+_register_mmr_ivf()
+
+
+#: Pool-relevance scale for the end-to-end composite: rrf_e9 ranges up
+#: to |channels|·RRF_SCALE/(RRF_K+1); one multiply by this constant puts
+#: rel on the same O(1) footing as the [-1, 1] similarity term, so the
+#: MMR trade-off is meaningful. Python-evaluated once and repr-inlined
+#: into the oracle (one IEEE multiply of identical operands).
+E2E_REL_SCALE = float(RRF_K + 1) / float(RRF_SCALE)
+
+
+def _register_retrieval_e2e() -> None:
+    cand_sql = f"""
+      SELECT query_id, doc_id,
+             (CAST(rrf_e9 AS DOUBLE) * {E2E_REL_SCALE!r}) AS rel
+      FROM (SELECT query_id, doc_id, rrf_e9,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_e9 DESC, doc_id) AS rn
+            FROM fused)
+      WHERE rn <= 10"""
+    oracle = f"""
+    WITH {_o_ivf_fixture_ctes()},
+    {_o_bm25("b", _O_HYBRID_QT)},
+    lex AS ({_O_TOPK.format(score="bscore", k=10)}),
+    {_O_IVF_VEC_RANK},
+    {_O_RRF_FUSE},
+    {_o_mmr(5, cand_sql=cand_sql)}
+    SELECT query_id, doc_id, CAST(mmr_rank AS INT) AS mmr_rank, obj
+    FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+          UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+          UNION ALL SELECT * FROM sel5)
+    """
+
+    @register("retrieval_e2e_stored", oracle=oracle)
+    def retrieval_e2e_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The retrieval stack END TO END, every stage over STORED
+        state: BM25 probes the stored postings index (term_bucket
+        PartitionFilters), the vector channel probes the stored IVF
+        index (cell PartitionFilters), RRF fuses the two rankings, and
+        MMR re-ranks the fused top-10 pool (rel = rrf_e9 scaled to the
+        similarity term's footing) down to 5 diverse results per query.
+        One oracle replays the whole chain — the integration seams the
+        per-stage queries can't see (rank ties crossing the fuse, pool
+        construction from fused integer ranks, storage-layout
+        invariance of both probes) are hash-checked as one unit."""
+        from process_spark.operators.retrieval import mmr_rerank
+
+        d = t(spark, sf_dir, "documents")
+        e = t(spark, sf_dir, "embeddings")
+        ppath = os.path.join(_scratch(), "retrieval_e2e_postings")
+        write_postings_index(d, ppath, mode="overwrite")
+        spark.catalog.refreshByPath(os.path.join(ppath, "data"))
+        lex = topk_ranked(
+            bm25_probe_postings(spark, ppath, _hybrid_qt(d, e)),
+            "score_e6",
+            k=10,
+        ).select("query_id", "doc_id", "rank")
+
+        e2 = _fixture_e2(spark, sf_dir)
+        knn = _stored_ivf_knn(spark, e2, "retrieval_e2e_ivf", k=10)
+        vec = knn.select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+        pool = topk_ranked(rrf_fuse([lex, vec]), "rrf_e9", k=10)
+        cands = pool.select(
+            "query_id",
+            "doc_id",
+            (F.col("rrf_e9").cast("double") * F.lit(E2E_REL_SCALE)).alias(
+                "rel"
+            ),
+        )
+        return mmr_rerank(_mmr_pairs(cands, _unit_of(e2)), k=5)
+
+
+_register_retrieval_e2e()
+
+
+#: Fixed-workload query filter: the every-100th-id sample CAPPED to the
+#: sf0.1 id domain, so the query set is CONSTANT (50 queries) no matter
+#: how far the corpus grows — the production hybrid-retrieval shape (a
+#: query workload does not grow with the index). The x10/x100 scale
+#: probes key on this: vec_hybrid_rrf_ann's ratio folds in a 10x query
+#: set; this one isolates pure corpus growth.
+_QF_FIXED = f"{_Q_FILTER} AND vec_id < 5000"
+
+
+def _register_hybrid_ann_fixedq() -> None:
+    oracle = f"""
+    WITH {_o_ivf_fixture_ctes(query_where=_QF_FIXED)},
+    {_o_bm25("b", _o_hybrid_qt(_QF_FIXED))},
+    lex AS ({_O_TOPK.format(score="bscore", k=10)}),
+    {_O_IVF_VEC_RANK},
+    {_O_RRF_FUSE}
+    SELECT query_id, doc_id, rrf_e9,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e9 DESC, doc_id) AS INT)
+             AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """
+
+    @register("vec_hybrid_rrf_ann_fixedq", oracle=oracle)
+    def vec_hybrid_rrf_ann_fixedq(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """vec_hybrid_rrf_ann with a FIXED query workload (the
+        every-100th-id sample capped to the sf0.1 id domain): the
+        production shape where the query set is a constant-size
+        workload and only the CORPUS grows. The x10/x100 probes key on
+        this row — the growing-workload variant's ratio folds in a 10x
+        query set (|Q|x|C| pair growth by construction), while this one
+        isolates the per-corpus cost a deployment actually pays: one
+        postings-pruned BM25 probe and one cell-pruned IVF probe per
+        fixed query."""
+        d = t(spark, sf_dir, "documents")
+        e = t(spark, sf_dir, "embeddings")
+        lex = topk_ranked(
+            bm25_scores(d, _hybrid_qt(d, e, qfilter=_QF_FIXED)),
+            "score_e6",
+            k=10,
+        ).select("query_id", "doc_id", "rank")
+        knn = _stored_ivf_knn(
+            spark,
+            _fixture_e2(spark, sf_dir),
+            "hybrid_ann_fixedq_ivf_index",
+            k=10,
+            qfilter=_QF_FIXED,
+        )
+        vec = knn.select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+        return topk_ranked(rrf_fuse([lex, vec]), "rrf_e9", k=10)
+
+
+_register_hybrid_ann_fixedq()

@@ -882,12 +882,17 @@ def _o_cell_score(tv: str, tc: str) -> str:
     return f"(1 + {tv} * {tc}) / sqrt(1 + {tc} * {tc})"
 
 
-def _ivf_md5_ctes(build_where: str = "TRUE") -> str:
+def _ivf_md5_ctes(
+    build_where: str = "TRUE", query_where: str = "vec_id % 100 = 0"
+) -> str:
     """The shared CTE prefix of the md5-fixture IVF oracles: seed pick
     → assign → float32-rounded refine → reassign (``assign1``) → 2-cell
     ``probes`` per query. Tail queries compose scoring on top (exact
     cosine re-rank in :func:`_ivf_md5_oracle`; integer SQ8 ADC in
-    ``vec_ivf_sq8_md5_idset``)."""
+    ``vec_ivf_sq8_md5_idset``). ``query_where`` picks the probe's query
+    population (default: the standard every-100th-id sample; the
+    fixed-workload hybrid variant narrows it so the query set stays
+    CONSTANT while the corpus grows)."""
     return f"""h AS (
       SELECT vec_id,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
@@ -931,7 +936,7 @@ def _ivf_md5_ctes(build_where: str = "TRUE") -> str:
                  ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
                ) AS rn
         FROM h v CROSS JOIN refined r
-        WHERE v.vec_id % 100 = 0
+        WHERE {query_where}
       ) WHERE rn <= 2
     )"""
 

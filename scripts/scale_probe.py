@@ -151,6 +151,10 @@ PIPELINE_PROBE = [
     "stream_bm25_index_probe",
     "stream_bm25_index_compacted",
     "vec_mmr_rerank",
+    "vec_hybrid_rrf_ann",
+    "vec_mmr_rerank_ivf",
+    "retrieval_e2e_stored",
+    "vec_hybrid_rrf_ann_fixedq",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —
@@ -174,6 +178,7 @@ X100_PROBE = [
     "vec_ivf_rebuild_trigger",
     "text_bm25_topk",
     "pipeline_domain_cap",
+    "vec_hybrid_rrf_ann_fixedq",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -227,8 +232,22 @@ QUADRATIC_BY_DESIGN = {
     "corpus grow 10x and the cosine channel's scored pair count grows "
     "~100x (same |Q| x |C| shape as vec_knn_bruteforce); in a real "
     "deployment the query workload is FIXED, so the production ratio "
-    "tracks corpus size only - text_bm25_topk (fixed workload) shows "
-    "the corpus-linear behavior",
+    "tracks corpus size only - vec_hybrid_rrf_ann_fixedq (fixed "
+    "workload, both channels stored+pruned) is the production row",
+    "vec_hybrid_rrf_ann": "the query workload still grows 10x with "
+    "the corpus (every 100th id), so the vector channel's pair count "
+    "grows ~100x/(n_cells/n_probe); the IVF prune cuts the constant "
+    "4x vs the exact channel but not the |Q| x |C| asymptotics - "
+    "vec_hybrid_rrf_ann_fixedq (constant 50-query workload) isolates "
+    "the corpus-only growth a deployment actually pays",
+    "vec_mmr_rerank_ivf": "the candidate pools come from the stored "
+    "IVF probe whose query set grows with the corpus - same "
+    "|Q| x |C| x n_probe/n_cells shape as vec_hybrid_rrf_ann's vector "
+    "channel, upstream of the (bounded, pool-squared) MMR stage",
+    "retrieval_e2e_stored": "both channels' query sets grow 10x with "
+    "the corpus (query-by-example on every 100th id) - the postings "
+    "probe's hit set AND the IVF channel's pair count fold in the "
+    "10x workload; the fixedq hybrid row is the corpus-only shape",
     "dedup_connected_components": "replicated docs are true near-dups; "
     "the edge set (exact Jaccard pairs within blocks) grows "
     "~quadratically per duplicated doc before components form",

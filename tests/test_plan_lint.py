@@ -34,6 +34,10 @@ GLOBAL_WINDOW_OK = {
     "vec_ivf_sq8_md5_idset",  # same ivf_build seed window (n_cells rows)
     "vec_ivf_drift_report",   # same ivf_build seed window (n_cells rows)
     "vec_ivf_rebuild_trigger",  # same ivf_build seed window (n_cells rows)
+    "vec_hybrid_rrf_ann",     # same ivf_build seed window (n_cells rows)
+    "vec_mmr_rerank_ivf",     # same ivf_build seed window (n_cells rows)
+    "retrieval_e2e_stored",   # same ivf_build seed window (n_cells rows)
+    "vec_hybrid_rrf_ann_fixedq",  # same ivf_build seed window (n_cells rows)
 }
 
 # Queries allowed to plan CartesianProduct / unconditioned broadcast
@@ -82,6 +86,11 @@ CROSS_OK = {
                                 # 100th embedding — bounded by construction)
     "vec_mmr_rerank",           # same brute_force_knn query-side broadcast;
                                 # the pairs join is pool² per query (≤100 rows)
+    "vec_hybrid_rrf_ann",       # stored-IVF cell/probe broadcasts (k rows)
+    "vec_mmr_rerank_ivf",       # same + pool² pairs join (≤100 rows/query)
+    "retrieval_e2e_stored",     # stored-IVF cell/probe broadcasts (k rows)
+                                # + pool² pairs join (≤100 rows/query)
+    "vec_hybrid_rrf_ann_fixedq",  # stored-IVF cell/probe broadcasts (k rows)
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
@@ -185,6 +194,22 @@ BROADCAST_HINT_OK = {
     "vec_mmr_rerank": (
         "brute_force_knn's bounded query side (every 100th embedding); "
         "everything downstream is the k-pool candidate relation"
+    ),
+    "vec_hybrid_rrf_ann": (
+        "same bounded lexical workload/df broadcasts as vec_hybrid_rrf "
+        "+ the stored-IVF probe's cell/probe tables (k rows)"
+    ),
+    "vec_mmr_rerank_ivf": (
+        "stored-IVF probe's cell/probe tables (k rows); downstream is "
+        "the k-pool candidate relation"
+    ),
+    "retrieval_e2e_stored": (
+        "bounded lexical workload/df broadcasts (stored-postings probe) "
+        "+ stored-IVF cell/probe tables (k rows)"
+    ),
+    "vec_hybrid_rrf_ann_fixedq": (
+        "same bounded broadcasts as vec_hybrid_rrf_ann, fixed 50-query "
+        "workload"
     ),
     "vec_knn_bruteforce": "query side (fixed 1% id sample, bounded)",
     "vec_ann_srp_bucketed": "query side (fixed 1% id sample, bounded)",
@@ -363,13 +388,16 @@ BROADCAST_SITES = {
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "operators/retrieval.py": (
-        8,
+        10,
         "BM25's query-term table (a query workload, small by "
         "contract), the per-query-term df table (≤ |workload terms| "
         "rows), 3 sites each in bm25_scores and bm25_probe_postings; "
-        "+2 in incremental_postings_sink's sealed-own hygiene "
-        "(bounded per-micro-batch doc-id set and its ≤|batch| sealed "
-        "subset — the same bounds as the other three sinks)",
+        "+4 in incremental_postings_sink's sealed-own hygiene and "
+        "append-only validation (bounded per-micro-batch doc-id set, "
+        "semi-joined twice — _docs membership + postings lookup — its "
+        "≤|batch| sealed subset on the append anti-join, and the "
+        "≤|batch| already-sealed membership subset on the _docs "
+        "anti-join — the same bounds as the other three sinks)",
     ),
     "queries/retrieval.py": (
         1,

@@ -106,16 +106,23 @@ def test_rrf_both_channels_beat_one(spark):
 
 
 def test_postings_stats_accumulate_across_appends(spark, tmp_path):
-    """The 1-row _stats sidecar must hold corpus-wide N / Σdl after
-    appends (global BM25 stats never re-scan history), and the stored
+    """The _stats sidecar must sum to corpus-wide N / Σdl after appends
+    (global BM25 stats never re-scan history) — stored as one DELTA row
+    per append (never accumulated in place: a crash between the
+    postings append and a stats overwrite would corrupt the
+    accumulator; a missing delta row is recoverable) — and the stored
     probe must equal the in-memory kernel on the union corpus."""
+    from pyspark.sql import functions as FF
+
     path = str(tmp_path / "pidx")
     b0 = _docs(spark, [(1, "apple banana apple"), (2, "banana cherry")])
     b1 = _docs(spark, [(3, "cherry cherry cherry durian")])
     write_postings_index(b0, path, mode="overwrite")
     write_postings_index(b1, path, mode="append")
 
-    stats = spark.read.parquet(path + "/_stats").collect()[0]
+    stats = spark.read.parquet(path + "/_stats").agg(
+        FF.sum("n_docs").alias("n_docs"), FF.sum("sum_dl").alias("sum_dl")
+    ).collect()[0]
     assert (stats["n_docs"], stats["sum_dl"]) == (3, 9)
 
     qt = _qt(spark, [(0, "apple"), (0, "cherry"), (1, "banana")])
@@ -228,6 +235,125 @@ def test_postings_sink_replay_and_sealed_own(spark, tmp_path):
         for r in bm25_scores(hist.unionByName(batch), qt).collect()
     }
     assert got == want
+
+
+def test_postings_sink_fresh_path_first_batch(spark, tmp_path):
+    """The sink's sealed-own / validation lookups must not explode on a
+    never-bootstrapped index path (the r10 ADVICE PATH_NOT_FOUND item):
+    the first micro-batch against a fresh directory creates all three
+    components, and the probe equals the in-memory kernel."""
+    from process_spark.operators.retrieval import incremental_postings_sink
+
+    path = str(tmp_path / "fresh")
+    batch = _docs(spark, [(1, "apple cherry"), (2, "banana")])
+    incremental_postings_sink(path)(batch, 0)
+    qt = _qt(spark, [(0, "apple"), (0, "banana")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(batch, qt).collect()
+    }
+    assert got == want and len(got) == 2
+    # membership sidecar recorded the batch with its origin
+    mem = spark.read.parquet(path + "/_docs").collect()
+    assert {(r["doc_id"], r["src_batch"]) for r in mem} == {(1, 0), (2, 0)}
+
+
+def test_postings_sink_rejects_reingest(spark, tmp_path):
+    """Append-only validation: a batch re-ingesting a doc_id the index
+    already holds RAISES instead of silently corrupting the index (the
+    sealed-own anti-join would drop the new postings while stats still
+    counted the doc). Detected exactly via the _docs membership sidecar
+    (src_batch column) — even for a CHANGED-content re-ingest whose
+    tokens share no term bucket with the stored copy, and even after
+    compaction sealed the stored copy — and best-effort from the live
+    postings when the sidecar is absent (legacy layout)."""
+    from process_spark.operators.retrieval import (
+        compact_postings_index,
+        incremental_postings_sink,
+    )
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path = str(tmp_path / "pidx")
+    hist = _docs(spark, [(0, "apple banana"), (2, "banana cherry")])
+    _bootstrap_postings(spark, path, hist)
+    sink = incremental_postings_sink(path)
+
+    # (a) re-ingest of a BOOTSTRAP doc (src_batch = -1), changed text
+    with pytest.raises(ValueError, match="re-ingests"):
+        sink(_docs(spark, [(0, "zebra yak")]), 0)
+    # (b) clean growth batch, then a LATER batch re-ingesting its doc
+    sink(_docs(spark, [(1, "apple durian")]), 0)
+    with pytest.raises(ValueError, match="re-ingests"):
+        sink(_docs(spark, [(1, "apple durian")]), 1)
+    # (c) sealed copies stay detectable: compact everything, re-ingest
+    compact_postings_index(spark, path)
+    with pytest.raises(ValueError, match="re-ingests"):
+        sink(_docs(spark, [(1, "totally different words")]), 1)
+    # (d) a genuinely new doc still appends fine after all of the above
+    sink(_docs(spark, [(3, "elderberry fig")]), 1)
+    qt = _qt(spark, [(0, "apple"), (1, "elderberry")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(
+            hist.unionByName(
+                _docs(spark, [(1, "apple durian"), (3, "elderberry fig")])
+            ),
+            qt,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_compact_postings_stats_replay_watermark(spark, tmp_path):
+    """compact_postings_stats folds the per-batch stats deltas into one
+    sealed row: file count collapses, probe stats are unchanged, and a
+    batch replayed at or below the sealed_through watermark SKIPS its
+    stats write (its delta already lives in the sealed row) while
+    post-watermark batches keep writing deltas."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.operators.fsutil import read_watermark
+    from process_spark.operators.retrieval import (
+        compact_postings_stats,
+        incremental_postings_sink,
+    )
+
+    path = str(tmp_path / "pidx")
+    sink = incremental_postings_sink(path)
+    sink(_docs(spark, [(1, "apple banana")]), 0)
+    sink(_docs(spark, [(2, "cherry durian elderberry")]), 1)
+
+    def stats_sum():
+        r = spark.read.parquet(path + "/_stats").agg(
+            FF.sum("n_docs"), FF.sum("sum_dl")
+        ).collect()[0]
+        return tuple(r)
+
+    before = stats_sum()
+    assert before == (2, 5)
+    out = compact_postings_stats(spark, path + "/_stats")
+    assert out["files_after"] == 1 <= out["files_before"]
+    assert read_watermark(spark, path + "/_stats") == 1
+    assert stats_sum() == before
+    # crash-replay of batch 1 AFTER the fold: postings are sealed-own
+    # skipped, and the stats delta must NOT double-add
+    from process_spark.operators.dedup import compact_partitioned_index
+
+    compact_partitioned_index(spark, path + "/data", ["term_bucket"])
+    spark.catalog.refreshByPath(path + "/data")
+    sink(_docs(spark, [(2, "cherry durian elderberry")]), 1)
+    assert stats_sum() == before
+    # a genuinely new batch above the watermark still lands
+    sink(_docs(spark, [(3, "fig")]), 2)
+    assert stats_sum() == (3, 6)
 
 
 def test_mmr_defers_redundant_candidate(spark):
