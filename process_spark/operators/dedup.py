@@ -884,7 +884,11 @@ def connected_components_star(
 
 
 def compact_partitioned_index(
-    spark, path: str, part_cols: Sequence[str], n_write_tasks: int = 64
+    spark,
+    path: str,
+    part_cols: Sequence[str],
+    n_write_tasks: int = 64,
+    row_filter=None,
 ) -> dict:
     """Maintenance op for any STORED partitioned index: rewrite every
     partition directory to ONE file.
@@ -953,6 +957,12 @@ def compact_partitioned_index(
 
     files_before = _count_files(path)
     df = spark.read.parquet(path)
+    if row_filter is not None:
+        # Purge hook (DataFrame -> DataFrame): compaction is the ONE
+        # moment the whole index is rewritten anyway, so logically
+        # deleted rows (tombstones — see retrieval.tombstone_postings
+        # _docs) ride out for free. Identity when absent.
+        df = row_filter(df)
     part_cols = list(part_cols)
     has_batch = "batch_id" in df.columns and "batch_id" not in part_cols
     if has_batch:

@@ -288,7 +288,16 @@ def bm25_probe_postings(
     scan on it — PartitionFilters, so only the query's buckets' dirs
     are opened. df per term comes from the pruned postings themselves
     (complete by the co-location invariant); N/avgdl from the 1-row
-    sidecar."""
+    sidecar.
+
+    Tombstones (logical deletes — :func:`tombstone_postings_docs`) are
+    honored without touching the stored bytes: deleted doc_ids are
+    anti-joined out of the pruned hit set BEFORE df aggregation, and
+    their (count, Σdl) — carried on the tombstone rows — are
+    subtracted from the sidecar's N/Σdl, so scores equal a fresh index
+    over the remaining corpus exactly. Physical removal happens at the
+    next :func:`compact_postings_index` (the Lucene soft-delete +
+    merge-purge rhythm)."""
     qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
     buckets = sorted(
         r["b"]
@@ -323,15 +332,32 @@ def bm25_probe_postings(
             f"{stats['nb_min']}..{stats['nb_max']}, probe requested "
             f"{n_buckets}"
         )
-    n_docs = int(stats["n"] or 0)
-    if n_docs == 0:
-        avgdl = 1.0  # empty index: no hit rows exist to score
+    tomb_dir = posixpath.join(path, "_tombstones")
+    n_del, sdl_del, tomb_ids = 0, 0, None
+    from process_spark.operators.fsutil import fs_exists
+
+    if fs_exists(spark, tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("doc_id", "dl").distinct()
+        trow = tomb.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        ).collect()[0]
+        n_del, sdl_del = int(trow["n"] or 0), int(trow["sdl"] or 0)
+        if n_del:
+            tomb_ids = tomb.select("doc_id")
+
+    n_docs = int(stats["n"] or 0) - n_del
+    if n_docs <= 0:
+        n_docs, avgdl = max(n_docs, 0), 1.0  # empty index: no hit rows
     else:
-        avgdl = float(stats["sdl"] or 0) / float(n_docs)
+        avgdl = float((stats["sdl"] or 0) - sdl_del) / float(n_docs)
 
     stored = spark.read.parquet(posixpath.join(path, "data")).filter(
         F.col("term_bucket").isin(buckets)
     )
+    if tomb_ids is not None:
+        # no broadcast hint: the tombstone set grows until the next
+        # purge — let AQE size the join
+        stored = stored.join(tomb_ids, "doc_id", "left_anti")
     hit = stored.join(
         F.broadcast(qt.select("tok").distinct()), "tok", "left_semi"
     )
@@ -394,23 +420,34 @@ def rrf_fuse(channels: list[DataFrame], k: int = RRF_K) -> DataFrame:
 
 
 def postings_membership(
-    docs: DataFrame, id_col: str = "doc_id", n_buckets: int = 16
+    docs: DataFrame,
+    pidx: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
 ) -> DataFrame:
-    """Membership-sidecar rows ``(doc_bucket, doc_id)`` for the
+    """Membership-sidecar rows ``(doc_bucket, doc_id, dl)`` for the
     ``_docs`` table: one row per distinct doc, partitioned by
     ``doc_bucket = pmod(hash(doc_id), n_buckets)``. Unlike the
     postings themselves (whose term buckets depend on CONTENT), a
     doc's membership bucket depends only on its id — so "is this
     doc_id already in the index?" is answerable from a pruned read of
-    a single-column table no matter how the doc's text changed."""
+    a single-column table no matter how the doc's text changed. ``dl``
+    (the doc's token length, taken from the already-computed postings
+    ``pidx``; 0 for zero-token docs, which have no postings rows) is
+    denormalized here so a DELETE can write its stats correction from
+    one pruned sidecar lookup instead of hunting the doc's postings
+    across content-dependent term buckets."""
+    per_doc_dl = pidx.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .distinct()
+        .join(per_doc_dl, "doc_id", "left")
         .select(
             F.pmod(F.hash("doc_id"), F.lit(n_buckets))
             .cast("int")
             .alias("doc_bucket"),
             "doc_id",
+            F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"),
         )
     )
 
@@ -499,10 +536,11 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
                     F.col("doc_bucket").isin(
                         sorted(
                             r["b"]
-                            for r in postings_membership(
-                                bids, n_buckets=n_buckets
+                            for r in bids.select(
+                                F.pmod(F.hash("doc_id"), F.lit(n_buckets))
+                                .cast("int")
+                                .alias("b")
                             )
-                            .select(F.col("doc_bucket").alias("b"))
                             .distinct()
                             .collect()
                         )
@@ -524,8 +562,9 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
                 raise ValueError(
                     f"postings index at {path}: batch {batch_id} re-ingests "
                     f"doc_ids already in the index (sample: {foreign}) — "
-                    "doc_ids are append-only; updates need a tombstone op, "
-                    "not the growth sink"
+                    "doc_ids are append-only. To UPDATE a doc: "
+                    "tombstone_postings_docs it, run compact_postings_index "
+                    "(purges every trace), then re-ingest the new version"
                 )
             docs_sealed_own = (
                 members.filter(
@@ -580,9 +619,9 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
             .partitionBy("term_bucket", "batch_id")
             .parquet(data_dir)
         )
-        membership = postings_membership(bids, n_buckets=n_buckets).withColumn(
-            "src_batch", F.lit(batch_id)
-        )
+        membership = postings_membership(
+            bids, pidx, n_buckets=n_buckets
+        ).withColumn("src_batch", F.lit(batch_id))
         if docs_sealed_own is not None:
             # don't re-record docs whose membership rows were already
             # sealed to -1 (the sidecar would hold two rows per doc)
@@ -618,7 +657,82 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
     return sink
 
 
-def compact_postings_stats(spark: SparkSession, stats_dir: str) -> dict:
+def tombstone_postings_docs(
+    spark: SparkSession, path: str, doc_ids: DataFrame, n_buckets: int = 16
+) -> dict:
+    """Logical DELETE from a postings index: record ``doc_ids`` (a
+    bounded maintenance request, column ``doc_id``) as tombstones under
+    ``_tombstones/(doc_bucket)``, each row carrying the doc's token
+    length ``dl`` from the ``_docs`` membership sidecar — one pruned
+    sidecar lookup, never a content-dependent hunt across term buckets.
+    Probes exclude tombstoned docs and subtract their (count, Σdl) from
+    the corpus stats immediately; the bytes are purged at the next
+    :func:`compact_postings_index`, after which the doc_id may be
+    re-ingested (the UPDATE path: tombstone → compact → re-ingest).
+
+    Raises on unknown doc_ids (deleting what was never ingested is a
+    caller bug, not a no-op); re-tombstoning an already-tombstoned doc
+    is idempotent (skipped). Requires the ``_docs`` sidecar — indexes
+    bootstrapped before it existed must be re-bootstrapped (or
+    compacted with a writer that adds it) before deletes."""
+    from process_spark.operators.fsutil import fs_exists
+
+    docs_dir = posixpath.join(path, "_docs")
+    tomb_dir = posixpath.join(path, "_tombstones")
+    if not fs_exists(spark, docs_dir):
+        raise ValueError(
+            f"tombstone_postings_docs: {path} has no _docs membership "
+            "sidecar — deletes need it for the dl/stats correction"
+        )
+    ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    buckets = sorted(
+        r["b"]
+        for r in ids.select(
+            F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    members = (
+        spark.read.parquet(docs_dir)
+        .filter(F.col("doc_bucket").isin(buckets))
+        .join(ids, "doc_id", "left_semi")
+        .select("doc_bucket", "doc_id", "dl")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    missing = [
+        r["doc_id"]
+        for r in ids.join(members, "doc_id", "left_anti").limit(5).collect()
+    ]
+    if missing:
+        raise ValueError(
+            f"tombstone_postings_docs: doc_ids not in the index at {path} "
+            f"(sample: {missing})"
+        )
+    fresh = members
+    if fs_exists(spark, tomb_dir):
+        fresh = members.join(
+            spark.read.parquet(tomb_dir).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    n = fresh.count()
+    if n:
+        (
+            fresh.repartition(1)
+            .write.mode("append")
+            .partitionBy("doc_bucket")
+            .parquet(tomb_dir)
+        )
+    return {"n_tombstoned": n}
+
+
+def compact_postings_stats(
+    spark: SparkSession,
+    stats_dir: str,
+    recompute_from: tuple | None = None,
+) -> dict:
     """Maintenance op for the STREAMING postings ``_stats`` sidecar:
     fold the one-row-per-micro-batch deltas into ONE sealed
     ``batch_id = -1`` row — the same small-files rhythm every other
@@ -637,6 +751,14 @@ def compact_postings_stats(spark: SparkSession, stats_dir: str) -> dict:
     delta. Only valid for the streaming (batch_id-partitioned) layout;
     the batch lifecycle's unpartitioned delta rows have no batch
     identity to seal against and stay as written.
+
+    ``recompute_from = (data_dir, docs_dir)`` switches the sealed row's
+    values from fold-the-deltas to RECOMPUTE from the (already purged)
+    index: n_docs = distinct membership ids, Σdl = Σtf over the
+    postings (exact — the per-doc groupBy conserved token counts).
+    Required after a tombstone purge: the historical deltas still count
+    the deleted docs, and once the tombstones are dropped nothing else
+    would subtract them.
 
     Returns ``{"files_before", "files_after"}``."""
     from process_spark.operators.fsutil import (
@@ -671,6 +793,16 @@ def compact_postings_stats(spark: SparkSession, stats_dir: str) -> dict:
             f"postings stats at {stats_dir} carry mixed n_buckets "
             f"{folded['nb_min']}..{folded['nb_max']} — refusing to seal"
         )
+    n_docs, sum_dl = int(folded["n_docs"] or 0), int(folded["sum_dl"] or 0)
+    if recompute_from is not None:
+        data_dir, docs_dir = recompute_from
+        n_docs = (
+            spark.read.parquet(docs_dir).select("doc_id").distinct().count()
+        )
+        row = spark.read.parquet(data_dir).agg(
+            F.sum("tf").cast("long").alias("sdl")
+        ).collect()[0]
+        sum_dl = int(row["sdl"] or 0)
     fs, HPath = fs_path(spark, stats_dir)
 
     def _n_files(p: str) -> int:
@@ -687,8 +819,7 @@ def compact_postings_stats(spark: SparkSession, stats_dir: str) -> dict:
     fs.delete(HPath(tmp), True)
     (
         spark.createDataFrame(
-            [(int(folded["n_docs"] or 0), int(folded["sum_dl"] or 0),
-              int(folded["nb_min"]), -1)],
+            [(n_docs, sum_dl, int(folded["nb_min"]), -1)],
             "n_docs long, sum_dl long, n_buckets int, batch_id int",
         )
         .coalesce(1)
@@ -710,26 +841,70 @@ def compact_postings_index(
     present (same, keyed on doc_bucket — ``src_batch`` survives as a
     data column, so re-ingest validation still works on sealed rows),
     and fold the ``_stats`` deltas into one sealed row with a
-    ``sealed_through`` watermark. Run it between streaming runs, like
-    every compactor (the swaps are not transactional against in-flight
-    readers). Returns per-component file-count stats."""
+    ``sealed_through`` watermark.
+
+    If tombstones exist (:func:`tombstone_postings_docs`), this pass is
+    also the PURGE: tombstoned doc_ids are anti-joined out of both the
+    postings and the membership rewrite (compaction rewrites every row
+    anyway, so the deletes ride for free), the sealed stats row is
+    RECOMPUTED from the purged index (the historical deltas still
+    count the deleted docs), and the tombstones are dropped last —
+    after which the doc_ids are free to re-ingest (the UPDATE path).
+    Crash ordering: each component swaps whole; a crash anywhere
+    before the final tombstone drop leaves probes correct (tombstones
+    still subtract, purged rows anti-join to nothing) EXCEPT the
+    window between the stats swap and the tombstone drop, where probes
+    under-count N/avgdl (scores skew slightly low) until the compactor
+    is re-run — re-running converges (purges are idempotent, the
+    recompute reproduces the same sealed row, the drop completes).
+
+    Run it between streaming runs, like every compactor (the swaps are
+    not transactional against in-flight readers). Returns per-component
+    file-count stats plus ``n_purged_docs``."""
     from process_spark.operators.dedup import compact_partitioned_index
-    from process_spark.operators.fsutil import fs_exists
+    from process_spark.operators.fsutil import fs_exists, fs_path
 
     data_dir = posixpath.join(path, "data")
     docs_dir = posixpath.join(path, "_docs")
     stats_dir = posixpath.join(path, "_stats")
+    tomb_dir = posixpath.join(path, "_tombstones")
+
+    row_filter = None
+    tomb_ids = None
+    if fs_exists(spark, tomb_dir):
+        tomb_ids = (
+            spark.read.parquet(tomb_dir)
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)  # outlives the dir drop below
+        )
+
+        def row_filter(df):  # noqa: F811 — the purge hook
+            return df.join(tomb_ids, "doc_id", "left_anti")
+
     out = {
         "data": compact_partitioned_index(
-            spark, data_dir, ["term_bucket"], n_write_tasks
-        )
+            spark, data_dir, ["term_bucket"], n_write_tasks,
+            row_filter=row_filter,
+        ),
+        "n_purged_docs": tomb_ids.count() if tomb_ids is not None else 0,
     }
     if fs_exists(spark, docs_dir):
         out["docs"] = compact_partitioned_index(
-            spark, docs_dir, ["doc_bucket"], n_write_tasks
+            spark, docs_dir, ["doc_bucket"], n_write_tasks,
+            row_filter=row_filter,
         )
         spark.catalog.refreshByPath(docs_dir)
-    out["stats"] = compact_postings_stats(spark, stats_dir)
+    out["stats"] = compact_postings_stats(
+        spark,
+        stats_dir,
+        recompute_from=(
+            (data_dir, docs_dir) if tomb_ids is not None else None
+        ),
+    )
+    if tomb_ids is not None:
+        fs, HPath = fs_path(spark, tomb_dir)
+        fs.delete(HPath(tomb_dir), True)
     spark.catalog.refreshByPath(data_dir)
     spark.catalog.refreshByPath(stats_dir)
     return out

@@ -71,16 +71,20 @@ def _workload_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def _o_bm25(p: str, qt_sql: str, where: str = "TRUE") -> str:
+def _o_bm25(
+    p: str, qt_sql: str, where: str = "TRUE", docs_src: str = "documents"
+) -> str:
     """CTE chain (prefix ``p``) replaying operators/retrieval.bm25_scores
-    over ``documents WHERE {where}`` for query terms ``qt_sql``
+    over ``{docs_src} WHERE {where}`` for query terms ``qt_sql``
     (query_id, tok). Terminal CTE: ``{p}score(query_id, doc_id,
     score_e6)``. Expression parenthesization mirrors
     bm25_contrib_e6 token for token — the scaled-int grid absorbs the
-    one remaining libm-vs-JVM ``ln`` ULP."""
+    one remaining libm-vs-JVM ``ln`` ULP. ``docs_src`` swaps the corpus
+    relation (must expose doc_id, text — the update-lifecycle oracle
+    passes a UNION of surviving and re-ingested docs)."""
     return f"""
     {p}q AS ({qt_sql}),
-    {p}d AS (SELECT doc_id, {_O_TOKS} AS toks FROM documents WHERE {where}),
+    {p}d AS (SELECT doc_id, {_O_TOKS} AS toks FROM {docs_src} WHERE {where}),
     {p}tk AS (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM {p}d),
     {p}tf AS (SELECT doc_id, tok, MAX(dl) AS dl, COUNT(*) AS tf
               FROM {p}tk GROUP BY doc_id, tok),
@@ -322,8 +326,9 @@ def _bootstrap_postings(spark: SparkSession, path: str, hist: DataFrame) -> None
     from process_spark.operators.retrieval import postings_index as _pi
     from process_spark.operators.retrieval import postings_membership
 
+    hist_pidx = _pi(hist).localCheckpoint(eager=False)  # data + dl lookup
     (
-        _pi(hist)
+        hist_pidx
         .withColumn("batch_id", F.lit(-1))
         .repartition(8, F.col("term_bucket"))
         .write.mode("overwrite")
@@ -331,7 +336,7 @@ def _bootstrap_postings(spark: SparkSession, path: str, hist: DataFrame) -> None
         .parquet(os.path.join(path, "data"))
     )
     (
-        postings_membership(hist)
+        postings_membership(hist, hist_pidx)
         .withColumn("src_batch", F.lit(-1))
         .withColumn("batch_id", F.lit(-1))
         .repartition(1)
@@ -984,3 +989,104 @@ def _register_hybrid_ann_fixedq() -> None:
 
 
 _register_hybrid_ann_fixedq()
+
+
+# ---------------------------------------------------------------------------
+# UPDATE path: tombstone → purge-at-compaction → re-ingest
+# ---------------------------------------------------------------------------
+
+#: Every 10th doc gets "re-crawled" with this suffix appended — it
+#: contains workload terms (spark/merge/fast), so the update visibly
+#: re-ranks the probed queries rather than hiding in unqueried tokens.
+_UPDATE_SUFFIX = " spark merge fast update"
+
+#: The re-crawled docs (doc_id % 10 = 0 — a subset of the bootstrap
+#: half, so the update crosses the sealed/live boundary).
+_UPD_FILTER = "doc_id % 10 = 0"
+
+_O_UPDATED_CORPUS = f"""(
+    SELECT doc_id, text FROM documents WHERE NOT ({_UPD_FILTER})
+    UNION ALL
+    SELECT doc_id, text || '{_UPDATE_SUFFIX}' AS text
+    FROM documents WHERE {_UPD_FILTER}
+)"""
+
+
+@register(
+    "stream_bm25_index_updated",
+    # Phase A = the index AFTER the tombstones land (probes must score
+    # exactly the surviving corpus: deleted docs out of df AND out of
+    # N/avgdl); phase B = after purge + re-ingest of the updated
+    # versions (the whole UPDATE lifecycle invisible: scores equal a
+    # fresh index over the updated corpus).
+    oracle=f"""
+    WITH {_o_bm25("a", _O_WORKLOAD, where=f"NOT ({_UPD_FILTER})")},
+    {_o_bm25("u", _O_WORKLOAD, docs_src=_O_UPDATED_CORPUS)},
+    ra AS ({_O_TOPK.format(score="ascore", k=10)}),
+    rb AS ({_O_TOPK.format(score="uscore", k=10)})
+    SELECT CAST(1 AS INT) AS phase, * FROM ra
+    UNION ALL
+    SELECT CAST(2 AS INT) AS phase, * FROM rb
+    """,
+)
+def stream_bm25_index_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O74+O95 — the postings index's UPDATE lifecycle (the r10
+    verdict's missing path, implemented as tombstone → purge-at-
+    compaction → re-ingest, the Lucene soft-delete + merge-purge
+    rhythm): bootstrap the even half, stream-ingest the odd half, then
+    "re-crawl" every 10th doc — tombstone_postings_docs records the
+    deletes (one pruned _docs lookup supplies each doc's dl, so probes
+    immediately subtract the deleted docs from df AND from N/avgdl
+    without touching the stored bytes); probe A must equal plain BM25
+    over the surviving corpus. compact_postings_index then PURGES every
+    trace (postings, membership, recomputed sealed stats, tombstones
+    dropped last), freeing the doc_ids, and a second stream wave
+    re-ingests the updated versions through the same sink/checkpoint —
+    the append-only validation accepts them because the purge removed
+    the old identity. Probe B must equal plain BM25 over the UPDATED
+    corpus — the entire delete/update machinery is storage detail."""
+    import shutil
+
+    from process_spark.operators.retrieval import (
+        compact_postings_index,
+        tombstone_postings_docs,
+    )
+
+    base = os.path.join(_scratch(), "stream_postings_updated")
+    shutil.rmtree(base, ignore_errors=True)
+    index = os.path.join(base, "index")
+    d = t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    _bootstrap_postings(spark, index,
+                        docs.filter(F.col("doc_id") % 2 == 0))
+
+    src = os.path.join(base, "incoming")
+    # wave 1: the odd half arrives as a stream
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _run_postings_wave(spark, base, docs.schema)
+
+    # the re-crawl: every 10th doc is tombstoned...
+    tombstone_postings_docs(
+        spark, index, docs.filter(F.expr(_UPD_FILTER)).select("doc_id")
+    )
+    spark.catalog.refreshByPath(os.path.join(index, "data"))
+    qt = _workload_df(spark)
+    ra = topk_ranked(
+        bm25_probe_postings(spark, index, qt), "score_e6", k=10
+    ).localCheckpoint(eager=True)  # materialize BEFORE the purge
+
+    # ...purged at the maintenance pass (tombstones dropped last)...
+    compact_postings_index(spark, index)
+    # ...and the updated versions re-ingest through the same checkpoint
+    updated = docs.filter(F.expr(_UPD_FILTER)).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_UPDATE_SUFFIX)).alias("text")
+    )
+    updated.coalesce(1).write.mode("append").parquet(src)
+    _run_postings_wave(spark, base, docs.schema)
+
+    rb = topk_ranked(bm25_probe_postings(spark, index, qt), "score_e6", k=10)
+    return ra.select(F.lit(1).cast("int").alias("phase"), "*").unionByName(
+        rb.select(F.lit(2).cast("int").alias("phase"), "*")
+    )

@@ -155,6 +155,7 @@ PIPELINE_PROBE = [
     "vec_mmr_rerank_ivf",
     "retrieval_e2e_stored",
     "vec_hybrid_rrf_ann_fixedq",
+    "stream_bm25_index_updated",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —

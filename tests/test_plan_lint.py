@@ -187,6 +187,10 @@ BROADCAST_HINT_OK = {
         "same bounded workload/df broadcasts — the final probe of the "
         "compacted, resumed index"
     ),
+    "stream_bm25_index_updated": (
+        "same bounded workload/df broadcasts — both phases' probes of "
+        "the tombstoned-then-purged-then-re-ingested index"
+    ),
     "vec_hybrid_rrf": (
         "lexical query terms from every-100th doc (bounded sample) + "
         "per-term df table + brute_force_knn's bounded query side"

@@ -356,6 +356,140 @@ def test_compact_postings_stats_replay_watermark(spark, tmp_path):
     assert stats_sum() == (3, 6)
 
 
+def test_tombstone_delete_update_lifecycle(spark, tmp_path):
+    """The postings UPDATE path end to end: tombstone (logical delete —
+    probes immediately exclude the doc from df AND subtract its
+    (1, dl) from N/Σdl), purge at compaction (every trace gone,
+    tombstones dropped last), re-ingest the new version through the
+    growth sink. Also pins: tombstoning is idempotent, unknown ids
+    raise, and re-ingesting a tombstoned-but-not-yet-purged id raises
+    with the update-path instructions."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.operators.fsutil import fs_exists
+    from process_spark.operators.retrieval import (
+        compact_postings_index,
+        incremental_postings_sink,
+        tombstone_postings_docs,
+    )
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path = str(tmp_path / "pidx")
+    hist = _docs(spark, [(0, "apple banana"), (2, "banana cherry apple")])
+    _bootstrap_postings(spark, path, hist)
+    sink = incremental_postings_sink(path)
+    sink(_docs(spark, [(1, "apple durian"), (3, "fig")]), 0)
+
+    def ids(df):
+        return spark.createDataFrame([(i,) for i in df], "doc_id long")
+
+    # unknown id → loud
+    with pytest.raises(ValueError, match="not in the index"):
+        tombstone_postings_docs(spark, path, ids([99]))
+    # delete doc 2 (a sealed/bootstrap doc) and doc 3 (a live one)
+    out = tombstone_postings_docs(spark, path, ids([2, 3]))
+    assert out["n_tombstoned"] == 2
+    assert tombstone_postings_docs(spark, path, ids([2]))["n_tombstoned"] == 0
+
+    qt = _qt(spark, [(0, "apple"), (0, "banana"), (1, "fig")])
+    survivors = _docs(spark, [(0, "apple banana"), (1, "apple durian")])
+
+    def probe():
+        return {
+            (r["query_id"], r["doc_id"]): r["score_e6"]
+            for r in bm25_probe_postings(spark, path, qt).collect()
+        }
+
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(survivors, qt).collect()
+    }
+    assert probe() == want  # deleted docs out of df AND out of N/avgdl
+
+    # re-ingest before the purge → loud, with the update-path recipe
+    with pytest.raises(ValueError, match="tombstone_postings_docs"):
+        sink(_docs(spark, [(2, "replacement text")]), 1)
+
+    stats = compact_postings_index(spark, path)
+    assert stats["n_purged_docs"] == 2
+    assert not fs_exists(spark, path + "/_tombstones")
+    data = spark.read.parquet(path + "/data")
+    assert data.filter(FF.col("doc_id").isin(2, 3)).count() == 0
+    assert data.filter(FF.col("batch_id") != -1).count() == 0  # sealed
+    mem = spark.read.parquet(path + "/_docs")
+    assert {r["doc_id"] for r in mem.collect()} == {0, 1}
+    st = spark.read.parquet(path + "/_stats").collect()
+    assert len(st) == 1 and (st[0]["n_docs"], st[0]["sum_dl"]) == (2, 4)
+    assert probe() == want  # purge is invisible to probes
+
+    # the UPDATE lands: re-ingest doc 2's new version through the sink
+    sink(_docs(spark, [(2, "banana fig fig")]), 1)
+    updated = survivors.unionByName(_docs(spark, [(2, "banana fig fig")]))
+    want2 = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(updated, qt).collect()
+    }
+    assert probe() == want2
+
+
+def test_compact_postings_rerun_converges_on_stale_tombstones(spark, tmp_path):
+    """The documented crash window (stats swapped, tombstone drop
+    crashed): probes under-count N until the compactor re-runs. Pin
+    the recovery: with a stale tombstone for an already-purged doc on
+    disk, re-running compact_postings_index converges — purge is a
+    no-op, the recomputed stats row is identical, the stale tombstone
+    is dropped, and probes are exact again."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.operators.fsutil import fs_exists
+    from process_spark.operators.retrieval import (
+        compact_postings_index,
+        incremental_postings_sink,
+        tombstone_postings_docs,
+    )
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path = str(tmp_path / "pidx")
+    _bootstrap_postings(
+        spark, path, _docs(spark, [(0, "apple banana"), (2, "cherry")])
+    )
+    incremental_postings_sink(path)(_docs(spark, [(1, "apple fig")]), 0)
+    tombstone_postings_docs(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    compact_postings_index(spark, path)
+    sealed = spark.read.parquet(path + "/_stats").collect()
+
+    # simulate the crash: the purge + stats swap happened, but the
+    # tombstone drop did not — re-create the stale tombstone row
+    spark.createDataFrame(
+        [(2, 1)], "doc_id long, dl long"
+    ).withColumn(
+        "doc_bucket", FF.pmod(FF.hash("doc_id"), FF.lit(16)).cast("int")
+    ).write.mode("overwrite").partitionBy("doc_bucket").parquet(
+        path + "/_tombstones"
+    )
+    qt = _qt(spark, [(0, "apple")])
+    survivors = _docs(spark, [(0, "apple banana"), (1, "apple fig")])
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(survivors, qt).collect()
+    }
+
+    def probe():
+        return {
+            (r["query_id"], r["doc_id"]): r["score_e6"]
+            for r in bm25_probe_postings(spark, path, qt).collect()
+        }
+
+    assert probe() != want  # the window skews stats (documented)
+    out = compact_postings_index(spark, path)  # recovery: re-run
+    assert not fs_exists(spark, path + "/_tombstones")
+    assert spark.read.parquet(path + "/_stats").collect() == sealed
+    assert out["data"]["rows"] == 4  # purge no-oped (2 docs x 2 toks)
+    assert probe() == want
+
+
 def test_mmr_defers_redundant_candidate(spark):
     """MMR contract: with two near-identical high-relevance candidates,
     the second duplicate is NOT picked at rank 2 — a less relevant but
