@@ -46,6 +46,27 @@ NOTES = {
         "derived from a pruned scan. Compaction rewrites dirs to one "
         "file each - probe latency is file-count-bounded forever."
     ),
+    "vec_hybrid_rrf_ann_fixedq": (
+        "The hybrid stack's production shape: a FIXED 50-query workload "
+        "against a growing corpus. The BM25 channel broadcasts the "
+        "workload terms; the vector channel probes the STORED IVF index "
+        "- the bounded probed-cell IN-set reaches the cell-partitioned "
+        "scan as PartitionFilters, so scoring reads ~n_probe/n_cells of "
+        "the corpus; fusion is a unionByName + one integer-sum groupBy. "
+        "Per-run cost includes the index BUILD+WRITE (self-contained "
+        "query) - a deployment amortizes that across probes."
+    ),
+    "retrieval_e2e_stored": (
+        "The whole retrieval stack over STORED state in one plan: "
+        "postings-index write (one corpus tokenize, term_bucket dirs), "
+        "BM25 probe (bucket PartitionFilters; query-by-example term "
+        "sets touch most buckets BY WORKLOAD SHAPE - pruning returns "
+        "with selective workloads), stored-IVF ANN probe (cell "
+        "PartitionFilters), integer RRF fuse, and an applyInPandas MMR "
+        "over fused top-10 pools. Both index builds are per-run costs a "
+        "deployment amortizes; no stage shuffles more than the "
+        "(doc, term) partial agg."
+    ),
     "vec_mmr_rerank": (
         "Candidate pools from the broadcast-query brute-force scorer; "
         "the pool's pairwise-sim relation is pool-squared per query "
