@@ -987,3 +987,74 @@ def mmr_rerank(pairs: DataFrame, k: int, lam: float = MMR_LAM) -> DataFrame:
     return pairs.groupBy("query_id").applyInPandas(
         select, "query_id long, doc_id long, mmr_rank int, obj double"
     )
+
+
+def postings_stats_audit(spark: SparkSession, path: str) -> DataFrame:
+    """Integrity monitor for the postings ``_stats`` sidecar (the
+    drift-report family's member for this stored artifact): one row
+    comparing the sidecar's claim against an exact recount of the
+    index — ``(stored_n_docs, stored_sum_dl, n_tombstoned,
+    tombstoned_sum_dl, effective_n_docs, effective_sum_dl,
+    actual_n_docs, actual_sum_dl, consistent)``.
+
+    *stored* = the sidecar rows summed (what probes start from);
+    *effective* = stored minus tombstones (what probes actually use);
+    *actual* = recounted from the index itself — n_docs from the
+    ``_docs`` membership (distinct ids, minus tombstoned), Σdl = Σtf
+    over the live (non-tombstoned) postings. ``consistent`` is the
+    exact-integer equality of effective and actual. A False here means
+    the sidecar has drifted from the bytes — the known causes are a
+    crash between a batch append and its stats delta
+    (write_postings_index's documented window) or a legacy-layout
+    index that skipped the validation sidecar; the repair is
+    :func:`compact_postings_index`, whose sealed row is recomputed
+    from the bytes whenever tombstones force it (or a manual
+    :func:`compact_postings_stats` with ``recompute_from``). One scan
+    of each component; output is one row regardless of corpus size."""
+    from process_spark.operators.fsutil import fs_exists
+
+    data_dir = posixpath.join(path, "data")
+    docs_dir = posixpath.join(path, "_docs")
+    stats_dir = posixpath.join(path, "_stats")
+    tomb_dir = posixpath.join(path, "_tombstones")
+
+    st = spark.read.parquet(stats_dir).agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("sum_dl").cast("long").alias("sdl"),
+    ).collect()[0]
+    stored_n, stored_sdl = int(st["n"] or 0), int(st["sdl"] or 0)
+
+    tomb_n, tomb_sdl, tomb_ids = 0, 0, None
+    if fs_exists(spark, tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("doc_id", "dl").distinct()
+        tr = tomb.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        ).collect()[0]
+        tomb_n, tomb_sdl = int(tr["n"] or 0), int(tr["sdl"] or 0)
+        tomb_ids = tomb.select("doc_id")
+
+    live = spark.read.parquet(data_dir)
+    members = (
+        spark.read.parquet(docs_dir).select("doc_id").distinct()
+        if fs_exists(spark, docs_dir)
+        else live.select("doc_id").distinct()
+    )
+    if tomb_ids is not None:
+        live = live.join(tomb_ids, "doc_id", "left_anti")
+        members = members.join(tomb_ids, "doc_id", "left_anti")
+    actual_n = members.count()
+    ar = live.agg(F.sum("tf").cast("long").alias("sdl")).collect()[0]
+    actual_sdl = int(ar["sdl"] or 0)
+
+    eff_n, eff_sdl = stored_n - tomb_n, stored_sdl - tomb_sdl
+    return spark.createDataFrame(
+        [(
+            stored_n, stored_sdl, tomb_n, tomb_sdl,
+            eff_n, eff_sdl, actual_n, actual_sdl,
+            eff_n == actual_n and eff_sdl == actual_sdl,
+        )],
+        "stored_n_docs long, stored_sum_dl long, n_tombstoned long, "
+        "tombstoned_sum_dl long, effective_n_docs long, "
+        "effective_sum_dl long, actual_n_docs long, actual_sum_dl long, "
+        "consistent boolean",
+    )

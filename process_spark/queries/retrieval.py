@@ -1090,3 +1090,66 @@ def stream_bm25_index_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ra.select(F.lit(1).cast("int").alias("phase"), "*").unionByName(
         rb.select(F.lit(2).cast("int").alias("phase"), "*")
     )
+
+
+@register(
+    "text_postings_stats_audit",
+    # Exact-integer oracle: stored = all docs' (count, Σdl); tombstoned
+    # = the re-crawled subset; effective = stored − tombstoned; actual
+    # recounts the live index — equal by construction on an
+    # uncorrupted lifecycle, so ``consistent`` is TRUE. (The inverse —
+    # the audit CATCHING a corrupted sidecar — is pinned in
+    # tests/test_retrieval.py, where the sidecar is damaged on
+    # purpose.)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, len({_O_TOKS}) AS dl FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sdl FROM d),
+    tomb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sdl
+             FROM d WHERE {_UPD_FILTER})
+    SELECT tot.n AS stored_n_docs, tot.sdl AS stored_sum_dl,
+           tomb.n AS n_tombstoned, tomb.sdl AS tombstoned_sum_dl,
+           (tot.n - tomb.n) AS effective_n_docs,
+           (tot.sdl - tomb.sdl) AS effective_sum_dl,
+           (tot.n - tomb.n) AS actual_n_docs,
+           (tot.sdl - tomb.sdl) AS actual_sum_dl,
+           TRUE AS consistent
+    FROM tot, tomb
+    """,
+)
+def text_postings_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings sidecar's INTEGRITY MONITOR (the drift-report
+    family's member for this stored artifact): after a bootstrap, a
+    growth batch, and a tombstone wave, postings_stats_audit recounts
+    the index (membership ids, Σtf over live postings) and compares it
+    against what probes derive from the sidecar (summed deltas minus
+    tombstones) — one row of exact integers with a ``consistent``
+    verdict. On this uncorrupted lifecycle the verdict is TRUE and
+    every column is an exact function of the documents table (the
+    oracle); a crash between a batch append and its stats delta, or a
+    legacy index predating the validation sidecar, flips it FALSE and
+    the repair is the stats-recomputing compaction."""
+    import shutil
+
+    from process_spark.operators.retrieval import (
+        incremental_postings_sink,
+        postings_stats_audit,
+        tombstone_postings_docs,
+    )
+
+    base = os.path.join(_scratch(), "postings_stats_audit")
+    shutil.rmtree(base, ignore_errors=True)
+    index = os.path.join(base, "index")
+    d = t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    _bootstrap_postings(spark, index,
+                        docs.filter(F.col("doc_id") % 2 == 0))
+    incremental_postings_sink(index)(
+        docs.filter(F.col("doc_id") % 2 == 1), 0
+    )
+    tombstone_postings_docs(
+        spark, index, docs.filter(F.expr(_UPD_FILTER)).select("doc_id")
+    )
+    spark.catalog.refreshByPath(os.path.join(index, "data"))
+    return postings_stats_audit(spark, index)

@@ -156,6 +156,7 @@ PIPELINE_PROBE = [
     "retrieval_e2e_stored",
     "vec_hybrid_rrf_ann_fixedq",
     "stream_bm25_index_updated",
+    "text_postings_stats_audit",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —

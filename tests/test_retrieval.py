@@ -490,6 +490,52 @@ def test_compact_postings_rerun_converges_on_stale_tombstones(spark, tmp_path):
     assert probe() == want
 
 
+def test_stats_audit_catches_corrupt_sidecar(spark, tmp_path):
+    """postings_stats_audit must flip ``consistent`` to False when the
+    sidecar drifts from the bytes (the crash-between-append-and-delta
+    window), and back to True after the stats-recomputing repair."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.operators.retrieval import (
+        compact_postings_index,
+        incremental_postings_sink,
+        postings_stats_audit,
+    )
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path = str(tmp_path / "pidx")
+    _bootstrap_postings(
+        spark, path, _docs(spark, [(0, "apple banana"), (2, "cherry")])
+    )
+    incremental_postings_sink(path)(_docs(spark, [(1, "apple fig")]), 0)
+    assert postings_stats_audit(spark, path).collect()[0]["consistent"]
+
+    # corrupt: a phantom stats delta (batch appended its delta, but the
+    # postings write was the half that crashed)
+    spark.createDataFrame(
+        [(7, 70, 16, 9)],
+        "n_docs long, sum_dl long, n_buckets int, batch_id int",
+    ).coalesce(1).write.mode("append").partitionBy("batch_id").parquet(
+        path + "/_stats"
+    )
+    row = postings_stats_audit(spark, path).collect()[0]
+    assert not row["consistent"]
+    assert row["stored_n_docs"] - row["actual_n_docs"] == 7
+
+    # repair: tombstone-free compaction folds the deltas as-is, so the
+    # phantom persists — the documented repair for a drifted sidecar is
+    # the recompute; drive it via compact_postings_stats(recompute_from)
+    from process_spark.operators.retrieval import compact_postings_stats
+
+    compact_postings_stats(
+        spark, path + "/_stats",
+        recompute_from=(path + "/data", path + "/_docs"),
+    )
+    spark.catalog.refreshByPath(path + "/_stats")
+    assert postings_stats_audit(spark, path).collect()[0]["consistent"]
+    assert compact_postings_index(spark, path)["stats"]["files_after"] == 1
+
+
 def test_mmr_defers_redundant_candidate(spark):
     """MMR contract: with two near-identical high-relevance candidates,
     the second duplicate is NOT picked at rank 2 — a less relevant but
