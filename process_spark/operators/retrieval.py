@@ -228,7 +228,28 @@ def write_postings_index(
     re-run against a cleaned data dir) — a recoverable gap, not a
     corrupted accumulator. ``n_buckets`` is persisted with every row
     so a probe (or append) under a different bucket count fails loudly
-    instead of pruning to the wrong partitions."""
+    instead of pruning to the wrong partitions.
+
+    Stats deltas land under ``batch_id=`` partition dirs — the SAME
+    layout the streaming sink uses, with SYNTHETIC monotone batch ids
+    (overwrite → 0, each append → max(existing, watermark) + 1) — so
+    ONE reader and ONE compactor (:func:`compact_postings_stats`)
+    serve both lifecycles; without this the batch lifecycle's delta
+    rows accumulated one file per append forever with no compaction
+    answer.
+
+    In overwrite mode the whole path is an in-place REBUILD, so any
+    stale lifecycle sidecars from a previous (streaming) life at this
+    path are deleted first: leftover ``_tombstones`` would silently
+    anti-join live doc_ids out of probes and subtract their
+    (count, dl) from N/avgdl; a leftover ``_docs`` membership would
+    hold foreign identities that block legitimate future ingests."""
+    from process_spark.operators.fsutil import (
+        fs_path,
+        live_batch_ids,
+        read_watermark,
+    )
+
     stats_path = posixpath.join(path, "_stats")
     data_path = posixpath.join(path, "data")
     spark = docs.sparkSession
@@ -245,6 +266,18 @@ def write_postings_index(
                 f"postings index at {path} was written with "
                 f"n_buckets={stored_nb}, append requested {n_buckets}"
             )
+        batch_no = (
+            max(
+                [read_watermark(spark, stats_path)]
+                + live_batch_ids(spark, stats_path)
+            )
+            + 1
+        )
+    else:
+        fs, HPath = fs_path(spark, path)
+        for side in ("_tombstones", "_docs"):
+            fs.delete(HPath(posixpath.join(path, side)), True)
+        batch_no = 0
     # The write materializes the (lazily pinned) postings; the stats
     # delta then reads the pinned rows instead of tokenizing the corpus
     # a second time: Σ dl = Σ tf over the postings EXACTLY (the per-doc
@@ -265,10 +298,11 @@ def write_postings_index(
         .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
         .select("n_docs", F.coalesce("sum_dl", F.lit(0)).alias("sum_dl"),
                 "n_buckets")
+        .withColumn("batch_id", F.lit(batch_no).cast("int"))
     )
     batch.coalesce(1).write.mode(
         "append" if mode == "append" else "overwrite"
-    ).parquet(stats_path)
+    ).partitionBy("batch_id").parquet(stats_path)
 
 
 def bm25_probe_postings(
@@ -518,9 +552,28 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
         data_dir = posixpath.join(path, "data")
         docs_dir = posixpath.join(path, "_docs")
         stats_dir = posixpath.join(path, "_stats")
+        # bucket-count mismatch = every lookup below prunes to the
+        # WRONG partitions (false "not in the index" membership misses,
+        # silent foreign-copy blind spots) — validate against the
+        # persisted stats before pruning anything, exactly as the probe
+        # and the batch append path do.
+        if fs_exists(ss, stats_dir):
+            stored_nb = [
+                int(r["n_buckets"])
+                for r in ss.read.parquet(stats_dir)
+                .select("n_buckets")
+                .distinct()
+                .collect()
+            ]
+            if stored_nb and stored_nb != [n_buckets]:
+                raise ValueError(
+                    f"postings index at {path} was written with "
+                    f"n_buckets={stored_nb}, sink configured with "
+                    f"{n_buckets}"
+                )
         pidx = postings_index(batch_df, n_buckets=n_buckets).localCheckpoint(
             eager=False
-        )  # two consumers: bucket IN-set + append
+        )  # three consumers: bucket IN-set + append + stats delta
         bids = batch_df.select("doc_id").distinct()  # bounded (micro-batch)
         buckets = sorted(  # bounded: ≤ n_buckets ints
             r["term_bucket"]
@@ -637,13 +690,24 @@ def incremental_postings_sink(path: str, n_buckets: int = 16):
             .parquet(docs_dir)
         )
         if batch_id > read_watermark(ss, stats_dir):
+            # Σdl = Σtf over the batch's pinned postings EXACTLY (the
+            # per-doc groupBy conserves token counts; zero-token docs
+            # contribute 0 either way) and n_docs is the bounded
+            # distinct-id count — no second tokenize pass over the
+            # batch (the interpreted-HOF double-evaluation the batch
+            # writer already eliminated the same way). The delta counts
+            # the FULL batch content even when the sealed-own anti-join
+            # excluded rows from the data append: those rows' only
+            # prior stats coverage is a post-crash fold at or below the
+            # watermark, which this branch already skips.
             (
-                batch_df.agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.size(tokens("text")))
+                pidx.agg(
+                    F.coalesce(F.sum("tf"), F.lit(0))
                     .cast("long")
-                    .alias("sum_dl"),
+                    .alias("sum_dl")
                 )
+                .withColumn("n_docs", F.lit(bids.count()).cast("long"))
+                .select("n_docs", "sum_dl")
                 .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
                 .withColumn("batch_id", F.lit(batch_id))
                 .coalesce(1)
@@ -679,11 +743,28 @@ def tombstone_postings_docs(
 
     docs_dir = posixpath.join(path, "_docs")
     tomb_dir = posixpath.join(path, "_tombstones")
+    stats_dir = posixpath.join(path, "_stats")
     if not fs_exists(spark, docs_dir):
         raise ValueError(
             f"tombstone_postings_docs: {path} has no _docs membership "
             "sidecar — deletes need it for the dl/stats correction"
         )
+    # A mismatched n_buckets would prune the WRONG doc_buckets below —
+    # false "not in the index" errors, or a silent membership miss.
+    # Validate against the persisted stats, as the probe/append do.
+    if fs_exists(spark, stats_dir):
+        stored_nb = [
+            int(r["n_buckets"])
+            for r in spark.read.parquet(stats_dir)
+            .select("n_buckets")
+            .distinct()
+            .collect()
+        ]
+        if stored_nb and stored_nb != [n_buckets]:
+            raise ValueError(
+                f"postings index at {path} was written with "
+                f"n_buckets={stored_nb}, tombstone requested {n_buckets}"
+            )
     ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
     buckets = sorted(
         r["b"]
@@ -860,7 +941,13 @@ def compact_postings_index(
 
     Run it between streaming runs, like every compactor (the swaps are
     not transactional against in-flight readers). Returns per-component
-    file-count stats plus ``n_purged_docs``."""
+    file-count stats plus ``n_purged_docs`` — the count of tombstoned
+    docs ACTUALLY still present before the rewrite (0 on a post-crash
+    re-run whose purge already happened, not the tombstone count).
+    Raises before touching anything on a legacy unpartitioned ``_stats``
+    layout, and on a tombstone set that covers the entire corpus (the
+    purge would leave empty parquet dirs that fail schema inference —
+    drop the index directory instead)."""
     from process_spark.operators.dedup import compact_partitioned_index
     from process_spark.operators.fsutil import fs_exists, fs_path
 
@@ -869,8 +956,27 @@ def compact_postings_index(
     stats_dir = posixpath.join(path, "_stats")
     tomb_dir = posixpath.join(path, "_tombstones")
 
+    # Validate the _stats layout BEFORE touching data/_docs: the stats
+    # fold below is the pass's last component, and raising there after
+    # the data/membership rewrites would leave a wrong-layout index
+    # half-compacted. Both writers (batch + streaming) produce batch_id=
+    # partitions; only a legacy pre-unification dir can fail this.
+    fs0, HPath0 = fs_path(spark, stats_dir)
+    has_parts = fs0.exists(HPath0(stats_dir)) and any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs0.listStatus(HPath0(stats_dir))
+    )
+    if not has_parts:
+        raise ValueError(
+            f"compact_postings_index: {stats_dir} has no batch_id= "
+            "partitions (legacy unpartitioned stats layout) — rebuild "
+            "the index with write_postings_index, which now writes the "
+            "compactable partitioned layout, before compacting"
+        )
+
     row_filter = None
     tomb_ids = None
+    n_purged = 0
     if fs_exists(spark, tomb_dir):
         tomb_ids = (
             spark.read.parquet(tomb_dir)
@@ -878,7 +984,26 @@ def compact_postings_index(
             .distinct()
             .localCheckpoint(eager=True)  # outlives the dir drop below
         )
+        # Honest purge accounting + the all-purged guard, both from the
+        # SAME membership relation (fall back to the postings when the
+        # _docs sidecar is absent): n_purged_docs counts docs actually
+        # still present (on a post-crash re-run the rows are already
+        # gone and it reports 0, not the stale tombstone count), and a
+        # purge that would leave ZERO survivors is refused — rewriting
+        # data/_docs to empty parquet dirs would break every subsequent
+        # read (no schema to infer) with tombstones still on disk.
+        ids_dir = docs_dir if fs_exists(spark, docs_dir) else data_dir
+        idx_ids = spark.read.parquet(ids_dir).select("doc_id").distinct()
+        n_purged = idx_ids.join(tomb_ids, "doc_id", "left_semi").count()
+        if idx_ids.join(tomb_ids, "doc_id", "left_anti").limit(1).count() == 0:
+            raise ValueError(
+                f"compact_postings_index: tombstones at {path} cover the "
+                "ENTIRE corpus — purging would leave empty data/_docs "
+                "dirs that fail schema inference on every later read. "
+                "Drop the whole index directory instead"
+            )
 
+    if tomb_ids is not None:
         def row_filter(df):  # noqa: F811 — the purge hook
             return df.join(tomb_ids, "doc_id", "left_anti")
 
@@ -887,7 +1012,7 @@ def compact_postings_index(
             spark, data_dir, ["term_bucket"], n_write_tasks,
             row_filter=row_filter,
         ),
-        "n_purged_docs": tomb_ids.count() if tomb_ids is not None else 0,
+        "n_purged_docs": n_purged,
     }
     if fs_exists(spark, docs_dir):
         out["docs"] = compact_partitioned_index(
@@ -995,15 +1120,29 @@ def postings_stats_audit(spark: SparkSession, path: str) -> DataFrame:
     comparing the sidecar's claim against an exact recount of the
     index — ``(stored_n_docs, stored_sum_dl, n_tombstoned,
     tombstoned_sum_dl, effective_n_docs, effective_sum_dl,
-    actual_n_docs, actual_sum_dl, consistent)``.
+    actual_n_docs, actual_sum_dl, n_docs_without_postings,
+    n_postings_docs_without_membership, consistent)``.
 
     *stored* = the sidecar rows summed (what probes start from);
     *effective* = stored minus tombstones (what probes actually use);
     *actual* = recounted from the index itself — n_docs from the
     ``_docs`` membership (distinct ids, minus tombstoned), Σdl = Σtf
-    over the live (non-tombstoned) postings. ``consistent`` is the
-    exact-integer equality of effective and actual. A False here means
-    the sidecar has drifted from the bytes — the known causes are a
+    over the live (non-tombstoned) postings.
+
+    The two cross-component columns close the cancellation blind spot
+    of pure totals: a doc present in ONE component but not the other
+    (the legacy-bootstrap hazard the sink validation's best-effort leg
+    documents) could otherwise offset an opposite drift and hide.
+    ``n_docs_without_postings`` counts live membership docs with
+    ``dl > 0`` but no live posting row (zero-token docs legitimately
+    have membership only — excluded); ``n_postings_docs_without_
+    membership`` counts live postings doc_ids missing from the
+    membership — two anti-join counts over relations the audit already
+    reads (both trivially 0 when the membership fallback IS the
+    postings). ``consistent`` requires the exact-integer equality of
+    effective and actual AND both cross-component counts to be zero. A
+    False means the sidecars have drifted from the bytes — the known
+    causes are a
     crash between a batch append and its stats delta
     (write_postings_index's documented window) or a legacy-layout
     index that skipped the validation sidecar; the repair is
@@ -1035,9 +1174,11 @@ def postings_stats_audit(spark: SparkSession, path: str) -> DataFrame:
 
     live = spark.read.parquet(data_dir)
     members = (
-        spark.read.parquet(docs_dir).select("doc_id").distinct()
+        spark.read.parquet(docs_dir)
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
         if fs_exists(spark, docs_dir)
-        else live.select("doc_id").distinct()
+        else live.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     )
     if tomb_ids is not None:
         live = live.join(tomb_ids, "doc_id", "left_anti")
@@ -1046,15 +1187,30 @@ def postings_stats_audit(spark: SparkSession, path: str) -> DataFrame:
     ar = live.agg(F.sum("tf").cast("long").alias("sdl")).collect()[0]
     actual_sdl = int(ar["sdl"] or 0)
 
+    live_ids = live.select("doc_id").distinct()
+    n_wo_post = (
+        members.filter(F.col("dl") > 0)
+        .join(live_ids, "doc_id", "left_anti")
+        .count()
+    )
+    n_wo_memb = live_ids.join(
+        members.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+
     eff_n, eff_sdl = stored_n - tomb_n, stored_sdl - tomb_sdl
     return spark.createDataFrame(
         [(
             stored_n, stored_sdl, tomb_n, tomb_sdl,
             eff_n, eff_sdl, actual_n, actual_sdl,
-            eff_n == actual_n and eff_sdl == actual_sdl,
+            n_wo_post, n_wo_memb,
+            eff_n == actual_n
+            and eff_sdl == actual_sdl
+            and n_wo_post == 0
+            and n_wo_memb == 0,
         )],
         "stored_n_docs long, stored_sum_dl long, n_tombstoned long, "
         "tombstoned_sum_dl long, effective_n_docs long, "
         "effective_sum_dl long, actual_n_docs long, actual_sum_dl long, "
-        "consistent boolean",
+        "n_docs_without_postings long, "
+        "n_postings_docs_without_membership long, consistent boolean",
     )

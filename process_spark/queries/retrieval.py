@@ -322,9 +322,17 @@ def _bootstrap_postings(spark: SparkSession, path: str, hist: DataFrame) -> None
     postings partitioned (term_bucket, batch_id = -1), the ``_docs``
     membership sidecar (doc_bucket, batch_id = -1, src_batch = -1 —
     what arms the sink's exact re-ingest validation), and the stats
-    sidecar one row per batch partitioned (batch_id = -1)."""
+    sidecar one row per batch partitioned (batch_id = -1). A bootstrap
+    is an in-place REBUILD, so stale ``_tombstones`` from a previous
+    life at the path are deleted first — leftovers would silently
+    anti-join live docs out of every probe (data/_docs/_stats are
+    overwritten below anyway)."""
+    from process_spark.operators.fsutil import fs_path
     from process_spark.operators.retrieval import postings_index as _pi
     from process_spark.operators.retrieval import postings_membership
+
+    fs, HPath = fs_path(spark, path)
+    fs.delete(HPath(os.path.join(path, "_tombstones")), True)
 
     hist_pidx = _pi(hist).localCheckpoint(eager=False)  # data + dl lookup
     (
@@ -1114,6 +1122,8 @@ def stream_bm25_index_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
            (tot.sdl - tomb.sdl) AS effective_sum_dl,
            (tot.n - tomb.n) AS actual_n_docs,
            (tot.sdl - tomb.sdl) AS actual_sum_dl,
+           CAST(0 AS BIGINT) AS n_docs_without_postings,
+           CAST(0 AS BIGINT) AS n_postings_docs_without_membership,
            TRUE AS consistent
     FROM tot, tomb
     """,

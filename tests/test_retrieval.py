@@ -487,6 +487,9 @@ def test_compact_postings_rerun_converges_on_stale_tombstones(spark, tmp_path):
     assert not fs_exists(spark, path + "/_tombstones")
     assert spark.read.parquet(path + "/_stats").collect() == sealed
     assert out["data"]["rows"] == 4  # purge no-oped (2 docs x 2 toks)
+    # honest accounting: the rows were already purged — the re-run must
+    # report 0 docs removed, not the stale tombstone count
+    assert out["n_purged_docs"] == 0
     assert probe() == want
 
 
@@ -559,3 +562,291 @@ def test_mmr_defers_redundant_candidate(spark):
     assert out == {1: 1, 2: 3, 3: 2}, out
     # objective check: rank-2 doc 3 beats doc 2 by the MMR margin
     # (0.7*0.94 - 0.3*0.99 = 0.361 < 0.7*0.80 - 0.3*0.10 = 0.53)
+
+
+def test_overwrite_rebuild_clears_stale_sidecars(spark, tmp_path):
+    """write_postings_index(mode="overwrite") on a path that previously
+    held a STREAMING index with tombstones must start from a clean
+    sidecar set: stale _tombstones would silently anti-join live docs
+    out of probes and subtract stale (count, dl) from N/avgdl; a stale
+    _docs would block legitimate future ingests. Same contract for
+    _bootstrap_postings."""
+    from process_spark.operators.fsutil import fs_exists
+    from process_spark.operators.retrieval import (
+        incremental_postings_sink,
+        tombstone_postings_docs,
+    )
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path = str(tmp_path / "pidx")
+    _bootstrap_postings(
+        spark, path, _docs(spark, [(0, "apple banana"), (2, "cherry")])
+    )
+    incremental_postings_sink(path)(_docs(spark, [(1, "apple fig")]), 0)
+    tombstone_postings_docs(
+        spark, path, spark.createDataFrame([(1,)], "doc_id long")
+    )
+
+    # in-place batch REBUILD over the tombstoned path
+    fresh = _docs(spark, [(1, "apple fig"), (4, "grape apple")])
+    write_postings_index(fresh, path, mode="overwrite")
+    spark.catalog.refreshByPath(path + "/data")
+    assert not fs_exists(spark, path + "/_tombstones")
+    assert not fs_exists(spark, path + "/_docs")
+    qt = _qt(spark, [(0, "apple"), (0, "fig")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(fresh, qt).collect()
+    }
+    assert got == want and (0, 1) in got  # doc 1 is LIVE again
+
+    # bootstrap REBUILD clears tombstones the same way
+    from process_spark.operators.retrieval import (
+        incremental_postings_sink as _sink,
+    )
+
+    path2 = str(tmp_path / "pidx2")
+    _bootstrap_postings(spark, path2, _docs(spark, [(0, "apple")]))
+    _sink(path2)(_docs(spark, [(1, "apple fig")]), 0)
+    tombstone_postings_docs(
+        spark, path2, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    _bootstrap_postings(spark, path2, fresh)
+    spark.catalog.refreshByPath(path2 + "/data")
+    assert not fs_exists(spark, path2 + "/_tombstones")
+    got2 = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path2, qt).collect()
+    }
+    assert got2 == want
+
+
+def test_batch_stats_layout_unified_and_compactable(spark, tmp_path):
+    """The batch lifecycle's _stats rows land under batch_id= partitions
+    (synthetic monotone ids) — the SAME layout the streaming sink
+    writes — so compact_postings_stats serves both lifecycles and the
+    batch layout's delta rows no longer accumulate forever."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.operators.retrieval import compact_postings_stats
+
+    path = str(tmp_path / "pidx")
+    write_postings_index(
+        _docs(spark, [(1, "apple banana apple")]), path, mode="overwrite"
+    )
+    write_postings_index(
+        _docs(spark, [(2, "banana cherry")]), path, mode="append"
+    )
+    write_postings_index(
+        _docs(spark, [(3, "cherry durian fig")]), path, mode="append"
+    )
+    st = spark.read.parquet(path + "/_stats")
+    assert sorted(
+        r["batch_id"] for r in st.select("batch_id").collect()
+    ) == [0, 1, 2]
+
+    qt = _qt(spark, [(0, "banana"), (0, "cherry")])
+    before = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    out = compact_postings_stats(spark, path + "/_stats")
+    assert out["files_after"] == 1 <= out["files_before"]
+    spark.catalog.refreshByPath(path + "/_stats")
+    sealed = spark.read.parquet(path + "/_stats").collect()
+    assert len(sealed) == 1 and sealed[0]["batch_id"] == -1
+    assert (sealed[0]["n_docs"], sealed[0]["sum_dl"]) == (3, 8)
+    after = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    assert after == before
+    # a post-compaction append picks a FRESH synthetic id (> watermark)
+    write_postings_index(
+        _docs(spark, [(4, "grape")]), path, mode="append"
+    )
+    ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(path + "/_stats")
+        .select("batch_id")
+        .collect()
+    )
+    assert ids == [-1, 3]
+    tot = spark.read.parquet(path + "/_stats").agg(
+        FF.sum("n_docs"), FF.sum("sum_dl")
+    ).collect()[0]
+    assert tuple(tot) == (4, 9)
+
+
+def test_compact_refuses_legacy_stats_layout_before_touching_data(
+    spark, tmp_path
+):
+    """compact_postings_index must validate the _stats layout BEFORE
+    rewriting data/_docs — a wrong-layout index previously got
+    half-compacted before the loud stats failure."""
+    from process_spark.operators.retrieval import compact_postings_index
+
+    path = str(tmp_path / "pidx")
+    docs = _docs(spark, [(1, "apple banana"), (2, "cherry")])
+    write_postings_index(docs, path, mode="overwrite")
+    # degrade the sidecar to the legacy unpartitioned layout
+    legacy = spark.read.parquet(path + "/_stats").drop("batch_id")
+    legacy.coalesce(1).write.mode("overwrite").parquet(path + "/_legacy")
+    import shutil
+
+    shutil.rmtree(path + "/_stats")
+    shutil.move(path + "/_legacy", path + "/_stats")
+
+    files_before = sorted(
+        p.name
+        for p in (tmp_path / "pidx" / "data").rglob("*.parquet")
+    )
+    with pytest.raises(ValueError, match="legacy unpartitioned"):
+        compact_postings_index(spark, path)
+    files_after = sorted(
+        p.name
+        for p in (tmp_path / "pidx" / "data").rglob("*.parquet")
+    )
+    assert files_after == files_before  # data untouched
+
+
+def test_compact_refuses_all_purged(spark, tmp_path):
+    """Tombstoning the ENTIRE corpus must refuse to purge at compaction
+    (the rewrite would leave empty parquet dirs that fail schema
+    inference on every later read) — loud error, tombstones intact,
+    probes still correct (empty index semantics)."""
+    from process_spark.operators.fsutil import fs_exists
+    from process_spark.operators.retrieval import (
+        compact_postings_index,
+        incremental_postings_sink,
+        tombstone_postings_docs,
+    )
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path = str(tmp_path / "pidx")
+    _bootstrap_postings(spark, path, _docs(spark, [(0, "apple banana")]))
+    incremental_postings_sink(path)(_docs(spark, [(1, "cherry")]), 0)
+    tombstone_postings_docs(
+        spark, path, spark.createDataFrame([(0,), (1,)], "doc_id long")
+    )
+    with pytest.raises(ValueError, match="ENTIRE corpus"):
+        compact_postings_index(spark, path)
+    assert fs_exists(spark, path + "/_tombstones")
+    qt = _qt(spark, [(0, "apple")])
+    assert bm25_probe_postings(spark, path, qt).count() == 0
+
+
+def test_n_buckets_mismatch_raises_everywhere(spark, tmp_path):
+    """A caller-supplied n_buckets that disagrees with the persisted
+    stats must raise in the tombstone op AND the streaming sink (it
+    would prune the wrong doc_buckets — false 'not in the index'
+    errors or missed foreign-copy detection), as the probe and batch
+    append already do."""
+    from process_spark.operators.retrieval import (
+        incremental_postings_sink,
+        tombstone_postings_docs,
+    )
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path = str(tmp_path / "pidx")
+    _bootstrap_postings(
+        spark, path, _docs(spark, [(0, "apple banana"), (2, "cherry")])
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        tombstone_postings_docs(
+            spark,
+            path,
+            spark.createDataFrame([(0,)], "doc_id long"),
+            n_buckets=8,
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        incremental_postings_sink(path, n_buckets=8)(
+            _docs(spark, [(1, "fig")]), 0
+        )
+
+
+def test_sink_stats_delta_derived_from_postings(spark, tmp_path):
+    """The sink's per-batch stats delta is derived from the pinned
+    postings (Σdl = Σtf, n_docs = distinct ids) — it must equal the
+    tokenize-the-batch values exactly, INCLUDING a zero-token doc
+    (membership row with dl = 0, no postings, still counted in
+    n_docs)."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.functions.textfn import tokens as _tk
+    from process_spark.operators.retrieval import incremental_postings_sink
+
+    path = str(tmp_path / "pidx")
+    batch = _docs(
+        spark,
+        [(1, "apple banana apple"), (2, "!!! ---"), (3, "cherry")],
+    )
+    incremental_postings_sink(path)(batch, 0)
+    row = spark.read.parquet(path + "/_stats").collect()
+    assert len(row) == 1
+    want = batch.agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum(FF.size(_tk("text"))).cast("long").alias("sdl"),
+    ).collect()[0]
+    assert (row[0]["n_docs"], row[0]["sum_dl"]) == (want["n"], want["sdl"])
+    assert (row[0]["n_docs"], row[0]["sum_dl"]) == (3, 4)
+    # the zero-token doc is probe-consistent: counted in N, dl 0
+    mem = {
+        r["doc_id"]: r["dl"]
+        for r in spark.read.parquet(path + "/_docs").collect()
+    }
+    assert mem == {1: 3, 2: 0, 3: 1}
+
+
+def test_audit_cross_component_divergence_columns(spark, tmp_path):
+    """postings_stats_audit's membership↔postings consistency columns:
+    a doc in the membership but with no postings (dl > 0) and a doc
+    with postings but no membership row must each flip ``consistent``
+    False with the matching count column set — even when the TOTALS
+    still happen to cancel."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.operators.retrieval import (
+        incremental_postings_sink,
+        postings_stats_audit,
+    )
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path = str(tmp_path / "pidx")
+    _bootstrap_postings(
+        spark, path, _docs(spark, [(0, "apple banana"), (2, "cherry")])
+    )
+    incremental_postings_sink(path)(_docs(spark, [(1, "apple fig")]), 0)
+    base = postings_stats_audit(spark, path).collect()[0]
+    assert base["consistent"]
+    assert base["n_docs_without_postings"] == 0
+    assert base["n_postings_docs_without_membership"] == 0
+
+    # (a) membership row whose postings are gone: drop doc 1's postings
+    data = spark.read.parquet(path + "/data").localCheckpoint(eager=True)
+    data.filter(FF.col("doc_id") != 1).write.mode("overwrite").partitionBy(
+        "term_bucket", "batch_id"
+    ).parquet(path + "/data")
+    spark.catalog.refreshByPath(path + "/data")
+    row = postings_stats_audit(spark, path).collect()[0]
+    assert not row["consistent"]
+    assert row["n_docs_without_postings"] == 1
+
+    # (b) postings with no membership row: restore data, drop doc 1's
+    # membership instead
+    data.write.mode("overwrite").partitionBy(
+        "term_bucket", "batch_id"
+    ).parquet(path + "/data")
+    spark.catalog.refreshByPath(path + "/data")
+    mem = spark.read.parquet(path + "/_docs").localCheckpoint(eager=True)
+    mem.filter(FF.col("doc_id") != 1).write.mode("overwrite").partitionBy(
+        "doc_bucket", "batch_id"
+    ).parquet(path + "/_docs")
+    spark.catalog.refreshByPath(path + "/_docs")
+    row = postings_stats_audit(spark, path).collect()[0]
+    assert not row["consistent"]
+    assert row["n_postings_docs_without_membership"] == 1
