@@ -1,0 +1,314 @@
+"""Generic DELETE/UPDATE lifecycle for STORED partitioned indexes —
+the tombstone → purge-at-compaction → re-ingest rhythm the postings
+family ships in operators/retrieval.py, factored out so every other
+stored family (the IVF cell index, the SRP/MinHash/SimHash band
+indexes) gets the same answer from ONE implementation instead of four
+ports (SURVEY.md §2 contract extension "deduplication" / "similarity
+search" — the maintenance story those stored layouts need at 100 TB).
+
+Why this exists: deleting a document updates the text index
+(queries/retrieval.stream_bm25_index_updated) but its EMBEDDING stayed
+searchable and its SIGNATURES kept matching — semantic dedup and ANN
+retrieval would resurrect deleted content forever. Same rhythm as
+Lucene's soft-deletes + merge-time purge (cited as a design analogy,
+not copied code).
+
+Layout (all under one index ``path``):
+
+- ``data/`` — the index rows, ``partitionBy(part_cols)`` (the family's
+  pruning key: ``cell_id`` for IVF, ``(band_idx, band_bucket)`` for
+  band indexes). One file per touched dir per write.
+- ``_ids/`` — identity membership, ``partitionBy(id_bucket)`` with
+  ``id_bucket = pmod(hash(id), n_id_buckets)``: the index's pruning
+  key depends on CONTENT (an updated embedding lands in a different
+  cell; re-tokenized text in different buckets), so "is this id in the
+  index?" needs an id-keyed sidecar to stay a pruned lookup — the
+  postings ``_docs`` precedent, minus the dl payload (no probe here
+  needs global stats corrected).
+- ``_meta/`` — one row ``(id_col, part_cols, n_id_buckets)`` persisted
+  at build time, so tombstone/append/compact derive their pruning
+  config from the index instead of trusting caller-supplied values
+  (the mismatched-n_buckets bug class the postings family had to
+  validate away).
+- ``_tombstones/`` — logical deletes ``(id_bucket, id)``; probes
+  anti-join them out immediately, bytes go at the next compaction.
+
+Unlike the postings index there is NO stats sidecar: BM25 needed
+(N, Σdl) corrected per delete; cosine/Jaccard probes score per-pair,
+so a delete is complete once the row is invisible.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from process_spark.operators.fsutil import fs_exists, fs_path
+
+
+def _ids_membership(
+    rows: DataFrame, id_col: str, n_id_buckets: int
+) -> DataFrame:
+    """``(id_bucket, <id_col>)`` — one row per distinct id."""
+    return (
+        rows.select(id_col)
+        .distinct()
+        .select(
+            F.pmod(F.hash(id_col), F.lit(n_id_buckets))
+            .cast("int")
+            .alias("id_bucket"),
+            id_col,
+        )
+    )
+
+
+def index_meta(spark: SparkSession, path: str) -> dict:
+    """The persisted index config: ``{"id_col", "part_cols",
+    "n_id_buckets"}`` (part_cols as a list)."""
+    row = spark.read.parquet(posixpath.join(path, "_meta")).collect()
+    if len(row) != 1:
+        raise ValueError(
+            f"stored index at {path}: _meta must hold exactly one row, "
+            f"found {len(row)}"
+        )
+    return {
+        "id_col": row[0]["id_col"],
+        "part_cols": row[0]["part_cols"].split(","),
+        "n_id_buckets": int(row[0]["n_id_buckets"]),
+    }
+
+
+def _bucket_in_set(ids: DataFrame, id_col: str, n_id_buckets: int) -> list:
+    """Bounded (≤ n_id_buckets ints) bucket IN-set of an id relation."""
+    return sorted(
+        r["b"]
+        for r in ids.select(
+            F.pmod(F.hash(id_col), F.lit(n_id_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+
+
+def write_stored_index(
+    rows: DataFrame,
+    path: str,
+    part_cols: list[str],
+    id_col: str,
+    mode: str = "overwrite",
+    n_id_buckets: int = 16,
+    n_write_tasks: int = 8,
+) -> None:
+    """Write (or append to) a stored index under the lifecycle layout.
+
+    ``mode="overwrite"`` is an in-place REBUILD: stale ``_tombstones``
+    from a previous life at the path are deleted first (they would
+    silently anti-join live ids out of every probe — the same gap the
+    postings writer closed), and ``_ids``/``_meta`` are rewritten.
+
+    ``mode="append"`` validates against the persisted ``_meta`` (a
+    caller-supplied layout that disagrees with the bytes fails loudly,
+    never prunes wrong) and enforces the APPEND-ONLY identity contract:
+    any batch id already in ``_ids`` — live OR tombstoned-but-unpurged
+    — raises with the update recipe. Detection is exact and content-
+    independent (the id-keyed sidecar sees a changed-content re-ingest
+    whose index rows share no partition with the stored copy)."""
+    data_dir = posixpath.join(path, "data")
+    ids_dir = posixpath.join(path, "_ids")
+    meta_dir = posixpath.join(path, "_meta")
+    spark = rows.sparkSession
+    if mode == "append":
+        meta = index_meta(spark, path)
+        if (
+            meta["id_col"] != id_col
+            or meta["part_cols"] != list(part_cols)
+            or meta["n_id_buckets"] != n_id_buckets
+        ):
+            raise ValueError(
+                f"stored index at {path} was built with {meta}, append "
+                f"requested id_col={id_col!r}, part_cols={list(part_cols)}, "
+                f"n_id_buckets={n_id_buckets}"
+            )
+        bids = rows.select(id_col).distinct().localCheckpoint(eager=True)
+        held = (
+            spark.read.parquet(ids_dir)
+            .filter(
+                F.col("id_bucket").isin(
+                    _bucket_in_set(bids, id_col, n_id_buckets)
+                )
+            )
+            .join(F.broadcast(bids), id_col, "left_semi")
+        )
+        foreign = [r[id_col] for r in held.limit(5).collect()]
+        if foreign:
+            raise ValueError(
+                f"stored index at {path}: append re-ingests ids already "
+                f"in the index (sample: {foreign}) — ids are append-only."
+                " To UPDATE: tombstone_index_ids, compact_stored_index "
+                "(purges every trace), then re-ingest the new version"
+            )
+    else:
+        fs, HPath = fs_path(spark, path)
+        fs.delete(HPath(posixpath.join(path, "_tombstones")), True)
+    rows = rows.localCheckpoint(eager=False)  # two consumers below
+    (
+        rows.repartition(n_write_tasks, *[F.col(c) for c in part_cols])
+        .write.mode(mode)
+        .partitionBy(*part_cols)
+        .parquet(data_dir)
+    )
+    (
+        _ids_membership(rows, id_col, n_id_buckets)
+        .repartition(1)
+        .write.mode(mode)
+        .partitionBy("id_bucket")
+        .parquet(ids_dir)
+    )
+    if mode != "append":
+        spark.createDataFrame(
+            [(id_col, ",".join(part_cols), n_id_buckets)],
+            "id_col string, part_cols string, n_id_buckets int",
+        ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+    spark.catalog.refreshByPath(data_dir)
+    spark.catalog.refreshByPath(ids_dir)
+
+
+def tombstone_index_ids(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> dict:
+    """Logical DELETE: record ``ids`` (a bounded maintenance request,
+    single column named as the index's id_col) under
+    ``_tombstones/(id_bucket)``. Probes must exclude them immediately
+    (:func:`live_index_rows`); bytes are purged at the next
+    :func:`compact_stored_index`, after which the ids are free to
+    re-ingest (the UPDATE path). Raises on ids never ingested (deleting
+    what does not exist is a caller bug, not a no-op); re-tombstoning
+    is idempotent (skipped). Returns ``{"n_tombstoned": n}``."""
+    meta = index_meta(spark, path)
+    id_col, nb = meta["id_col"], meta["n_id_buckets"]
+    ids_dir = posixpath.join(path, "_ids")
+    tomb_dir = posixpath.join(path, "_tombstones")
+    req = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    members = (
+        spark.read.parquet(ids_dir)
+        .filter(F.col("id_bucket").isin(_bucket_in_set(req, id_col, nb)))
+        .join(F.broadcast(req), id_col, "left_semi")
+        .select("id_bucket", id_col)
+        .localCheckpoint(eager=True)
+    )
+    missing = [
+        r[id_col]
+        for r in req.join(members, id_col, "left_anti").limit(5).collect()
+    ]
+    if missing:
+        raise ValueError(
+            f"tombstone_index_ids: ids not in the index at {path} "
+            f"(sample: {missing})"
+        )
+    fresh = members
+    if fs_exists(spark, tomb_dir):
+        fresh = members.join(
+            spark.read.parquet(tomb_dir).select(id_col), id_col, "left_anti"
+        )
+    n = fresh.count()
+    if n:
+        (
+            fresh.repartition(1)
+            .write.mode("append")
+            .partitionBy("id_bucket")
+            .parquet(tomb_dir)
+        )
+    return {"n_tombstoned": n}
+
+
+def live_index_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The index's LIVE rows: ``data/`` minus tombstoned ids. Partition
+    filters a caller stacks on top (the probe's cell/bucket IN-set)
+    still reach the scan — the anti-join keys on the id column, so the
+    pruning predicate pushes below it. No broadcast hint on the
+    tombstone side: the set grows until the next purge — AQE sizes the
+    join (the postings probe's reasoning, verbatim)."""
+    meta = index_meta(spark, path)
+    stored = spark.read.parquet(posixpath.join(path, "data"))
+    tomb_dir = posixpath.join(path, "_tombstones")
+    if fs_exists(spark, tomb_dir):
+        stored = stored.join(
+            spark.read.parquet(tomb_dir).select(meta["id_col"]),
+            meta["id_col"],
+            "left_anti",
+        )
+    return stored
+
+
+def compact_stored_index(
+    spark: SparkSession, path: str, n_write_tasks: int = 8
+) -> dict:
+    """Offline maintenance pass: rewrite ``data/`` (one file per
+    partition dir) and ``_ids/`` with tombstoned ids PURGED (the
+    deletes ride the rewrite compaction does anyway —
+    compact_partitioned_index's ``row_filter`` hook), then drop the
+    tombstones LAST — after which the ids are free to re-ingest.
+
+    Crash ordering: every component swaps whole; a crash anywhere
+    before the tombstone drop leaves probes correct (tombstones still
+    anti-join, purged rows resolve to nothing) and re-ingests of the
+    half-purged ids still REFUSED (``_ids`` keeps them until its own
+    purge lands) — re-running the compactor converges (purges are
+    idempotent, the drop completes). Refuses a tombstone set covering
+    the ENTIRE index (the rewrite would leave empty parquet dirs that
+    fail schema inference on every later read — drop the index
+    directory instead). ``n_purged_ids`` counts ids actually still
+    present before the rewrite (0 on a post-crash re-run), not the
+    tombstone count. Run between ingest runs, like every compactor
+    (the directory swaps are not transactional against in-flight
+    readers)."""
+    from process_spark.operators.dedup import compact_partitioned_index
+
+    meta = index_meta(spark, path)
+    id_col = meta["id_col"]
+    data_dir = posixpath.join(path, "data")
+    ids_dir = posixpath.join(path, "_ids")
+    tomb_dir = posixpath.join(path, "_tombstones")
+
+    row_filter = None
+    tomb_ids = None
+    n_purged = 0
+    if fs_exists(spark, tomb_dir):
+        tomb_ids = (
+            spark.read.parquet(tomb_dir)
+            .select(id_col)
+            .distinct()
+            .localCheckpoint(eager=True)  # outlives the dir drop below
+        )
+        idx_ids = spark.read.parquet(ids_dir).select(id_col)
+        n_purged = idx_ids.join(tomb_ids, id_col, "left_semi").count()
+        if idx_ids.join(tomb_ids, id_col, "left_anti").limit(1).count() == 0:
+            raise ValueError(
+                f"compact_stored_index: tombstones at {path} cover the "
+                "ENTIRE index — purging would leave empty data/_ids dirs "
+                "that fail schema inference on every later read. Drop "
+                "the whole index directory instead"
+            )
+
+        def row_filter(df):  # noqa: F811 — the purge hook
+            return df.join(tomb_ids, id_col, "left_anti")
+
+    out = {
+        "data": compact_partitioned_index(
+            spark, data_dir, meta["part_cols"], n_write_tasks,
+            row_filter=row_filter,
+        ),
+        "ids": compact_partitioned_index(
+            spark, ids_dir, ["id_bucket"], n_write_tasks,
+            row_filter=row_filter,
+        ),
+        "n_purged_ids": n_purged,
+    }
+    if tomb_ids is not None:
+        fs, HPath = fs_path(spark, tomb_dir)
+        fs.delete(HPath(tomb_dir), True)
+    spark.catalog.refreshByPath(data_dir)
+    spark.catalog.refreshByPath(ids_dir)
+    return out

@@ -1584,6 +1584,190 @@ def vec_ivf_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: "Re-crawled" embedding scalar for the update lifecycle: the same
+#: md5 fold as _O_T32 but over 'u' || vec_id — a DIFFERENT deterministic
+#: value per id, replayable in DuckDB, so an UPDATE genuinely moves the
+#: vector (and possibly its cell) instead of re-ingesting identical
+#: content.
+_O_T32U = (
+    "(CAST(('0x' || substr(md5('u' || CAST(vec_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) / 4294967296.0)"
+)
+
+
+def _t32u() -> "F.Column":
+    """Spark twin of :data:`_O_T32U`."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("u"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(4294967296.0)
+
+
+#: The "re-crawled" vectors: every id ending in 7 — disjoint from the
+#: every-100th-id query sample, so the query set survives the delete.
+_UPD_VEC_FILTER = "vec_id % 10 = 7"
+
+
+def _ivf_updated_oracle() -> str:
+    """Two-phase replay of the stored IVF index's DELETE/UPDATE
+    lifecycle: build on the even half (seeds + one Lloyd refinement —
+    the _ivf_md5_ctes chain verbatim), assign everything; phase 1
+    searches the assignments MINUS the tombstoned ids; phase 2 searches
+    survivors UNION the re-crawled vectors re-assigned (new content →
+    possibly new cell) against the UNCHANGED refined cells — exactly
+    what tombstone → purge-at-compaction → re-ingest computes when the
+    whole machinery is storage detail."""
+    score = "(1 + p.tq * a.tv) / (sqrt(1 + p.tq * p.tq) * sqrt(1 + a.tv * a.tv))"
+
+    def _phase(tag: str, live: str) -> str:
+        return f"""
+    cand{tag} AS (
+      SELECT p.q_id, a.vec_id, {score} AS score
+      FROM probes p JOIN {live} a ON a.cell_id = p.cell_id
+    ),
+    topk{tag} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM cand{tag}
+      ) WHERE rn <= 5
+    ),
+    r{tag} AS (
+      SELECT q_id,
+             array_to_string(list(vec_id ORDER BY vec_id), ',')
+               AS neighbor_ids
+      FROM topk{tag} GROUP BY q_id
+    )"""
+
+    return f"""
+    WITH {_ivf_md5_ctes(build_where="vec_id % 2 = 0")},
+    livea AS (SELECT * FROM assign1 WHERE NOT ({_UPD_VEC_FILTER})),
+    hu AS (SELECT vec_id, {_O_T32U} AS tv
+           FROM embeddings WHERE {_UPD_VEC_FILTER}),
+    assignu AS (
+      SELECT vec_id, tv, cell_id FROM (
+        SELECT v.vec_id, v.tv, r.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_o_cell_score('v.tv', 'r.m')} DESC, r.cell_id
+               ) AS rn
+        FROM hu v CROSS JOIN refined r
+      ) WHERE rn = 1
+    ),
+    liveb AS (SELECT * FROM livea UNION ALL SELECT * FROM assignu),
+    {_phase("a", "livea")},
+    {_phase("b", "liveb")}
+    SELECT CAST(1 AS INT) AS phase, * FROM ra
+    UNION ALL
+    SELECT CAST(2 AS INT) AS phase, * FROM rb
+    """
+
+
+@register("vec_ivf_stored_updated", oracle=_ivf_updated_oracle())
+def vec_ivf_stored_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 — the stored IVF index's DELETE/UPDATE lifecycle (the r11
+    verdict's top task: deleting a document updated the text index but
+    left its EMBEDDING searchable — ANN retrieval resurrected deleted
+    content). Build on the even half, append the odd half, then
+    "re-crawl" every id ending in 7: tombstone_index_ids records the
+    logical deletes (probes exclude them immediately via
+    live_index_rows' anti-join — phase 1 must equal a search over the
+    surviving corpus); compact_stored_index PURGES every trace from
+    data/ and _ids/ and drops the tombstones, freeing the ids; the
+    updated vectors (new md5-fold content — possibly a DIFFERENT cell)
+    re-ingest through the same append path, whose append-only identity
+    validation accepts them only because the purge removed the old
+    identity. Phase 2 must equal a search over survivors + updated
+    vectors assigned to the UNCHANGED cells — the whole delete/update
+    machinery is storage detail, hash-checked end to end under the md5
+    2-d fixture."""
+    import os as _os
+    import shutil as _shutil
+
+    from process_spark.operators.indexlife import (
+        compact_stored_index,
+        live_index_rows,
+        tombstone_index_ids,
+        write_stored_index,
+    )
+    from process_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivf_probe_cells,
+        ivf_search,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    e_even = e.filter(F.col("vec_id") % 2 == 0)
+    e_odd = e.filter(F.col("vec_id") % 2 == 1)
+    cells, assign_even = ivf_build(e_even, n_cells=8, seed_hash="md5")
+    cells = cells.localCheckpoint(eager=True)  # consumed by 2 probes
+
+    path = _os.path.join(_SCRATCH, "ivf_index_updated")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_stored_index(
+        assign_even, path, ["cell_id"], "vec_id", mode="overwrite"
+    )
+    write_stored_index(
+        ivf_assign(e_odd, cells), path, ["cell_id"], "vec_id", mode="append"
+    )
+
+    # the re-crawl: logical delete, probes exclude immediately
+    tombstone_index_ids(
+        spark, path, e.filter(F.expr(_UPD_VEC_FILTER)).select("vec_id")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = sorted(  # bounded: cell domain is n_cells=8
+        r["cell_id"]
+        for r in ivf_probe_cells(cells, q, n_probe=2)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+
+    def _phase(df):
+        knn = ivf_search(
+            q, cells, df.filter(F.col("cell_id").isin(probed)), k=5,
+            n_probe=2,
+        )
+        return knn.groupBy("q_id").agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("neighbor_ids")
+        )
+
+    # materialize phase 1 BEFORE the purge mutates the index
+    ra = _phase(live_index_rows(spark, path)).localCheckpoint(eager=True)
+
+    # purge at the maintenance pass (tombstones dropped last), then the
+    # updated versions re-ingest through the validated append path
+    compact_stored_index(spark, path)
+    e_upd = t(spark, sf_dir, "embeddings").filter(
+        F.expr(_UPD_VEC_FILTER)
+    ).select("vec_id", F.array(F.lit(1.0), _t32u()).alias("embedding"))
+    write_stored_index(
+        ivf_assign(e_upd, cells), path, ["cell_id"], "vec_id", mode="append"
+    )
+    rb = _phase(live_index_rows(spark, path))
+
+    return ra.select(F.lit(1).cast("int").alias("phase"), "*").unionByName(
+        rb.select(F.lit(2).cast("int").alias("phase"), "*")
+    )
+
+
 @register(
     "vec_ivf_sq8_md5_idset",
     # The COMPOSED index end to end in SQL: the shared md5 IVF chain

@@ -1,0 +1,211 @@
+"""Generic stored-index DELETE/UPDATE lifecycle
+(operators/indexlife.py): tombstone semantics, append-only identity
+validation, purge-at-compaction, crash-window convergence — the
+postings family's contracts (tests/test_retrieval.py) replayed on the
+id-generic toolkit that serves the IVF cell index and the band-index
+layouts. The registered oracle (vec_ivf_stored_updated) proves engine
+parity end to end; these pin the edges the oracle can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from process_spark.operators.fsutil import fs_exists
+from process_spark.operators.indexlife import (
+    compact_stored_index,
+    index_meta,
+    live_index_rows,
+    tombstone_index_ids,
+    write_stored_index,
+)
+
+
+def _rows(spark, data):
+    """(vec_id, cell_id, payload) — a miniature cell-partitioned index."""
+    return spark.createDataFrame(
+        data, "vec_id long, cell_id int, payload double"
+    )
+
+
+def _ids(spark, vals, col="vec_id"):
+    return spark.createDataFrame([(v,) for v in vals], f"{col} long")
+
+
+def _live_set(spark, path):
+    return {
+        (r["vec_id"], r["cell_id"])
+        for r in live_index_rows(spark, path).collect()
+    }
+
+
+def test_delete_update_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1), (2, 0, 0.2), (3, 1, 0.3)]),
+        path, ["cell_id"], "vec_id", mode="overwrite",
+    )
+    write_stored_index(
+        _rows(spark, [(4, 1, 0.4)]), path, ["cell_id"], "vec_id",
+        mode="append",
+    )
+    assert index_meta(spark, path) == {
+        "id_col": "vec_id", "part_cols": ["cell_id"], "n_id_buckets": 16,
+    }
+    assert _live_set(spark, path) == {(1, 0), (2, 0), (3, 1), (4, 1)}
+
+    # unknown id → loud; delete 2 and 4; re-tombstone idempotent
+    with pytest.raises(ValueError, match="not in the index"):
+        tombstone_index_ids(spark, path, _ids(spark, [99]))
+    assert tombstone_index_ids(
+        spark, path, _ids(spark, [2, 4])
+    )["n_tombstoned"] == 2
+    assert tombstone_index_ids(
+        spark, path, _ids(spark, [2])
+    )["n_tombstoned"] == 0
+    assert _live_set(spark, path) == {(1, 0), (3, 1)}
+
+    # re-ingest before the purge → loud, with the update recipe
+    with pytest.raises(ValueError, match="tombstone_index_ids"):
+        write_stored_index(
+            _rows(spark, [(2, 1, 9.9)]), path, ["cell_id"], "vec_id",
+            mode="append",
+        )
+
+    out = compact_stored_index(spark, path)
+    assert out["n_purged_ids"] == 2
+    assert not fs_exists(spark, path + "/_tombstones")
+    spark.catalog.refreshByPath(path + "/data")
+    assert {
+        r["vec_id"] for r in spark.read.parquet(path + "/data").collect()
+    } == {1, 3}
+    assert {
+        r["vec_id"] for r in spark.read.parquet(path + "/_ids").collect()
+    } == {1, 3}
+
+    # the UPDATE lands: id 2's new version, possibly in a new cell
+    write_stored_index(
+        _rows(spark, [(2, 1, 9.9)]), path, ["cell_id"], "vec_id",
+        mode="append",
+    )
+    assert _live_set(spark, path) == {(1, 0), (3, 1), (2, 1)}
+
+
+def test_append_only_validation_content_independent(spark, tmp_path):
+    """A changed-content re-ingest whose index rows share NO partition
+    with the stored copy is still caught — detection keys on the
+    id-bucketed _ids sidecar, not the content-dependent layout."""
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1)]), path, ["cell_id"], "vec_id",
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        write_stored_index(
+            _rows(spark, [(1, 7, 0.9)]),  # different cell entirely
+            path, ["cell_id"], "vec_id", mode="append",
+        )
+
+
+def test_meta_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1)]), path, ["cell_id"], "vec_id",
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="was built with"):
+        write_stored_index(
+            _rows(spark, [(2, 0, 0.2)]), path, ["cell_id"], "vec_id",
+            mode="append", n_id_buckets=8,
+        )
+
+
+def test_overwrite_rebuild_clears_stale_tombstones(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1), (2, 1, 0.2)]), path, ["cell_id"],
+        "vec_id", mode="overwrite",
+    )
+    tombstone_index_ids(spark, path, _ids(spark, [1]))
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.5), (3, 1, 0.3)]), path, ["cell_id"],
+        "vec_id", mode="overwrite",
+    )
+    assert not fs_exists(spark, path + "/_tombstones")
+    assert _live_set(spark, path) == {(1, 0), (3, 1)}  # id 1 LIVE again
+
+
+def test_compact_refuses_all_purged(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1), (2, 1, 0.2)]), path, ["cell_id"],
+        "vec_id", mode="overwrite",
+    )
+    tombstone_index_ids(spark, path, _ids(spark, [1, 2]))
+    with pytest.raises(ValueError, match="ENTIRE index"):
+        compact_stored_index(spark, path)
+    assert fs_exists(spark, path + "/_tombstones")
+    assert _live_set(spark, path) == set()  # empty-index semantics hold
+
+
+def test_compact_rerun_converges_on_stale_tombstones(spark, tmp_path):
+    """Crash window: purge swapped in, tombstone drop didn't happen.
+    Re-running converges — purge no-ops, n_purged_ids reports 0 (docs
+    actually removed, not the stale tombstone count), the tombstones
+    drop, and re-ingest of the updated id is accepted."""
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1), (2, 1, 0.2)]), path, ["cell_id"],
+        "vec_id", mode="overwrite",
+    )
+    tombstone_index_ids(spark, path, _ids(spark, [2]))
+    compact_stored_index(spark, path)
+    # simulate the crash: re-create the stale tombstone
+    spark.createDataFrame([(2,)], "vec_id long").withColumn(
+        "id_bucket", F.pmod(F.hash("vec_id"), F.lit(16)).cast("int")
+    ).select("id_bucket", "vec_id").write.mode("overwrite").partitionBy(
+        "id_bucket"
+    ).parquet(path + "/_tombstones")
+    out = compact_stored_index(spark, path)
+    assert out["n_purged_ids"] == 0
+    assert not fs_exists(spark, path + "/_tombstones")
+    write_stored_index(
+        _rows(spark, [(2, 0, 9.9)]), path, ["cell_id"], "vec_id",
+        mode="append",
+    )
+    assert _live_set(spark, path) == {(1, 0), (2, 0)}
+
+
+def test_band_index_layout_generality(spark, tmp_path):
+    """The same toolkit serves the band-index families: multi-column
+    partition keys ((band_idx, band_bucket)) and a doc_id identity —
+    delete/update works without any family-specific code."""
+    path = str(tmp_path / "bidx")
+    rows = spark.createDataFrame(
+        [
+            (10, 0, 3, 111), (10, 1, 5, 222),
+            (20, 0, 3, 111), (20, 1, 9, 333),
+        ],
+        "doc_id long, band_idx int, band_bucket int, sig long",
+    )
+    write_stored_index(
+        rows, path, ["band_idx", "band_bucket"], "doc_id",
+        mode="overwrite",
+    )
+    tombstone_index_ids(spark, path, _ids(spark, [10], col="doc_id"))
+    live = live_index_rows(spark, path)
+    assert {r["doc_id"] for r in live.collect()} == {20}
+    out = compact_stored_index(spark, path)
+    assert out["n_purged_ids"] == 1
+    # the updated doc re-ingests with entirely different band buckets
+    write_stored_index(
+        spark.createDataFrame(
+            [(10, 0, 7, 999)],
+            "doc_id long, band_idx int, band_bucket int, sig long",
+        ),
+        path, ["band_idx", "band_bucket"], "doc_id", mode="append",
+    )
+    assert {
+        (r["doc_id"], r["band_bucket"])
+        for r in live_index_rows(spark, path).collect()
+    } == {(20, 3), (20, 9), (10, 7)}

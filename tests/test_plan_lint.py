@@ -71,6 +71,7 @@ CROSS_OK = {
     "vec_ivf_stored_probe",     # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_append",    # broadcast cell/probe tables (k rows)
     "vec_ivf_stored_compact",   # broadcast cell/probe tables (k rows)
+    "vec_ivf_stored_updated",   # broadcast cell/probe tables (k rows)
     "vec_ivf_sq8_knn",          # broadcast cell/probe tables (k rows)
     "vec_ivf_sq8_md5_idset",    # broadcast cell/probe-code tables (k rows)
     "vec_ivf_drift_report",     # ivf_build cell broadcasts (k rows)
@@ -249,6 +250,7 @@ BROADCAST_HINT_OK = {
     "vec_ivf_stored_probe": "cell/probe tables (k rows)",
     "vec_ivf_stored_append": "cell/probe tables (k rows)",
     "vec_ivf_stored_compact": "cell/probe tables (k rows)",
+    "vec_ivf_stored_updated": "cell/probe tables (k rows)",
     "pipeline_token_budget_report": (
         "1-row corpus-words total aggregate broadcast onto the bounded "
         "per-(lang,source) report"
@@ -375,6 +377,15 @@ BROADCAST_SITES = {
         "re-rank, +1 in sq8_search, +1 in pq_quantization_error's "
         "m·k-row codebook table: same k-row / bounded-query "
         "broadcasts)",
+    ),
+    "operators/indexlife.py": (
+        2,
+        "bounded maintenance-request id sets (append-only validation's "
+        "per-batch ids and the tombstone request), semi-joined against "
+        "the id_bucket-pruned _ids sidecar — the postings sink's "
+        "bounds; the tombstone ANTI-join in live_index_rows "
+        "deliberately has no hint (set grows until purge; AQE sizes "
+        "it)",
     ),
     "queries/relational.py": (2, "nation/region dims"),
     "queries/tpch.py": (1, "nation dim"),
