@@ -55,6 +55,9 @@ HEADLINE = [
     # ANN -> RRF -> MMR)
     "vec_hybrid_rrf_ann_fixedq",
     "retrieval_e2e_stored",
+    # round-12: the production full-stack row — the e2e composite under
+    # the FIXED 50-query workload (corpus-only growth)
+    "retrieval_e2e_stored_fixedq",
 ]
 
 #: Each query is run once un-timed at the bench SF before the timed

@@ -122,6 +122,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """BM25 score of every document against every query:
     ``(query_id, doc_id, score_e6)`` — only (query, doc) pairs sharing
@@ -131,7 +132,16 @@ def bm25_scores(
     ``query_terms`` is ``(query_id, term)`` — assumed SMALL (a query
     workload, not a table) and broadcast. Corpus stats (df per term)
     are computed AFTER the semi-join restriction to query terms, so
-    nothing vocabulary-sized ever shuffles."""
+    nothing vocabulary-sized ever shuffles.
+
+    ``max_df_fraction`` is the hot-term guard (Lucene's stopword /
+    maxDocFreq idiom): terms with ``df > max_df_fraction · N`` are
+    dropped from scoring — ``tokens()`` keeps stopwords, so at 100 TB
+    the Zipf head ("the", "of") matches most of the corpus per term
+    and a query containing one drags a near-full hit set through the
+    aggregation for a ~0 idf contribution. The census twin
+    (:func:`bm25_scores_max_df` / :func:`postings_skew_report`) keeps
+    the truncation loud."""
     qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
     terms = qt.select("tok").distinct()
 
@@ -142,6 +152,11 @@ def bm25_scores(
     df_t = hit.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
 
     n_docs, avgdl = _corpus_stats(docs, text_col)
+    if max_df_fraction is not None:
+        df_t = df_t.filter(
+            F.col("df")
+            <= F.lit(float(max_df_fraction)) * F.lit(float(n_docs))
+        )
     contrib = (
         hit.join(F.broadcast(qt), "tok")
         .join(F.broadcast(df_t), "tok")
@@ -156,6 +171,79 @@ def bm25_scores(
     return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("contrib_e6").alias("score_e6")
     )
+
+
+def bm25_scores_max_df(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    max_df_fraction: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """:func:`bm25_scores` under the hot-term guard WITH the census
+    column the truncation-never-silent rule requires:
+    ``(query_id, doc_id, score_e6, n_q_terms_dropped)`` — every result
+    row carries how many of ITS query's terms the guard dropped (0 =
+    the guard did not touch this query). One corpus pass: the
+    pre-guard per-term df table is pinned (bounded — ≤ |workload
+    terms| rows) and feeds both the filtered scoring join and the
+    dropped-term census, so the guard costs no second tokenize.
+    Queries whose EVERY matching term is dropped vanish from the
+    output entirely (no surviving contribution — the same implicit-
+    zero convention as unmatched queries)."""
+    qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
+    terms = qt.select("tok").distinct()
+
+    dtf = doc_term_freqs(docs, id_col, text_col)
+    hit = dtf.join(F.broadcast(terms), "tok", "left_semi")
+    # bounded (≤ |workload terms| rows) and consumed twice (guarded
+    # scoring + census) — pin it so the corpus tokenize runs once.
+    df_all = (
+        hit.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs, avgdl = _corpus_stats(docs, text_col)
+    thr = F.lit(float(max_df_fraction)) * F.lit(float(n_docs))
+    df_t = df_all.filter(F.col("df") <= thr)
+    census = (
+        qt.select("query_id")
+        .distinct()
+        .join(
+            qt.join(
+                F.broadcast(df_all.filter(F.col("df") > thr)),
+                "tok",
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.countDistinct("tok").alias("__nd")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("__nd", F.lit(0))
+            .cast("int")
+            .alias("n_q_terms_dropped"),
+        )
+    )
+    contrib = (
+        hit.join(F.broadcast(qt), "tok")
+        .join(F.broadcast(df_t), "tok")
+        .select(
+            "query_id",
+            "doc_id",
+            bm25_contrib_e6("tf", "df", "dl", n_docs, avgdl, k1, b).alias(
+                "contrib_e6"
+            ),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_e6").alias("score_e6")
+    )
+    return scores.join(F.broadcast(census), "query_id")
 
 
 def topk_ranked(
@@ -312,6 +400,7 @@ def bm25_probe_postings(
     n_buckets: int = 16,
     k1: float = K1,
     b: float = B,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """Score a query workload against the STORED postings index:
     ``(query_id, doc_id, score_e6)``.
@@ -331,7 +420,17 @@ def bm25_probe_postings(
     subtracted from the sidecar's N/Σdl, so scores equal a fresh index
     over the remaining corpus exactly. Physical removal happens at the
     next :func:`compact_postings_index` (the Lucene soft-delete +
-    merge-purge rhythm)."""
+    merge-purge rhythm).
+
+    ``max_df_fraction`` (the Lucene stopword/maxDocFreq idiom) drops
+    terms with ``df > fraction · N`` from scoring — the stored layout's
+    real 100 TB hazard is exactly these: ``tokens()`` keeps stopwords,
+    so the Zipf head's term buckets are both the hottest dirs at write
+    and a near-full hit set at probe whenever a query contains a
+    common term, all for a ~0 idf contribution. The registered census
+    (:func:`postings_skew_report` / ``text_postings_skew_report``)
+    keeps the cap observable; the per-query dropped-term count rides
+    :func:`bm25_scores_max_df` for the kernel path."""
     qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
     buckets = sorted(
         r["b"]
@@ -396,6 +495,11 @@ def bm25_probe_postings(
         F.broadcast(qt.select("tok").distinct()), "tok", "left_semi"
     )
     df_t = hit.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    if max_df_fraction is not None:
+        df_t = df_t.filter(
+            F.col("df")
+            <= F.lit(float(max_df_fraction)) * F.lit(float(n_docs))
+        )
     contrib = (
         hit.join(F.broadcast(qt), "tok")
         .join(F.broadcast(df_t), "tok")
@@ -1213,4 +1317,75 @@ def postings_stats_audit(spark: SparkSession, path: str) -> DataFrame:
         "effective_sum_dl long, actual_n_docs long, actual_sum_dl long, "
         "n_docs_without_postings long, "
         "n_postings_docs_without_membership long, consistent boolean",
+    )
+
+
+def postings_skew_report(
+    spark: SparkSession,
+    path: str,
+    top_n: int = 20,
+    max_df_fraction: float | None = None,
+) -> DataFrame:
+    """Term-skew census of a stored postings index — the hot-bucket
+    introspection the LSH family already has (dedup_lsh_skew_report),
+    for the layout whose real 100 TB hazard is the Zipf head:
+    ``tokens()`` keeps stopwords, and because every posting for a term
+    co-locates in ONE ``term_bucket``, the highest-df terms ARE the
+    hottest write dirs and the biggest probe hit sets. One pruned-free
+    scan, ``top_n`` rows out:
+
+    ``(tok, term_bucket, df, total_tf, df_fraction, dropped)`` — the
+    ``top_n`` LIVE terms by document frequency (tombstoned docs
+    excluded, like every probe), with the bucket the term's postings
+    live in, its total occurrence count, ``df / N`` (N from the stats
+    sidecar minus tombstones — never a pruned scan), and whether the
+    :func:`bm25_probe_postings` ``max_df_fraction`` guard at the given
+    fraction would drop it (False everywhere when unset). A term with
+    ``dropped = TRUE`` is exactly one the guard silently skips at
+    probe time — this census is what keeps that cap observable.
+
+    ``term_bucket`` is murmur3-derived (the layout's real hash) and so
+    has no cross-engine SQL twin — the registered oracle checks the
+    hash-free columns; per-bucket totals are pinned Spark-side in
+    tests (a bucket's heat is the Σ df of its terms, so the df census
+    IS the bucket census's driver)."""
+    from process_spark.operators.fsutil import fs_exists
+
+    data_dir = posixpath.join(path, "data")
+    stats_dir = posixpath.join(path, "_stats")
+    tomb_dir = posixpath.join(path, "_tombstones")
+
+    st = spark.read.parquet(stats_dir).agg(
+        F.sum("n_docs").cast("long").alias("n")
+    ).collect()[0]
+    n_docs = int(st["n"] or 0)
+    live = spark.read.parquet(data_dir)
+    if fs_exists(spark, tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        n_docs -= tomb.count()
+        live = live.join(tomb, "doc_id", "left_anti")
+
+    per_tok = live.groupBy("tok").agg(
+        F.min("term_bucket").cast("int").alias("term_bucket"),
+        F.count(F.lit(1)).alias("df"),  # (doc, tok) rows are unique
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    # distributed TakeOrdered (per-partition top-n, n-row driver merge)
+    # — NEVER an unpartitioned window over the corpus vocabulary
+    # (billions of distinct tokens at 100 TB through one task).
+    top = per_tok.orderBy(F.col("df").desc(), F.col("tok")).limit(top_n)
+    dropped = (
+        F.col("df") > F.lit(float(max_df_fraction)) * F.lit(float(n_docs))
+        if max_df_fraction is not None
+        else F.lit(False)
+    )
+    return top.select(
+        "tok",
+        "term_bucket",
+        F.col("df").cast("long").alias("df"),
+        "total_tf",
+        (F.col("df").cast("double") / F.lit(float(n_docs))).alias(
+            "df_fraction"
+        ),
+        dropped.alias("dropped"),
     )

@@ -72,7 +72,11 @@ def _workload_df(spark: SparkSession) -> DataFrame:
 
 
 def _o_bm25(
-    p: str, qt_sql: str, where: str = "TRUE", docs_src: str = "documents"
+    p: str,
+    qt_sql: str,
+    where: str = "TRUE",
+    docs_src: str = "documents",
+    max_df_frac: float | None = None,
 ) -> str:
     """CTE chain (prefix ``p``) replaying operators/retrieval.bm25_scores
     over ``{docs_src} WHERE {where}`` for query terms ``qt_sql``
@@ -81,7 +85,32 @@ def _o_bm25(
     bm25_contrib_e6 token for token — the scaled-int grid absorbs the
     one remaining libm-vs-JVM ``ln`` ULP. ``docs_src`` swaps the corpus
     relation (must expose doc_id, text — the update-lifecycle oracle
-    passes a UNION of surviving and re-ingested docs)."""
+    passes a UNION of surviving and re-ingested docs).
+
+    ``max_df_frac`` replays the hot-term guard (bm25_scores_max_df):
+    contributions of terms with ``df > frac · N`` are excluded, and an
+    extra ``{p}drop(query_id, n_q_terms_dropped)`` CTE carries the
+    per-query census (one IEEE multiply of identical operands on both
+    engines, so the drop set cannot diverge)."""
+    guard = (
+        f"WHERE f.df <= {max_df_frac!r} * s.n"
+        if max_df_frac is not None
+        else ""
+    )
+    drop_cte = (
+        f""",
+    {p}drop AS (
+      SELECT q.query_id,
+             CAST(COUNT(DISTINCT q.tok) AS INTEGER) AS n_q_terms_dropped
+      FROM {p}q q
+      JOIN {p}df f USING (tok)
+      CROSS JOIN {p}st s
+      WHERE f.df > {max_df_frac!r} * s.n
+      GROUP BY q.query_id
+    )"""
+        if max_df_frac is not None
+        else ""
+    )
     return f"""
     {p}q AS ({qt_sql}),
     {p}d AS (SELECT doc_id, {_O_TOKS} AS toks FROM {docs_src} WHERE {where}),
@@ -106,10 +135,11 @@ def _o_bm25(
       JOIN {p}q q USING (tok)
       JOIN {p}df f USING (tok)
       CROSS JOIN {p}st s
+      {guard}
     ),
     {p}score AS (SELECT query_id, doc_id,
                         CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
-                 FROM {p}contrib GROUP BY query_id, doc_id)
+                 FROM {p}contrib GROUP BY query_id, doc_id){drop_cte}
     """
 
 
@@ -1163,3 +1193,171 @@ def text_postings_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.refreshByPath(os.path.join(index, "data"))
     return postings_stats_audit(spark, index)
+
+
+#: Hot-term guard fraction for the registered demonstrations: sits
+#: inside the fixture corpus's Zipf head (31-token vocabulary, most
+#: terms in ~75-80% of docs) so the cap VISIBLY engages — workload
+#: terms above it drop, re-ranking the probed queries. Inlined
+#: identically into both engines (fixed-seed-constants policy).
+MAX_DF_FRACTION = 0.79
+
+
+@register(
+    "text_postings_skew_report",
+    # Exact-integer/exact-division replay from the base table: df =
+    # docs containing the term, total_tf = total occurrences, top-20 by
+    # (df DESC, tok) — the stored index's per-term census must equal
+    # the corpus-derived one (postings conserve both counts), and the
+    # dropped flag is one shared IEEE multiply + compare.
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(list_distinct({_O_TOKS})) AS tok
+                FROM documents),
+    occ AS (SELECT unnest({_O_TOKS}) AS tok FROM documents),
+    dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tk GROUP BY tok),
+    tfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS total_tf
+            FROM occ GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    top AS (SELECT tok, df,
+                   ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rn
+            FROM dfs)
+    SELECT t.tok, t.df, f.total_tf,
+           (CAST(t.df AS DOUBLE) / CAST(n.n AS DOUBLE)) AS df_fraction,
+           (t.df > {MAX_DF_FRACTION!r} * n.n) AS dropped
+    FROM top t JOIN tfs f USING (tok) CROSS JOIN n
+    WHERE t.rn <= 20
+    """,
+)
+def text_postings_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings layout's TERM-SKEW census (the LSH family's
+    dedup_lsh_skew_report, for this artifact): tokens() keeps
+    stopwords, so at 100 TB the Zipf head's terms are simultaneously
+    the hottest term_bucket write dirs and the biggest probe hit sets
+    — this report names them. Top-20 terms of the STORED index by
+    document frequency, with total occurrences, df/N from the stats
+    sidecar (never a pruned scan), and whether the max_df_fraction
+    guard at the registered fraction would drop them — the census that
+    keeps the guard's truncation loud. The per-bucket angle rides the
+    same rows (every posting for a term lives in ONE murmur3 bucket —
+    carried as ``term_bucket`` in the operator output, Spark-only
+    since murmur3 has no DuckDB twin; bucket totals are pinned in
+    tests/test_retrieval.py)."""
+    from process_spark.operators.retrieval import postings_skew_report
+
+    d = t(spark, sf_dir, "documents")
+    path = os.path.join(_scratch(), "postings_skew_index")
+    write_postings_index(d, path, mode="overwrite")
+    spark.catalog.refreshByPath(os.path.join(path, "data"))
+    return postings_skew_report(
+        spark, path, top_n=20, max_df_fraction=MAX_DF_FRACTION
+    ).select("tok", "df", "total_tf", "df_fraction", "dropped")
+
+
+@register(
+    "text_bm25_topk_maxdf",
+    oracle=f"""
+    WITH {_o_bm25("g", _O_WORKLOAD, max_df_frac=MAX_DF_FRACTION)},
+    ranked AS ({_O_TOPK.format(score="gscore", k=10)})
+    SELECT r.query_id, r.doc_id, r.score_e6,
+           CAST(COALESCE(c.n_q_terms_dropped, 0) AS INTEGER)
+             AS n_q_terms_dropped,
+           r.rank
+    FROM ranked r LEFT JOIN gdrop c USING (query_id)
+    """,
+)
+def text_bm25_topk_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bm25_topk under the HOT-TERM GUARD (Lucene's stopword /
+    maxDocFreq idiom): terms matching more than max_df_fraction of the
+    corpus are dropped from scoring — at 100 TB a query containing
+    "the" otherwise drags a near-full hit set through the aggregation
+    for a ~0 idf contribution. The guard is never silent: every result
+    row carries ``n_q_terms_dropped``, how many of its query's terms
+    the cap removed (bm25_scores_max_df pins the census to the SAME
+    pre-guard df table the filter reads, one corpus pass). Under the
+    fixture's Zipf head the cap visibly engages — the affected queries
+    re-rank relative to text_bm25_topk, hash-checked against the
+    guarded SQL replay."""
+    from process_spark.operators.retrieval import bm25_scores_max_df
+
+    d = t(spark, sf_dir, "documents")
+    scored = bm25_scores_max_df(
+        d, _workload_df(spark), max_df_fraction=MAX_DF_FRACTION
+    )
+    ranked = topk_ranked(scored, "score_e6", k=10)
+    return ranked.select(
+        "query_id", "doc_id", "score_e6", "n_q_terms_dropped", "rank"
+    )
+
+
+def _register_retrieval_e2e_fixedq() -> None:
+    cand_sql = f"""
+      SELECT query_id, doc_id,
+             (CAST(rrf_e9 AS DOUBLE) * {E2E_REL_SCALE!r}) AS rel
+      FROM (SELECT query_id, doc_id, rrf_e9,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_e9 DESC, doc_id) AS rn
+            FROM fused)
+      WHERE rn <= 10"""
+    oracle = f"""
+    WITH {_o_ivf_fixture_ctes(query_where=_QF_FIXED)},
+    {_o_bm25("b", _o_hybrid_qt(_QF_FIXED))},
+    lex AS ({_O_TOPK.format(score="bscore", k=10)}),
+    {_O_IVF_VEC_RANK},
+    {_O_RRF_FUSE},
+    {_o_mmr(5, cand_sql=cand_sql)}
+    SELECT query_id, doc_id, CAST(mmr_rank AS INT) AS mmr_rank, obj
+    FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+          UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+          UNION ALL SELECT * FROM sel5)
+    """
+
+    @register("retrieval_e2e_stored_fixedq", oracle=oracle)
+    def retrieval_e2e_stored_fixedq(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """retrieval_e2e_stored under the FIXED query workload (the
+        every-100th-id sample capped to the sf0.1 id domain) — the
+        production shape of the FULL stack: a constant-size query set
+        against a growing corpus, postings-pruned BM25 + cell-pruned
+        stored-IVF ANN → RRF → MMR. The x10/x100 scale probes key on
+        this row: the growing-workload e2e variant's ratio folds in a
+        10x query set (|Q|×|C| pair growth by construction), while
+        this one isolates the per-corpus cost a deployment actually
+        pays for the whole chain — the vec_hybrid_rrf_ann_fixedq
+        precedent, extended through fusion and diversification."""
+        from process_spark.operators.retrieval import mmr_rerank
+
+        d = t(spark, sf_dir, "documents")
+        e = t(spark, sf_dir, "embeddings")
+        ppath = os.path.join(_scratch(), "retrieval_e2e_fixedq_postings")
+        write_postings_index(d, ppath, mode="overwrite")
+        spark.catalog.refreshByPath(os.path.join(ppath, "data"))
+        lex = topk_ranked(
+            bm25_probe_postings(
+                spark, ppath, _hybrid_qt(d, e, qfilter=_QF_FIXED)
+            ),
+            "score_e6",
+            k=10,
+        ).select("query_id", "doc_id", "rank")
+
+        e2 = _fixture_e2(spark, sf_dir)
+        knn = _stored_ivf_knn(
+            spark, e2, "retrieval_e2e_fixedq_ivf", k=10, qfilter=_QF_FIXED
+        )
+        vec = knn.select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+        pool = topk_ranked(rrf_fuse([lex, vec]), "rrf_e9", k=10)
+        cands = pool.select(
+            "query_id",
+            "doc_id",
+            (F.col("rrf_e9").cast("double") * F.lit(E2E_REL_SCALE)).alias(
+                "rel"
+            ),
+        )
+        return mmr_rerank(_mmr_pairs(cands, _unit_of(e2)), k=5)
+
+
+_register_retrieval_e2e_fixedq()

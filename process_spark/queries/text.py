@@ -725,13 +725,18 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "component")
 
 
-def _minhash_md5_ctes(where: str = "doc_id % 2 = 0") -> str:
+def _minhash_md5_ctes(
+    where: str = "doc_id % 2 = 0", docs_src: str = "documents"
+) -> str:
     """Shared CTE chain of the md5 MinHash oracles: shingle →
     md5-derived 32-bit base hash → 64 universal-hash mins → 16 concat
     band keys, ending with the ``banded`` (doc_id, band_idx, band_key)
     relation. Same (a_i, b_i) constants as the engine (fixed-seed
     PRNG). ``where`` picks the document population (default: the even
-    half used by the pair/component oracles)."""
+    half used by the pair/component oracles); ``docs_src`` swaps the
+    corpus relation (must expose doc_id, text — the update-lifecycle
+    oracle passes a UNION of surviving and re-crawled docs, the
+    _o_bm25 precedent)."""
     from process_spark.operators.dedup import (
         _MINHASH_PRIME as P,
         _minhash_coefficients,
@@ -759,7 +764,7 @@ def _minhash_md5_ctes(where: str = "doc_id % 2 = 0") -> str:
     band_idxs = ", ".join(str(i) for i in range(16))
     return f"""sh AS (
       SELECT doc_id, unnest(list_distinct({_O_SHINGLES})) AS s
-      FROM documents WHERE {where}
+      FROM {docs_src} WHERE {where}
     ),
     hashed AS (
       SELECT doc_id, (({base}) % {P}) AS h
@@ -1182,6 +1187,143 @@ def dedup_band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+#: Band-index update fixture: every 10th doc (a subset of the indexed
+#: even half) is "re-crawled" with this suffix — its shingle set, and
+#: therefore some of its 64 minhashes and band keys, genuinely move.
+_BAND_UPD_FILTER = "doc_id % 10 = 0"
+_BAND_UPDATE_SUFFIX = " spark merge fast update"
+
+#: The updated corpus relation the oracle bands: survivors keep their
+#: text, re-crawled docs carry the new version (phase 1 never needs the
+#: OLD bands of updated docs — they are deleted).
+_O_BAND_UPDATED_CORPUS = f"""(
+    SELECT doc_id, text FROM documents WHERE NOT ({_BAND_UPD_FILTER})
+    UNION ALL
+    SELECT doc_id, text || '{_BAND_UPDATE_SUFFIX}' AS text
+    FROM documents WHERE {_BAND_UPD_FILTER}
+)"""
+
+
+@register(
+    "dedup_band_index_updated",
+    # Phase 1 = candidates against the index AFTER the tombstones land
+    # (hist minus the re-crawled docs); phase 2 = after purge +
+    # re-ingest of the updated bands (hist-survivors ∪ updated). The
+    # banded CTE runs over the UPDATED corpus — survivors original,
+    # re-crawled docs new text — so both phases read from one chain.
+    oracle=f"""
+    WITH {{ctes}},
+    hist AS (SELECT doc_id, band_idx, band_key FROM banded
+             WHERE doc_id % 2 = 0 AND NOT ({_BAND_UPD_FILTER})),
+    upd AS (SELECT doc_id, band_idx, band_key FROM banded
+            WHERE {_BAND_UPD_FILTER}),
+    probe AS (SELECT doc_id AS probe_id, band_idx, band_key FROM banded
+              WHERE doc_id % 2 = 1),
+    c1 AS (
+      SELECT p.probe_id, h.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+             CAST(1 AS INTEGER) AS phase
+      FROM probe p JOIN hist h
+        ON h.band_idx = p.band_idx AND h.band_key = p.band_key
+      GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT p.probe_id, h.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+             CAST(2 AS INTEGER) AS phase
+      FROM probe p JOIN (SELECT * FROM hist UNION ALL SELECT * FROM upd) h
+        ON h.band_idx = p.band_idx AND h.band_key = p.band_key
+      GROUP BY 1, 2
+    )
+    SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    """.format(
+        ctes=_minhash_md5_ctes(where="TRUE", docs_src=_O_BAND_UPDATED_CORPUS)
+    ),
+)
+def dedup_band_index_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63 — the stored MinHash band index's DELETE/UPDATE lifecycle
+    (the r11 verdict's task 1, band-family leg: deleting a document
+    updated the text index but its SIGNATURES kept matching — near-dup
+    dedup resurrected deleted content). The id-generic toolkit
+    (operators/indexlife.py) runs the whole rhythm on the
+    (band_idx, band_bucket) layout: write the even half's bands under
+    the lifecycle layout, tombstone every 10th doc (probes exclude
+    them immediately via live_index_rows — phase 1 candidates must
+    equal the band equi-join against the surviving history),
+    compact_stored_index purges every band row and membership trace
+    and frees the ids, and the re-crawled docs' NEW bands (suffix-
+    shifted shingles → genuinely moved minhashes) re-ingest through
+    the append-only-validated path. Phase 2 must equal the equi-join
+    against survivors ∪ updated bands — the delete/update machinery is
+    storage detail, hash-checked end to end under the md5 chain."""
+    import os as _os
+    import shutil as _shutil
+
+    from process_spark.operators.dedup import minhash_band_index
+    from process_spark.operators.indexlife import (
+        compact_stored_index,
+        live_index_rows,
+        tombstone_index_ids,
+        write_stored_index,
+    )
+    from process_spark.queries.io_udf import _SCRATCH
+
+    kw = dict(
+        num_hashes=64, bands=16, base_hash="md5", band_key="concat",
+        n_buckets=16,
+    )
+    d = t(spark, sf_dir, "documents")
+    path = _os.path.join(_SCRATCH, "minhash_band_index_updated")
+    _shutil.rmtree(path, ignore_errors=True)
+
+    write_stored_index(
+        minhash_band_index(
+            d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", **kw
+        ),
+        path, ["band_idx", "band_bucket"], "doc_id", mode="overwrite",
+        n_write_tasks=64,
+    )
+    tombstone_index_ids(
+        spark, path, d.filter(F.expr(_BAND_UPD_FILTER)).select("doc_id")
+    )
+
+    probe = minhash_band_index(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", **kw
+    ).withColumnRenamed("doc_id", "probe_id").localCheckpoint(
+        eager=False
+    )  # bands once: bucket collect + both phase joins
+    buckets = sorted(  # bounded: bucket domain ≤ n_buckets=16
+        r["band_bucket"]
+        for r in probe.select("band_bucket").distinct().collect()
+    )
+
+    def candidates(phase: int) -> DataFrame:
+        pruned = live_index_rows(spark, path).filter(
+            F.col("band_bucket").isin(buckets)
+        )
+        return (
+            pruned.join(probe, ["band_idx", "band_bucket", "band_hash"])
+            .groupBy("probe_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .withColumn("phase", F.lit(phase))
+        )
+
+    # materialize phase 1 BEFORE the purge mutates the index
+    c1 = candidates(1).localCheckpoint(eager=True)
+
+    compact_stored_index(spark, path, n_write_tasks=64)
+    updated = d.filter(F.expr(_BAND_UPD_FILTER)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_BAND_UPDATE_SUFFIX)).alias("text"),
+    )
+    write_stored_index(
+        minhash_band_index(updated, "doc_id", "text", **kw),
+        path, ["band_idx", "band_bucket"], "doc_id", mode="append",
+        n_write_tasks=64,
+    )
+    return c1.unionByName(candidates(2))
 
 
 @register(

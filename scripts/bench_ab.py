@@ -13,7 +13,7 @@ with the host; a ratio well above 1.0 in the SAME window is a real,
 code-attributable regression.
 
 Usage: python scripts/bench_ab.py [anchor_commit] [round_tag]
-       (defaults: 6b2213c — the r10-grade snapshot — and r11)
+       (defaults: 5bf7bf2 — the r11-grade snapshot — and r12)
 """
 
 from __future__ import annotations
@@ -44,8 +44,8 @@ def run_bench(tree: str) -> dict:
 
 
 def main() -> None:
-    anchor = sys.argv[1] if len(sys.argv) > 1 else "6b2213c"
-    tag = sys.argv[2] if len(sys.argv) > 2 else "r11"
+    anchor = sys.argv[1] if len(sys.argv) > 1 else "5bf7bf2"
+    tag = sys.argv[2] if len(sys.argv) > 2 else "r12"
     wt = os.path.join(REPO, ".scratch", f"anchor_{anchor}")
     if not os.path.isdir(wt):
         subprocess.run(

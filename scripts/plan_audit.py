@@ -56,6 +56,15 @@ NOTES = {
         "Per-run cost includes the index BUILD+WRITE (self-contained "
         "query) - a deployment amortizes that across probes."
     ),
+    "retrieval_e2e_stored_fixedq": (
+        "The full stack's production shape: a FIXED 50-query workload "
+        "through postings-probe BM25 (bucket PartitionFilters), "
+        "stored-IVF ANN (cell PartitionFilters), integer RRF fuse, and "
+        "applyInPandas MMR over fused top-10 pools. Both index builds "
+        "are per-run costs a deployment amortizes; the probes and the "
+        "pool stage are all bounded by the constant workload, so only "
+        "the builds and the pruned reads track corpus size."
+    ),
     "retrieval_e2e_stored": (
         "The whole retrieval stack over STORED state in one plan: "
         "postings-index write (one corpus tokenize, term_bucket dirs), "

@@ -157,6 +157,11 @@ PIPELINE_PROBE = [
     "vec_hybrid_rrf_ann_fixedq",
     "stream_bm25_index_updated",
     "text_postings_stats_audit",
+    "vec_ivf_stored_updated",
+    "dedup_band_index_updated",
+    "text_postings_skew_report",
+    "text_bm25_topk_maxdf",
+    "retrieval_e2e_stored_fixedq",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —
@@ -181,6 +186,9 @@ X100_PROBE = [
     "text_bm25_topk",
     "pipeline_domain_cap",
     "vec_hybrid_rrf_ann_fixedq",
+    "retrieval_e2e_stored_fixedq",
+    "text_bm25_topk_maxdf",
+    "text_postings_skew_report",
 ]
 
 #: Queries whose output grows quadratically with duplicated content by
@@ -249,7 +257,8 @@ QUADRATIC_BY_DESIGN = {
     "retrieval_e2e_stored": "both channels' query sets grow 10x with "
     "the corpus (query-by-example on every 100th id) - the postings "
     "probe's hit set AND the IVF channel's pair count fold in the "
-    "10x workload; the fixedq hybrid row is the corpus-only shape",
+    "10x workload; retrieval_e2e_stored_fixedq (constant 50-query "
+    "workload) is the corpus-only full-stack row",
     "dedup_connected_components": "replicated docs are true near-dups; "
     "the edge set (exact Jaccard pairs within blocks) grows "
     "~quadratically per duplicated doc before components form",

@@ -37,6 +37,7 @@ GLOBAL_WINDOW_OK = {
     "vec_hybrid_rrf_ann",     # same ivf_build seed window (n_cells rows)
     "vec_mmr_rerank_ivf",     # same ivf_build seed window (n_cells rows)
     "retrieval_e2e_stored",   # same ivf_build seed window (n_cells rows)
+    "retrieval_e2e_stored_fixedq",  # same ivf_build seed window
     "vec_hybrid_rrf_ann_fixedq",  # same ivf_build seed window (n_cells rows)
 }
 
@@ -90,6 +91,7 @@ CROSS_OK = {
     "vec_hybrid_rrf_ann",       # stored-IVF cell/probe broadcasts (k rows)
     "vec_mmr_rerank_ivf",       # same + pool² pairs join (≤100 rows/query)
     "retrieval_e2e_stored",     # stored-IVF cell/probe broadcasts (k rows)
+    "retrieval_e2e_stored_fixedq",  # same, fixed 50-query workload
                                 # + pool² pairs join (≤100 rows/query)
     "vec_hybrid_rrf_ann_fixedq",  # stored-IVF cell/probe broadcasts (k rows)
 }
@@ -211,6 +213,14 @@ BROADCAST_HINT_OK = {
     "retrieval_e2e_stored": (
         "bounded lexical workload/df broadcasts (stored-postings probe) "
         "+ stored-IVF cell/probe tables (k rows)"
+    ),
+    "retrieval_e2e_stored_fixedq": (
+        "same bounded broadcasts as retrieval_e2e_stored, fixed "
+        "50-query workload"
+    ),
+    "text_bm25_topk_maxdf": (
+        "same bounded workload/df broadcasts as text_bm25_topk + the "
+        "per-query dropped-term census (≤ |workload| rows)"
     ),
     "vec_hybrid_rrf_ann_fixedq": (
         "same bounded broadcasts as vec_hybrid_rrf_ann, fixed 50-query "
@@ -403,7 +413,7 @@ BROADCAST_SITES = {
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "operators/retrieval.py": (
-        10,
+        15,
         "BM25's query-term table (a query workload, small by "
         "contract), the per-query-term df table (≤ |workload terms| "
         "rows), 3 sites each in bm25_scores and bm25_probe_postings; "
@@ -412,7 +422,10 @@ BROADCAST_SITES = {
         "semi-joined twice — _docs membership + postings lookup — its "
         "≤|batch| sealed subset on the append anti-join, and the "
         "≤|batch| already-sealed membership subset on the _docs "
-        "anti-join — the same bounds as the other three sinks)",
+        "anti-join — the same bounds as the other three sinks); +5 in "
+        "bm25_scores_max_df (the same workload/df-table bounds plus "
+        "the pre-guard df table, its dropped subset, and the ≤|queries|"
+        "-row census — all capped by the query workload)",
     ),
     "queries/retrieval.py": (
         1,

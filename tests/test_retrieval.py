@@ -850,3 +850,109 @@ def test_audit_cross_component_divergence_columns(spark, tmp_path):
     row = postings_stats_audit(spark, path).collect()[0]
     assert not row["consistent"]
     assert row["n_postings_docs_without_membership"] == 1
+
+
+def test_max_df_guard_engages_on_stopword_corpus(spark):
+    """Hostile Zipf-head corpus: a term in EVERY doc. The guard at 0.5
+    must (a) drop it — guarded scores equal the unguarded kernel run
+    with that term removed from the workload; (b) stay loud — every
+    row of the affected query carries n_q_terms_dropped = 1; (c) a
+    query whose EVERY matching term is dropped vanishes (implicit-zero
+    convention)."""
+    from process_spark.operators.retrieval import bm25_scores_max_df
+
+    d = _docs(
+        spark,
+        [
+            (1, "the apple pie"),
+            (2, "the banana split"),
+            (3, "the cherry cake"),
+            (4, "the apple tart"),
+        ],
+    )
+    qt = _qt(spark, [(0, "the"), (0, "apple"), (1, "the")])
+    out = bm25_scores_max_df(d, qt, max_df_fraction=0.5).collect()
+    got = {(r["query_id"], r["doc_id"]): r["score_e6"] for r in out}
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(d, _qt(spark, [(0, "apple")])).collect()
+    }
+    assert got == want  # 'the' contributes nothing; query 1 vanished
+    assert {r["query_id"] for r in out} == {0}
+    assert all(r["n_q_terms_dropped"] == 1 for r in out)
+
+    # stored-probe twin: same guard semantics over the pruned read
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        path = td + "/pidx"
+        write_postings_index(d, path, mode="overwrite")
+        probe = {
+            (r["query_id"], r["doc_id"]): r["score_e6"]
+            for r in bm25_probe_postings(
+                spark, path, qt, max_df_fraction=0.5
+            ).collect()
+        }
+        assert probe == want
+
+
+def test_skew_report_bucket_census(spark, tmp_path):
+    """postings_skew_report's Spark-only bucket column: each term's
+    postings live in exactly ONE term_bucket (the co-location
+    invariant), the reported df/total_tf equal exact recounts, and the
+    dropped flag keys on df > fraction·N."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.operators.retrieval import postings_skew_report
+
+    path = str(tmp_path / "pidx")
+    d = _docs(
+        spark,
+        [
+            (1, "the apple pie"),
+            (2, "the banana split"),
+            (3, "the cherry cake"),
+            (4, "the apple tart"),
+        ],
+    )
+    write_postings_index(d, path, mode="overwrite")
+    rows = {
+        r["tok"]: r
+        for r in postings_skew_report(
+            spark, path, top_n=10, max_df_fraction=0.5
+        ).collect()
+    }
+    assert rows["the"]["df"] == 4 and rows["the"]["dropped"]
+    assert rows["the"]["total_tf"] == 4
+    assert rows["apple"]["df"] == 2 and not rows["apple"]["dropped"]
+    assert rows["the"]["df_fraction"] == 1.0
+    # co-location: the reported bucket is the ONLY bucket holding the
+    # term's postings
+    data = spark.read.parquet(path + "/data")
+    for tok, r in rows.items():
+        bks = {
+            x["term_bucket"]
+            for x in data.filter(FF.col("tok") == tok)
+            .select("term_bucket")
+            .distinct()
+            .collect()
+        }
+        assert bks == {r["term_bucket"]}, (tok, bks)
+    # tombstones: census reflects the LIVE index
+    from process_spark.operators.retrieval import tombstone_postings_docs
+
+    # batch writer has no _docs; re-bootstrap under the streaming layout
+    from process_spark.queries.retrieval import _bootstrap_postings
+
+    path2 = str(tmp_path / "pidx2")
+    _bootstrap_postings(spark, path2, d)
+    tombstone_postings_docs(
+        spark, path2, spark.createDataFrame([(4,)], "doc_id long")
+    )
+    rows2 = {
+        r["tok"]: r
+        for r in postings_skew_report(spark, path2, top_n=10).collect()
+    }
+    assert rows2["the"]["df"] == 3
+    assert rows2["apple"]["df"] == 1
+    assert abs(rows2["the"]["df_fraction"] - 1.0) < 1e-12
