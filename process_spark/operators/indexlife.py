@@ -114,7 +114,21 @@ def write_stored_index(
     any batch id already in ``_ids`` — live OR tombstoned-but-unpurged
     — raises with the update recipe. Detection is exact and content-
     independent (the id-keyed sidecar sees a changed-content re-ingest
-    whose index rows share no partition with the stored copy)."""
+    whose index rows share no partition with the stored copy).
+
+    Crash ordering: ``_ids`` is written BEFORE ``data`` on purpose. A
+    crash between the two writes leaves the batch's ids REGISTERED but
+    its index rows absent, so re-running the append RAISES the
+    already-ingested error above — fail loud, then repair
+    (:func:`tombstone_index_ids` the batch's ids →
+    :func:`compact_stored_index` purges them from ``_ids`` →
+    re-ingest) and the index is exact again. The opposite order would
+    leave the rows in ``data`` invisible to the ``_ids``-based
+    validation, so the re-run would APPEND THE SAME ROWS AGAIN —
+    silent duplicates (inflated band-collision counts, duplicate ANN
+    candidates) that nothing downstream detects. The half-ingested
+    state is visible to :func:`stored_index_audit` as
+    ``n_ids_without_data > 0``."""
     data_dir = posixpath.join(path, "data")
     ids_dir = posixpath.join(path, "_ids")
     meta_dir = posixpath.join(path, "_meta")
@@ -153,18 +167,21 @@ def write_stored_index(
         fs, HPath = fs_path(spark, path)
         fs.delete(HPath(posixpath.join(path, "_tombstones")), True)
     rows = rows.localCheckpoint(eager=False)  # two consumers below
-    (
-        rows.repartition(n_write_tasks, *[F.col(c) for c in part_cols])
-        .write.mode(mode)
-        .partitionBy(*part_cols)
-        .parquet(data_dir)
-    )
+    # _ids FIRST (see the crash-ordering contract in the docstring):
+    # a crash between the writes must make the re-run fail loud, not
+    # silently duplicate the batch's data rows.
     (
         _ids_membership(rows, id_col, n_id_buckets)
         .repartition(1)
         .write.mode(mode)
         .partitionBy("id_bucket")
         .parquet(ids_dir)
+    )
+    (
+        rows.repartition(n_write_tasks, *[F.col(c) for c in part_cols])
+        .write.mode(mode)
+        .partitionBy(*part_cols)
+        .parquet(data_dir)
     )
     if mode != "append":
         spark.createDataFrame(
@@ -312,3 +329,127 @@ def compact_stored_index(
     spark.catalog.refreshByPath(data_dir)
     spark.catalog.refreshByPath(ids_dir)
     return out
+
+
+def stored_index_audit(spark: SparkSession, path: str) -> DataFrame:
+    """Cross-component INTEGRITY MONITOR for a stored-index layout
+    (the postings family's ``postings_stats_audit``, for the generic
+    lifecycle): reconcile the ``_ids`` identity sidecar, the ``data``
+    rows, and the ``_tombstones`` against each other — one row of
+    exact integers with a ``consistent`` verdict. Every divergence
+    class this catches maps to a named crash window:
+
+    - ``n_ids_without_data > 0`` — an append crashed between the
+      ``_ids`` write and the ``data`` write (the fail-loud half of
+      :func:`write_stored_index`'s crash-ordering contract); repair =
+      tombstone the orphaned ids → :func:`compact_stored_index` →
+      re-ingest.
+    - ``n_data_ids_without_ids > 0`` — rows reached ``data`` around
+      the sidecar (a raw write, or an index written before the
+      _ids-first ordering existed): these ids are INVISIBLE to the
+      append-only validation, so a re-ingest would silently duplicate
+      them; repair = rebuild with ``mode="overwrite"``.
+    - ``n_dup_id_rows > 0`` — the same id registered twice in
+      ``_ids`` (double-append around the validation); repair =
+      rebuild.
+    - ``n_tombstones_without_ids > 0`` — a compaction crashed between
+      the ``_ids`` purge and the tombstone drop (the documented
+      re-run-converges window); repair = re-run
+      :func:`compact_stored_index`.
+
+    All reconciliation is distributed (distinct + one full-outer join
+    on the id column, aggregated to counts — no driver-side id sets),
+    so the audit holds at any index size. ``consistent`` is TRUE iff
+    all four divergence counts are zero."""
+    meta = index_meta(spark, path)
+    id_col = meta["id_col"]
+    ids_rows = spark.read.parquet(posixpath.join(path, "_ids")).select(
+        id_col
+    )
+    data_ids = (
+        spark.read.parquet(posixpath.join(path, "data"))
+        .select(id_col)
+        .distinct()
+    )
+    id_counts = ids_rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_id_rows"),
+        F.countDistinct(id_col).cast("long").alias("n_ids"),
+    )
+    recon = (
+        ids_rows.distinct()
+        .withColumn("_in_ids", F.lit(1))
+        .join(data_ids.withColumn("_in_data", F.lit(1)), id_col, "full_outer")
+        .agg(
+            F.coalesce(F.sum("_in_data"), F.lit(0))
+            .cast("long")
+            .alias("n_data_ids"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_in_data").isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_ids_without_data"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_in_ids").isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_data_ids_without_ids"),
+        )
+    )
+    tomb_dir = posixpath.join(path, "_tombstones")
+    if fs_exists(spark, tomb_dir):
+        tomb_ids = (
+            spark.read.parquet(tomb_dir).select(id_col).distinct()
+        )
+        tomb = (
+            tomb_ids.join(
+                ids_rows.distinct().withColumn("_in_ids", F.lit(1)),
+                id_col,
+                "left_outer",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tombstoned"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_in_ids").isNull(), F.lit(1))
+                        .otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_tombstones_without_ids"),
+            )
+        )
+    else:
+        tomb = spark.createDataFrame(
+            [(0, 0)],
+            "n_tombstoned long, n_tombstones_without_ids long",
+        )
+    return (
+        id_counts.crossJoin(recon)
+        .crossJoin(tomb)
+        .select(
+            "n_ids",
+            (F.col("n_id_rows") - F.col("n_ids")).alias("n_dup_id_rows"),
+            "n_data_ids",
+            "n_ids_without_data",
+            "n_data_ids_without_ids",
+            "n_tombstoned",
+            "n_tombstones_without_ids",
+            (
+                (F.col("n_ids_without_data") == 0)
+                & (F.col("n_data_ids_without_ids") == 0)
+                & (F.col("n_id_rows") == F.col("n_ids"))
+                & (F.col("n_tombstones_without_ids") == 0)
+            ).alias("consistent"),
+        )
+    )

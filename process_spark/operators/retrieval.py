@@ -312,11 +312,38 @@ def write_postings_index(
     sidecar permanently stale if a crash landed between the postings
     append and the stats overwrite, silently skewing idf/avgdl on
     every later probe. With delta rows the same crash window leaves a
-    MISSING delta (the appended postings uncounted until the append is
-    re-run against a cleaned data dir) — a recoverable gap, not a
-    corrupted accumulator. ``n_buckets`` is persisted with every row
-    so a probe (or append) under a different bucket count fails loudly
-    instead of pruning to the wrong partitions.
+    MISSING delta — a recoverable gap, not a corrupted accumulator.
+    ``n_buckets`` is persisted with every row so a probe (or append)
+    under a different bucket count fails loudly instead of pruning to
+    the wrong partitions.
+
+    Both modes also maintain the ``_docs`` membership sidecar
+    (``(doc_bucket, batch_id)`` partitions, rows
+    ``(doc_id, dl, src_batch)`` — the streaming sink's layout), which
+    arms the batch lifecycle with the same APPEND-ONLY identity
+    contract the sink enforces: an append re-ingesting a doc_id the
+    index already holds RAISES with the update recipe
+    (:func:`tombstone_postings_docs` → :func:`compact_postings_index`
+    → re-ingest), detected exactly and content-independently from the
+    id-bucketed sidecar. Without it a re-ingested doc double-counted
+    df in any raw census and duplicated its postings silently. On a
+    legacy index with no ``_docs`` (built before this writer
+    maintained it) the check degrades to best-effort against the live
+    postings in the batch's term buckets — which can miss a
+    changed-content re-ingest — and the membership write is SKIPPED
+    (a sidecar holding only the new batch's ids would be worse than
+    none: every consistency check would scream about the old docs);
+    rebuild with ``mode="overwrite"`` to arm exact validation.
+
+    Crash ordering (the indexlife.write_stored_index contract):
+    ``_docs`` lands BEFORE the postings and the stats delta, so a
+    crash mid-append leaves the batch's ids REGISTERED but its rows
+    absent/uncounted — the re-run RAISES the already-ingested error
+    (fail loud), and the repair is the update recipe above (the
+    compactor purges the orphaned membership and recomputes the
+    sealed stats from the surviving bytes, so the index is exact
+    again). The opposite order would let the re-run silently append
+    the same postings twice.
 
     Stats deltas land under ``batch_id=`` partition dirs — the SAME
     layout the streaming sink uses, with SYNTHETIC monotone batch ids
@@ -330,9 +357,11 @@ def write_postings_index(
     stale lifecycle sidecars from a previous (streaming) life at this
     path are deleted first: leftover ``_tombstones`` would silently
     anti-join live doc_ids out of probes and subtract their
-    (count, dl) from N/avgdl; a leftover ``_docs`` membership would
-    hold foreign identities that block legitimate future ingests."""
+    (count, dl) from N/avgdl; ``_docs`` is rewritten fresh for the new
+    corpus (a stale membership would hold foreign identities that
+    block legitimate future ingests)."""
     from process_spark.operators.fsutil import (
+        fs_exists,
         fs_path,
         live_batch_ids,
         read_watermark,
@@ -342,6 +371,29 @@ def write_postings_index(
     data_path = posixpath.join(path, "data")
     spark = docs.sparkSession
     if mode == "append":
+        # Legacy-layout guard (the compactor's check, applied BEFORE
+        # the append can do damage): an index built before the stats
+        # sidecar was batch_id-partitioned holds bare parquet files at
+        # the _stats root. Appending a batch_id=N partition dir
+        # alongside them would make every subsequent read of _stats
+        # fail partition discovery (conflicting directory structures)
+        # — breaking probes, audits, and the sink's n_buckets
+        # validation. Fail loud with the rebuild instruction instead.
+        fs0, HPath0 = fs_path(spark, stats_path)
+        if fs0.exists(HPath0(stats_path)) and not any(
+            st.getPath().getName().startswith("batch_id=")
+            for st in fs0.listStatus(HPath0(stats_path))
+            if st.isDirectory()
+        ):
+            raise ValueError(
+                f"postings index at {path} carries a legacy "
+                "unpartitioned _stats layout (bare parquet files at "
+                "the _stats root) — appending a batch_id= partition "
+                "alongside them would corrupt partition discovery for "
+                "every later reader. Rebuild the index with "
+                "write_postings_index(mode='overwrite'), which writes "
+                "the batch_id-partitioned layout"
+            )
         stored_nb = [
             int(r["n_buckets"])
             for r in spark.read.parquet(stats_path)
@@ -374,6 +426,72 @@ def write_postings_index(
     pidx = postings_index(docs, id_col, text_col, n_buckets).localCheckpoint(
         eager=False
     )
+    docs_path = posixpath.join(path, "_docs")
+    bids = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)  # validation + membership below
+    )
+    have_docs_sidecar = fs_exists(spark, docs_path)
+    if mode == "append":
+        # Append-only identity validation (see the docstring). No
+        # broadcast hint on the batch side: unlike the sink's bounded
+        # micro-batches, a batch append can be corpus-scale — the
+        # bucket IN-set still prunes the sidecar read (≤ n_buckets
+        # ints regardless of batch size) and AQE sizes the join.
+        if have_docs_sidecar:
+            bucket_set = sorted(
+                r["b"]
+                for r in bids.select(
+                    F.pmod(F.hash("doc_id"), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            held = (
+                spark.read.parquet(docs_path)
+                .filter(F.col("doc_bucket").isin(bucket_set))
+                .join(bids, "doc_id", "left_semi")
+            )
+        else:
+            # best-effort from the live postings (legacy index with no
+            # sidecar): misses a changed-content re-ingest whose new
+            # tokens share no bucket with the stored copy
+            tb_set = sorted(
+                r["term_bucket"]
+                for r in pidx.select("term_bucket").distinct().collect()
+            )
+            held = (
+                spark.read.parquet(data_path)
+                .filter(F.col("term_bucket").isin(tb_set))
+                .join(bids, "doc_id", "left_semi")
+            )
+        foreign = [
+            r["doc_id"] for r in held.select("doc_id").limit(5).collect()
+        ]
+        if foreign:
+            raise ValueError(
+                f"postings index at {path}: append re-ingests doc_ids "
+                f"already in the index (sample: {foreign}) — doc_ids "
+                "are append-only. To UPDATE a doc: "
+                "tombstone_postings_docs it, run compact_postings_index "
+                "(purges every trace), then re-ingest the new version"
+            )
+    if mode != "append" or have_docs_sidecar:
+        # _docs FIRST (crash-ordering contract in the docstring): a
+        # half-appended batch must fail loud on the re-run, never
+        # silently duplicate its postings.
+        (
+            postings_membership(bids, pidx, n_buckets=n_buckets)
+            .withColumn("src_batch", F.lit(batch_no))
+            .withColumn("batch_id", F.lit(batch_no))
+            .repartition(n_buckets, F.col("doc_bucket"))
+            .write.mode(mode)
+            .partitionBy("doc_bucket", "batch_id")
+            .parquet(docs_path)
+        )
     (
         pidx.repartition(64, F.col("term_bucket"))
         .write.mode(mode)
@@ -1365,9 +1483,22 @@ def postings_skew_report(
         n_docs -= tomb.count()
         live = live.join(tomb, "doc_id", "left_anti")
 
-    per_tok = live.groupBy("tok").agg(
+    # Dedupe to one row per (tok, doc_id) BEFORE aggregating: only the
+    # streaming sink and the _docs-validated batch append enforce
+    # append-only doc_ids — postings appended around the validation
+    # (legacy indexes, raw data-dir writes) can hold duplicate
+    # (doc_id, tok) rows, which would double-count df/total_tf here
+    # while the probe itself stays immune (it countDistincts). The
+    # duplicates are byte-identical copies of one ingest, so max(tf)
+    # reads the one true value; the extra pre-aggregation shuffles on
+    # the same (tok)-dominated key and keeps map-side partial agg.
+    per_doc = live.groupBy("tok", "doc_id").agg(
         F.min("term_bucket").cast("int").alias("term_bucket"),
-        F.count(F.lit(1)).alias("df"),  # (doc, tok) rows are unique
+        F.max("tf").alias("tf"),
+    )
+    per_tok = per_doc.groupBy("tok").agg(
+        F.min("term_bucket").cast("int").alias("term_bucket"),
+        F.count(F.lit(1)).alias("df"),  # one row per (tok, doc) now
         F.sum("tf").cast("long").alias("total_tf"),
     )
     # distributed TakeOrdered (per-partition top-n, n-row driver merge)

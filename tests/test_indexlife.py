@@ -209,3 +209,67 @@ def test_band_index_layout_generality(spark, tmp_path):
         (r["doc_id"], r["band_bucket"])
         for r in live_index_rows(spark, path).collect()
     } == {(20, 3), (20, 9), (10, 7)}
+
+
+def test_append_crash_between_ids_and_data_fails_loud(
+    spark, tmp_path, monkeypatch
+):
+    """The append crash-window contract: _ids lands BEFORE data, so a
+    crash between the two writes makes the re-run RAISE the
+    already-ingested error (loud, repairable) instead of silently
+    appending the same data rows twice. Injected by failing the
+    data-dir write only — if the writer ever flipped the order back,
+    the injected crash would leave the batch IN data/ and absent from
+    _ids/, and the duplicate-append assertion below would catch it."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1), (2, 1, 0.2)]),
+        path, ["cell_id"], "vec_id", mode="overwrite",
+    )
+
+    orig = DataFrameWriter.parquet
+    state = {"crash": True}
+
+    def crashing(self, p, *a, **kw):
+        if state["crash"] and p.rstrip("/").endswith("/data"):
+            raise RuntimeError("injected crash before the data write")
+        return orig(self, p, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        write_stored_index(
+            _rows(spark, [(3, 0, 0.3)]), path, ["cell_id"], "vec_id",
+            mode="append",
+        )
+    state["crash"] = False
+    spark.catalog.refreshByPath(path + "/_ids")
+    spark.catalog.refreshByPath(path + "/data")
+
+    # the half-ingested state: id registered, rows absent
+    assert {
+        r["vec_id"] for r in spark.read.parquet(path + "/_ids").collect()
+    } == {1, 2, 3}
+    assert {
+        r["vec_id"] for r in spark.read.parquet(path + "/data").collect()
+    } == {1, 2}
+
+    # the re-run fails LOUD — this is the assertion that dies if the
+    # write order regresses to data-before-_ids (silent duplicates)
+    with pytest.raises(ValueError, match="append-only"):
+        write_stored_index(
+            _rows(spark, [(3, 0, 0.3)]), path, ["cell_id"], "vec_id",
+            mode="append",
+        )
+
+    # the documented repair converges: tombstone the orphaned id,
+    # compact (purges it from _ids; data has nothing to purge),
+    # re-ingest — the index is exact again
+    tombstone_index_ids(spark, path, _ids(spark, [3]))
+    compact_stored_index(spark, path)
+    write_stored_index(
+        _rows(spark, [(3, 0, 0.3)]), path, ["cell_id"], "vec_id",
+        mode="append",
+    )
+    assert _live_set(spark, path) == {(1, 0), (2, 1), (3, 0)}

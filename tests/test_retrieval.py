@@ -569,7 +569,8 @@ def test_overwrite_rebuild_clears_stale_sidecars(spark, tmp_path):
     held a STREAMING index with tombstones must start from a clean
     sidecar set: stale _tombstones would silently anti-join live docs
     out of probes and subtract stale (count, dl) from N/avgdl; a stale
-    _docs would block legitimate future ingests. Same contract for
+    _docs would block legitimate future ingests — the rebuild writes a
+    FRESH membership for the new corpus. Same contract for
     _bootstrap_postings."""
     from process_spark.operators.fsutil import fs_exists
     from process_spark.operators.retrieval import (
@@ -592,7 +593,12 @@ def test_overwrite_rebuild_clears_stale_sidecars(spark, tmp_path):
     write_postings_index(fresh, path, mode="overwrite")
     spark.catalog.refreshByPath(path + "/data")
     assert not fs_exists(spark, path + "/_tombstones")
-    assert not fs_exists(spark, path + "/_docs")
+    # the rebuild writes a FRESH membership sidecar: exactly the new
+    # corpus ids, none of the previous life's
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(path + "/_docs").collect()
+    } == {1, 4}
     qt = _qt(spark, [(0, "apple"), (0, "fig")])
     got = {
         (r["query_id"], r["doc_id"]): r["score_e6"]
@@ -956,3 +962,275 @@ def test_skew_report_bucket_census(spark, tmp_path):
     assert rows2["the"]["df"] == 3
     assert rows2["apple"]["df"] == 1
     assert abs(rows2["the"]["df_fraction"] - 1.0) < 1e-12
+
+
+def test_append_refuses_legacy_stats_layout(spark, tmp_path):
+    """write_postings_index(mode="append") onto a legacy unpartitioned
+    _stats layout must fail loud BEFORE writing anything: appending a
+    batch_id=N partition dir alongside root-level parquet files makes
+    every later _stats read fail partition discovery (conflicting
+    directory structures) — probes, audits, and the sink's n_buckets
+    validation all break. Same guard the compactor applies."""
+    import shutil
+
+    path = str(tmp_path / "pidx")
+    write_postings_index(
+        _docs(spark, [(1, "apple banana"), (2, "cherry")]),
+        path, mode="overwrite",
+    )
+    legacy = spark.read.parquet(path + "/_stats").drop("batch_id")
+    legacy.coalesce(1).write.mode("overwrite").parquet(path + "/_legacy")
+    shutil.rmtree(path + "/_stats")
+    shutil.move(path + "/_legacy", path + "/_stats")
+
+    files_before = sorted(
+        p.name for p in (tmp_path / "pidx").rglob("*.parquet")
+    )
+    with pytest.raises(ValueError, match="legacy unpartitioned"):
+        write_postings_index(
+            _docs(spark, [(3, "durian fig")]), path, mode="append"
+        )
+    files_after = sorted(
+        p.name for p in (tmp_path / "pidx").rglob("*.parquet")
+    )
+    assert files_after == files_before  # nothing written
+
+    # the rebuild instruction works: overwrite restores the
+    # partitioned layout and appends flow again
+    write_postings_index(
+        _docs(spark, [(1, "apple banana"), (2, "cherry")]),
+        path, mode="overwrite",
+    )
+    write_postings_index(
+        _docs(spark, [(3, "durian fig")]), path, mode="append"
+    )
+    spark.catalog.refreshByPath(path + "/_stats")
+    n = spark.read.parquet(path + "/_stats").count()
+    assert n == 2  # overwrite delta + append delta, both batch_id rows
+
+
+def test_skew_report_immune_to_duplicate_postings(spark, tmp_path):
+    """df/total_tf must be per-DISTINCT-doc counts: postings appended
+    around the append-only validation (legacy indexes, raw data-dir
+    writes) can hold duplicate (doc_id, tok) rows, and a raw row-count
+    census would double-count them while the probe stays immune (it
+    countDistincts). The census dedupes to one row per (tok, doc)."""
+    from pyspark.sql import functions as FF
+
+    from process_spark.operators.retrieval import (
+        postings_index,
+        postings_skew_report,
+    )
+
+    path = str(tmp_path / "pidx")
+    d = _docs(spark, [(1, "apple banana apple"), (2, "banana cherry")])
+    write_postings_index(d, path, mode="overwrite")
+    want = {
+        r["tok"]: (r["df"], r["total_tf"])
+        for r in postings_skew_report(spark, path, top_n=10).collect()
+    }
+    assert want["banana"] == (2, 2) and want["apple"] == (1, 2)
+
+    # simulate the hole: doc 1 re-ingested straight into data/ (the
+    # raw write no validation sees)
+    dup = postings_index(_docs(spark, [(1, "apple banana apple")]))
+    (
+        dup.repartition(1, FF.col("term_bucket"))
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(path + "/data")
+    )
+    spark.catalog.refreshByPath(path + "/data")
+    got = {
+        r["tok"]: (r["df"], r["total_tf"])
+        for r in postings_skew_report(spark, path, top_n=10).collect()
+    }
+    assert got == want  # byte-identical duplicates change nothing
+
+
+def test_batch_append_refuses_reingest_and_update_path(spark, tmp_path):
+    """The BATCH lifecycle now enforces the same append-only identity
+    contract as the streaming sink, via the same _docs sidecar: an
+    append re-ingesting a held doc_id raises (content-independent —
+    the changed-content copy shares no term bucket with the stored
+    one), a tombstoned-but-unpurged id is still refused, and the full
+    UPDATE path (tombstone → compact → re-ingest) lands with probe
+    scores equal to a fresh index over the final corpus."""
+    from process_spark.operators.retrieval import (
+        compact_postings_index,
+        tombstone_postings_docs,
+    )
+
+    path = str(tmp_path / "pidx")
+    write_postings_index(
+        _docs(spark, [(1, "apple banana"), (2, "cherry date")]),
+        path, mode="overwrite",
+    )
+    write_postings_index(
+        _docs(spark, [(3, "elderberry fig")]), path, mode="append"
+    )
+    # changed-content re-ingest: caught via the id-bucketed sidecar
+    with pytest.raises(ValueError, match="append-only"):
+        write_postings_index(
+            _docs(spark, [(2, "zebra xylophone")]), path, mode="append"
+        )
+    tombstone_postings_docs(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    # tombstoned-but-unpurged: still refused (the id is not free yet)
+    with pytest.raises(ValueError, match="append-only"):
+        write_postings_index(
+            _docs(spark, [(2, "zebra xylophone")]), path, mode="append"
+        )
+    compact_postings_index(spark, path)
+    spark.catalog.refreshByPath(path + "/data")
+    write_postings_index(
+        _docs(spark, [(2, "zebra xylophone")]), path, mode="append"
+    )
+    spark.catalog.refreshByPath(path + "/data")
+
+    final = _docs(
+        spark,
+        [
+            (1, "apple banana"),
+            (3, "elderberry fig"),
+            (2, "zebra xylophone"),
+        ],
+    )
+    qt = _qt(spark, [(0, "apple"), (0, "zebra"), (1, "fig")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(final, qt).collect()
+    }
+    assert got == want and (0, 2) in got  # the UPDATE is live
+
+
+def test_batch_append_crash_between_docs_and_data_fails_loud(
+    spark, tmp_path, monkeypatch
+):
+    """Batch-append crash ordering: _docs lands BEFORE the postings,
+    so a crash between the writes makes the re-run RAISE (loud) — the
+    reverse order would silently append the same postings twice. The
+    documented repair (tombstone → compact → re-ingest) converges to
+    an exact index, including the stats recompute."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from process_spark.operators.retrieval import (
+        compact_postings_index,
+        tombstone_postings_docs,
+    )
+
+    path = str(tmp_path / "pidx")
+    write_postings_index(
+        _docs(spark, [(1, "apple banana"), (2, "cherry date")]),
+        path, mode="overwrite",
+    )
+
+    orig = DataFrameWriter.parquet
+    state = {"crash": True}
+
+    def crashing(self, p, *a, **kw):
+        if state["crash"] and p.rstrip("/").endswith("/data"):
+            raise RuntimeError("injected crash before the data write")
+        return orig(self, p, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        write_postings_index(
+            _docs(spark, [(3, "elderberry fig")]), path, mode="append"
+        )
+    state["crash"] = False
+    spark.catalog.refreshByPath(path + "/_docs")
+    spark.catalog.refreshByPath(path + "/data")
+
+    # half-appended: id registered, postings absent, stats delta absent
+    assert {
+        r["doc_id"] for r in spark.read.parquet(path + "/_docs").collect()
+    } == {1, 2, 3}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(path + "/data").collect()
+    } == {1, 2}
+
+    # re-run fails LOUD (dies if the write order ever regresses)
+    with pytest.raises(ValueError, match="append-only"):
+        write_postings_index(
+            _docs(spark, [(3, "elderberry fig")]), path, mode="append"
+        )
+
+    # repair converges: purge the orphaned membership, re-ingest
+    tombstone_postings_docs(
+        spark, path, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    compact_postings_index(spark, path)
+    spark.catalog.refreshByPath(path + "/data")
+    write_postings_index(
+        _docs(spark, [(3, "elderberry fig")]), path, mode="append"
+    )
+    spark.catalog.refreshByPath(path + "/data")
+
+    final = _docs(
+        spark,
+        [(1, "apple banana"), (2, "cherry date"), (3, "elderberry fig")],
+    )
+    qt = _qt(spark, [(0, "apple"), (0, "fig"), (1, "cherry")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(final, qt).collect()
+    }
+    assert got == want and (0, 3) in got
+
+
+def test_batch_append_legacy_no_docs_best_effort(spark, tmp_path):
+    """Appending to a legacy batch index (no _docs sidecar): the
+    validation degrades to best-effort against the live postings —
+    a same-content re-ingest is still caught — and the membership
+    write is SKIPPED (a sidecar holding only the new batch's ids
+    would make every old doc look foreign to later checks)."""
+    import shutil
+
+    from process_spark.operators.fsutil import fs_exists
+
+    path = str(tmp_path / "pidx")
+    write_postings_index(
+        _docs(spark, [(1, "apple banana"), (2, "cherry date")]),
+        path, mode="overwrite",
+    )
+    shutil.rmtree(path + "/_docs")  # degrade to the legacy layout
+
+    with pytest.raises(ValueError, match="append-only"):
+        write_postings_index(
+            _docs(spark, [(2, "cherry date")]), path, mode="append"
+        )
+    write_postings_index(
+        _docs(spark, [(3, "elderberry fig")]), path, mode="append"
+    )
+    assert not fs_exists(spark, path + "/_docs")  # no partial sidecar
+    spark.catalog.refreshByPath(path + "/data")
+    qt = _qt(spark, [(0, "apple"), (0, "fig")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_probe_postings(spark, path, qt).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_e6"]
+        for r in bm25_scores(
+            _docs(
+                spark,
+                [
+                    (1, "apple banana"),
+                    (2, "cherry date"),
+                    (3, "elderberry fig"),
+                ],
+            ),
+            qt,
+        ).collect()
+    }
+    assert got == want
