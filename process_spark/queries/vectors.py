@@ -2942,3 +2942,75 @@ def vec_ivf_rebuild_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "cell_id", F.lit(rebuilt).alias("rebuilt")
     )
+
+
+@register(
+    "vec_ivf_index_audit",
+    # Exact-integer oracle for the UNCORRUPTED lifecycle: every
+    # embedding is registered exactly once (_ids == data identity),
+    # the re-crawl subset is tombstoned and still registered, no
+    # divergence class fires. (The audit CATCHING each seeded
+    # divergence — orphaned ids, raw data writes, duplicate
+    # registrations, orphaned tombstones — is pinned in
+    # tests/test_indexlife.py, where the layout is damaged on
+    # purpose.)
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM embeddings),
+    tm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tomb
+           FROM embeddings WHERE {_UPD_VEC_FILTER})
+    SELECT n.n_all AS n_ids,
+           CAST(0 AS BIGINT) AS n_dup_id_rows,
+           n.n_all AS n_data_ids,
+           CAST(0 AS BIGINT) AS n_ids_without_data,
+           CAST(0 AS BIGINT) AS n_data_ids_without_ids,
+           tm.n_tomb AS n_tombstoned,
+           CAST(0 AS BIGINT) AS n_tombstones_without_ids,
+           TRUE AS consistent
+    FROM n, tm
+    """,
+)
+def vec_ivf_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68-monitor — the stored vector index's INTEGRITY AUDIT (the
+    monitor-family member for the generic lifecycle layout, the
+    text side's text_postings_stats_audit): after a build, a growth
+    append, and a tombstone wave, stored_index_audit reconciles the
+    _ids identity sidecar against the data rows and the tombstones —
+    one row of exact integers with a ``consistent`` verdict. Each
+    divergence column names a crash window (an append that died
+    between the _ids and data writes, rows written around the
+    sidecar, a compaction that died before its tombstone drop) and
+    its repair; on this uncorrupted lifecycle the verdict is TRUE and
+    every count is an exact function of the embeddings table. The
+    reconciliation is one distributed full-outer join on vec_id — no
+    driver-side id sets — so the audit holds at any index size."""
+    import os as _os
+    import shutil as _shutil
+
+    from process_spark.operators.indexlife import (
+        stored_index_audit,
+        tombstone_index_ids,
+        write_stored_index,
+    )
+    from process_spark.operators.similarity import ivf_assign, ivf_build
+    from process_spark.queries.io_udf import _SCRATCH
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    e_even = e.filter(F.col("vec_id") % 2 == 0)
+    e_odd = e.filter(F.col("vec_id") % 2 == 1)
+    cells, assign_even = ivf_build(e_even, n_cells=8, seed_hash="md5")
+    cells = cells.localCheckpoint(eager=True)
+
+    path = _os.path.join(_SCRATCH, "ivf_index_audit")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_stored_index(
+        assign_even, path, ["cell_id"], "vec_id", mode="overwrite"
+    )
+    write_stored_index(
+        ivf_assign(e_odd, cells), path, ["cell_id"], "vec_id", mode="append"
+    )
+    tombstone_index_ids(
+        spark, path, e.filter(F.expr(_UPD_VEC_FILTER)).select("vec_id")
+    )
+    return stored_index_audit(spark, path)

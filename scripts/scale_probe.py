@@ -162,6 +162,7 @@ PIPELINE_PROBE = [
     "text_postings_skew_report",
     "text_bm25_topk_maxdf",
     "retrieval_e2e_stored_fixedq",
+    "vec_ivf_index_audit",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —

@@ -273,3 +273,98 @@ def test_append_crash_between_ids_and_data_fails_loud(
         mode="append",
     )
     assert _live_set(spark, path) == {(1, 0), (2, 1), (3, 0)}
+
+
+def test_stored_index_audit_divergence_classes(spark, tmp_path):
+    """stored_index_audit: TRUE on a clean lifecycle (tombstoned docs
+    still registered), then each divergence class seeded on purpose
+    flips consistent FALSE through its own named column — orphaned
+    registration (append crash), rows written around the sidecar,
+    duplicate registration, orphaned tombstone (compaction crash)."""
+    from process_spark.operators.indexlife import (
+        _ids_membership,
+        stored_index_audit,
+    )
+
+    def audit(path):
+        return stored_index_audit(spark, path).collect()[0]
+
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1), (2, 0, 0.2), (3, 1, 0.3)]),
+        path, ["cell_id"], "vec_id", mode="overwrite",
+    )
+    tombstone_index_ids(spark, path, _ids(spark, [2]))
+    r = audit(path)
+    assert r["consistent"] and r["n_ids"] == 3 and r["n_data_ids"] == 3
+    assert r["n_tombstoned"] == 1 and r["n_tombstones_without_ids"] == 0
+
+    # (a) orphaned registration: id 9 in _ids, no data rows (the
+    # append crash window write_stored_index now fails loud on)
+    (
+        _ids_membership(_rows(spark, [(9, 0, 9.9)]), "vec_id", 16)
+        .repartition(1)
+        .write.mode("append")
+        .partitionBy("id_bucket")
+        .parquet(path + "/_ids")
+    )
+    spark.catalog.refreshByPath(path + "/_ids")
+    r = audit(path)
+    assert not r["consistent"] and r["n_ids_without_data"] == 1
+    assert r["n_data_ids_without_ids"] == 0
+
+    # (b) rows around the sidecar: id 8 straight into data/
+    (
+        _rows(spark, [(8, 1, 8.8)])
+        .repartition(1)
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(path + "/data")
+    )
+    spark.catalog.refreshByPath(path + "/data")
+    r = audit(path)
+    assert not r["consistent"] and r["n_data_ids_without_ids"] == 1
+
+    # (c) duplicate registration: id 1 registered twice
+    (
+        _ids_membership(_rows(spark, [(1, 0, 0.1)]), "vec_id", 16)
+        .repartition(1)
+        .write.mode("append")
+        .partitionBy("id_bucket")
+        .parquet(path + "/_ids")
+    )
+    spark.catalog.refreshByPath(path + "/_ids")
+    r = audit(path)
+    assert r["n_dup_id_rows"] == 1 and r["n_ids"] == 4  # 1,2,3,9
+
+    # (d) orphaned tombstone on a FRESH index: tombstone an id, then
+    # simulate the compaction crash (ids purged, tombstones not yet
+    # dropped) by rewriting _ids without it
+    import shutil
+
+    path2 = str(tmp_path / "idx2")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1), (2, 1, 0.2)]),
+        path2, ["cell_id"], "vec_id", mode="overwrite",
+    )
+    tombstone_index_ids(spark, path2, _ids(spark, [2]))
+    survivors = _rows(spark, [(1, 0, 0.1)])
+    tmp_ids = path2 + "/_ids_new"
+    (
+        _ids_membership(survivors, "vec_id", 16)
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("id_bucket")
+        .parquet(tmp_ids)
+    )
+    shutil.rmtree(path2 + "/_ids")
+    shutil.move(tmp_ids, path2 + "/_ids")
+    spark.catalog.refreshByPath(path2 + "/_ids")
+    r = audit(path2)
+    assert not r["consistent"] and r["n_tombstones_without_ids"] == 1
+    # the documented repair: re-run the compactor -> converges clean
+    compact_stored_index(spark, path2)
+    spark.catalog.refreshByPath(path2 + "/data")
+    spark.catalog.refreshByPath(path2 + "/_ids")
+    r = audit(path2)
+    assert r["consistent"] and r["n_ids"] == 1 and r["n_tombstoned"] == 0

@@ -94,6 +94,8 @@ CROSS_OK = {
     "retrieval_e2e_stored_fixedq",  # same, fixed 50-query workload
                                 # + pool² pairs join (≤100 rows/query)
     "vec_hybrid_rrf_ann_fixedq",  # stored-IVF cell/probe broadcasts (k rows)
+    "vec_ivf_index_audit",      # ivf_build cell broadcasts (k rows) + the
+                                # audit's three 1-row count-aggregate joins
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
