@@ -453,3 +453,95 @@ def stored_index_audit(spark: SparkSession, path: str) -> DataFrame:
             ).alias("consistent"),
         )
     )
+
+
+def repair_stored_index(spark: SparkSession, path: str) -> dict:
+    """Offline REPAIR for a stored index whose
+    :func:`stored_index_audit` verdict is FALSE — the recovery tool
+    for every divergence class the audit names, cheaper than the
+    rebuild it replaces (one id-column scan of ``data`` instead of
+    re-deriving the whole index from source):
+
+    - ``_ids`` is REBUILT from the distinct ids actually present in
+      ``data`` — in one pass this heals orphaned registrations (ids
+      without rows: the failed-append residue), rows written around
+      the sidecar (ids the append-only validation couldn't see — now
+      registered, so a re-ingest fails loud instead of duplicating),
+      and duplicate registrations.
+    - tombstones referencing ids no longer in the rebuilt ``_ids``
+      are DROPPED (their bytes are already gone — the
+      crashed-mid-compaction residue); tombstones of live ids are
+      KEPT (they are pending deletes, not corruption — the next
+      :func:`compact_stored_index` purges them as usual).
+
+    The rebuilt ``_ids`` is written COMPLETE to a scratch sibling and
+    swapped in whole (the compactor's crash ordering), so a crash
+    mid-repair leaves the old sidecar intact and the repair is
+    re-runnable. Returns the before/after audit verdicts plus what
+    was rewritten: ``{"was_consistent", "n_ids", "n_dropped_
+    tombstones", "consistent"}``.
+
+    NOT a substitute for the append crash repair while the failed
+    append's content is still wanted: this makes the layout
+    self-consistent with what ``data`` holds — a batch whose rows
+    never landed is simply forgotten (re-ingest it afterwards; the
+    rebuilt ``_ids`` no longer blocks it)."""
+    from process_spark.operators.fsutil import swap_in
+
+    meta = index_meta(spark, path)
+    id_col, nb = meta["id_col"], meta["n_id_buckets"]
+    data_dir = posixpath.join(path, "data")
+    ids_dir = posixpath.join(path, "_ids")
+    tomb_dir = posixpath.join(path, "_tombstones")
+
+    before = stored_index_audit(spark, path).collect()[0]
+    if before["consistent"]:
+        return {
+            "was_consistent": True,
+            "n_ids": int(before["n_ids"]),
+            "n_dropped_tombstones": 0,
+            "consistent": True,
+        }
+
+    rebuilt = _ids_membership(
+        spark.read.parquet(data_dir), id_col, nb
+    ).localCheckpoint(eager=True)  # pinned: outlives the _ids swap
+    tmp = ids_dir.rstrip("/") + "__repairing"
+    fs, HPath = fs_path(spark, tmp)
+    fs.delete(HPath(tmp), True)
+    (
+        rebuilt.repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("id_bucket")
+        .parquet(tmp)
+    )
+    swap_in(spark, ids_dir, tmp, label="stored-index ids")
+
+    n_dropped = 0
+    if fs_exists(spark, tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).localCheckpoint(eager=True)
+        keep = tombs.join(rebuilt.select(id_col), id_col, "left_semi")
+        n_keep = keep.count()
+        n_dropped = tombs.count() - n_keep
+        if n_dropped:
+            if n_keep == 0:
+                fs.delete(HPath(tomb_dir), True)
+            else:
+                tmp_t = tomb_dir.rstrip("/") + "__repairing"
+                fs.delete(HPath(tmp_t), True)
+                (
+                    keep.select("id_bucket", id_col)
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .partitionBy("id_bucket")
+                    .parquet(tmp_t)
+                )
+                swap_in(spark, tomb_dir, tmp_t, label="stored-index tombs")
+    spark.catalog.refreshByPath(ids_dir)
+    after = stored_index_audit(spark, path).collect()[0]
+    return {
+        "was_consistent": False,
+        "n_ids": int(after["n_ids"]),
+        "n_dropped_tombstones": int(n_dropped),
+        "consistent": bool(after["consistent"]),
+    }

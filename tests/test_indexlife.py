@@ -209,6 +209,12 @@ def test_band_index_layout_generality(spark, tmp_path):
         (r["doc_id"], r["band_bucket"])
         for r in live_index_rows(spark, path).collect()
     } == {(20, 3), (20, 9), (10, 7)}
+    # the audit is layout-generic too: multi-column partition keys,
+    # doc_id identity — consistent after the full lifecycle
+    from process_spark.operators.indexlife import stored_index_audit
+
+    r = stored_index_audit(spark, path).collect()[0]
+    assert r["consistent"] and r["n_ids"] == 2 and r["n_data_ids"] == 2
 
 
 def test_append_crash_between_ids_and_data_fails_loud(
@@ -368,3 +374,83 @@ def test_stored_index_audit_divergence_classes(spark, tmp_path):
     spark.catalog.refreshByPath(path2 + "/_ids")
     r = audit(path2)
     assert r["consistent"] and r["n_ids"] == 1 and r["n_tombstoned"] == 0
+
+
+def test_repair_stored_index_converges_all_divergences(spark, tmp_path):
+    """repair_stored_index heals every divergence class the audit
+    names in ONE pass — _ids rebuilt from data, orphaned tombstones
+    dropped, live tombstones kept as pending deletes — and the healed
+    index behaves: the forgotten batch re-ingests (no stale block),
+    the around-the-sidecar rows now fail loud on re-ingest, and the
+    kept tombstone still purges at the next compaction."""
+    from process_spark.operators.indexlife import (
+        _ids_membership,
+        repair_stored_index,
+        stored_index_audit,
+    )
+
+    path = str(tmp_path / "idx")
+    write_stored_index(
+        _rows(spark, [(1, 0, 0.1), (2, 0, 0.2), (3, 1, 0.3)]),
+        path, ["cell_id"], "vec_id", mode="overwrite",
+    )
+    tombstone_index_ids(spark, path, _ids(spark, [2]))  # pending delete
+
+    # no-op on a consistent index
+    out = repair_stored_index(spark, path)
+    assert out == {
+        "was_consistent": True, "n_ids": 3,
+        "n_dropped_tombstones": 0, "consistent": True,
+    }
+
+    # seed: (a) orphaned registration 9, (b) raw data row 8,
+    # (c) duplicate registration of 1, (d) orphaned tombstone 7
+    (
+        _ids_membership(
+            _rows(spark, [(9, 0, 9.9), (1, 0, 0.1)]), "vec_id", 16
+        )
+        .repartition(1).write.mode("append")
+        .partitionBy("id_bucket").parquet(path + "/_ids")
+    )
+    (
+        _rows(spark, [(8, 1, 8.8)])
+        .repartition(1).write.mode("append")
+        .partitionBy("cell_id").parquet(path + "/data")
+    )
+    (
+        _ids_membership(_rows(spark, [(7, 0, 7.7)]), "vec_id", 16)
+        .repartition(1).write.mode("append")
+        .partitionBy("id_bucket").parquet(path + "/_tombstones")
+    )
+    spark.catalog.refreshByPath(path + "/_ids")
+    spark.catalog.refreshByPath(path + "/data")
+    assert not stored_index_audit(spark, path).collect()[0]["consistent"]
+
+    out = repair_stored_index(spark, path)
+    assert out == {
+        "was_consistent": False, "n_ids": 4,  # 1,2,3,8
+        "n_dropped_tombstones": 1, "consistent": True,
+    }
+    spark.catalog.refreshByPath(path + "/_ids")
+    r = stored_index_audit(spark, path).collect()[0]
+    assert r["consistent"] and r["n_tombstoned"] == 1  # 2 still pending
+
+    # the forgotten batch (9) re-ingests; the healed registration (8)
+    # now blocks a silent duplicate
+    write_stored_index(
+        _rows(spark, [(9, 0, 9.9)]), path, ["cell_id"], "vec_id",
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        write_stored_index(
+            _rows(spark, [(8, 1, 8.8)]), path, ["cell_id"], "vec_id",
+            mode="append",
+        )
+    # pending delete still pending, then purged as usual
+    assert _live_set(spark, path) == {(1, 0), (3, 1), (8, 1), (9, 0)}
+    out = compact_stored_index(spark, path)
+    assert out["n_purged_ids"] == 1
+    spark.catalog.refreshByPath(path + "/data")
+    spark.catalog.refreshByPath(path + "/_ids")
+    assert _live_set(spark, path) == {(1, 0), (3, 1), (8, 1), (9, 0)}
+    assert stored_index_audit(spark, path).collect()[0]["consistent"]
