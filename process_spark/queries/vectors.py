@@ -3014,3 +3014,106 @@ def vec_ivf_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, e.filter(F.expr(_UPD_VEC_FILTER)).select("vec_id")
     )
     return stored_index_audit(spark, path)
+
+
+@register(
+    "vec_ivf_index_repaired",
+    # Exact-integer oracle: the repair registers the one raw-written
+    # row (n_ids/n_data_ids = corpus + 1), forgets the three orphaned
+    # registrations, drops the one orphaned tombstone, and the audit
+    # verdict flips to TRUE — every count a closed-form function of
+    # the embeddings table.
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM embeddings)
+    SELECT (n.n_all + 1) AS n_ids,
+           CAST(0 AS BIGINT) AS n_dup_id_rows,
+           (n.n_all + 1) AS n_data_ids,
+           CAST(0 AS BIGINT) AS n_ids_without_data,
+           CAST(0 AS BIGINT) AS n_data_ids_without_ids,
+           CAST(0 AS BIGINT) AS n_tombstoned,
+           CAST(0 AS BIGINT) AS n_tombstones_without_ids,
+           TRUE AS consistent,
+           FALSE AS was_consistent,
+           CAST(1 AS BIGINT) AS n_dropped_tombstones
+    FROM n
+    """,
+)
+def vec_ivf_index_repaired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68-repair — the recovery half of the integrity-audit story
+    (vec_ivf_index_audit), registered so the repair itself is
+    oracle-checked and not only test-pinned: build the stored IVF
+    index over the whole corpus, then seed one instance of each
+    non-pending divergence class the audit names — three orphaned
+    registrations (the failed-append residue), one row written raw
+    around the sidecar (the silent-duplicate precursor), one
+    tombstone for an id the index never held (the crashed-compaction
+    residue) — and run repair_stored_index ONCE. The repair rebuilds
+    ``_ids`` from the ids actually present in ``data`` (one id-column
+    scan, not a re-derive from source) and drops the orphaned
+    tombstone; the returned row is the post-repair audit verdict plus
+    the repair's own accounting, every value a closed-form integer
+    over the embeddings table."""
+    import os as _os
+    import shutil as _shutil
+
+    from process_spark.operators.indexlife import (
+        _ids_membership,
+        repair_stored_index,
+        stored_index_audit,
+        write_stored_index,
+    )
+    from process_spark.operators.similarity import ivf_build
+    from process_spark.queries.io_udf import _SCRATCH
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.lit(1.0), _t32()).alias("embedding")
+    )
+    cells, assign = ivf_build(e, n_cells=8, seed_hash="md5")
+
+    path = _os.path.join(_SCRATCH, "ivf_index_repaired")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_stored_index(assign, path, ["cell_id"], "vec_id", mode="overwrite")
+
+    # synthetic ids far above the corpus id range keep the seeding
+    # deterministic and collision-free at any sf
+    base = 10_000_000
+    orphans = spark.createDataFrame(
+        [(base + i, 0, 0.0) for i in range(3)],
+        "vec_id long, cell_id int, score double",
+    )
+    (
+        _ids_membership(orphans, "vec_id", 16)
+        .repartition(1).write.mode("append")
+        .partitionBy("id_bucket").parquet(path + "/_ids")
+    )
+    # one row written RAW around the sidecar, carrying the index's own
+    # data schema (deterministic TakeOrdered pick, id/cell overridden)
+    raw = (
+        assign.orderBy("vec_id").limit(1)
+        .withColumn("vec_id", F.lit(base + 10).cast("long"))
+        .withColumn("cell_id", F.lit(0))
+    )
+    (
+        raw.repartition(1).write.mode("append")
+        .partitionBy("cell_id").parquet(path + "/data")
+    )
+    orphan_tomb = spark.createDataFrame(
+        [(base + 20, 0, 0.0)], "vec_id long, cell_id int, score double"
+    )
+    (
+        _ids_membership(orphan_tomb, "vec_id", 16)
+        .repartition(1).write.mode("append")
+        .partitionBy("id_bucket").parquet(path + "/_tombstones")
+    )
+    spark.catalog.refreshByPath(_os.path.join(path, "_ids"))
+    spark.catalog.refreshByPath(_os.path.join(path, "data"))
+
+    out = repair_stored_index(spark, path)
+    spark.catalog.refreshByPath(_os.path.join(path, "_ids"))
+    return stored_index_audit(spark, path).select(
+        "*",
+        F.lit(bool(out["was_consistent"])).alias("was_consistent"),
+        F.lit(int(out["n_dropped_tombstones"]))
+        .cast("long")
+        .alias("n_dropped_tombstones"),
+    )

@@ -163,6 +163,7 @@ PIPELINE_PROBE = [
     "text_bm25_topk_maxdf",
     "retrieval_e2e_stored_fixedq",
     "vec_ivf_index_audit",
+    "vec_ivf_index_repaired",
 ]
 
 #: x100 probe (round-10 task): documents/embeddings replicated 100x —

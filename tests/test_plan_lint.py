@@ -96,6 +96,7 @@ CROSS_OK = {
     "vec_hybrid_rrf_ann_fixedq",  # stored-IVF cell/probe broadcasts (k rows)
     "vec_ivf_index_audit",      # ivf_build cell broadcasts (k rows) + the
                                 # audit's three 1-row count-aggregate joins
+    "vec_ivf_index_repaired",   # same ivf_build/audit joins, post-repair
 }
 
 # windowspecdefinition(<first-arg>, ...): a partitioned window leads
