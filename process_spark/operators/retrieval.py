@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import posixpath
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -77,25 +77,37 @@ def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, float]:
-    """(N, avgdl) — exact integer sum of token lengths / exact count,
-    one bounded 1-row collect. Both engines compute the identical
-    bigint sum, then ONE IEEE division → bit-identical avgdl."""
-    row = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(tokens(text_col))).alias("sdl"),
-    ).collect()[0]
-    n = int(row["n"])
-    # Degenerate corpora (0 docs → sdl NULL; all-empty docs → sdl 0)
-    # must not crash: no (doc, term) hit row exists to evaluate a
-    # score against, so the avgdl placeholder is never read.
-    if n == 0:
-        return 0, 1.0
-    return n, float(row["sdl"] or 0) / float(n)
+def _corpus_stats_rel(docs: DataFrame, dtf: DataFrame) -> DataFrame:
+    """1-row ``(__n, __avgdl)`` corpus-stats relation, broadcast-cross-
+    joined into the scoring plan instead of collected to the driver.
+
+    Two exactness identities make this a pure plan transformation:
+    Σdl = Σtf over the pinned (doc, term) relation EXACTLY (the
+    per-(doc, tok) groupBy conserves token counts, and a zero-token doc
+    contributes 0 either way — the identity write_postings_index's
+    stats delta already relies on), and N is a tokenize-free COUNT(*)
+    of ``docs``. Both are the same integers the old eager helper
+    collected, and the ONE IEEE division producing avgdl now simply
+    runs inside the plan on the identical operands — identical bits.
+
+    Why in-plan (guide §1.2 order-1, §5 driver): the eager collect was
+    one full driver-synchronized job per kernel call *before* the
+    query's own job — at bench scale that is a fixed ~0.3-0.5 s tax
+    per call, and on a cluster it is an extra full barrier. Degenerate
+    0-doc corpora make ``__avgdl`` NaN (0/0) — never read, since no
+    (doc, term) hit row exists to score."""
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    sdl = dtf.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("double").alias("__sdl")
+    )
+    return (
+        n.join(sdl)
+        .select("__n", (F.col("__sdl") / F.col("__n")).alias("__avgdl"))
+    )
 
 
 def bm25_contrib_e6(
-    tf, df, dl, n_docs: int, avgdl: float, k1: float = K1, b: float = B
+    tf, df, dl, n_docs, avgdl, k1: float = K1, b: float = B
 ):
     """Half-up-scaled int64 BM25 contribution of one (query, doc, term)
     match. Expression order is pinned — the DuckDB oracle replays the
@@ -104,13 +116,15 @@ def bm25_contrib_e6(
         idf    = ln(((N - df + 0.5) / (df + 0.5)) + 1.0)   # Lucene BM25
         denom  = tf + k1 * ((1 - b) + b * (dl / avgdl))
         contrib = idf * ((tf * (k1 + 1)) / denom)
-    """
-    idf = F.log(
-        ((F.lit(float(n_docs)) - F.col(df) + 0.5) / (F.col(df) + 0.5)) + 1.0
-    )
-    denom = F.col(tf) + k1 * (
-        (1.0 - b) + b * (F.col(dl) / F.lit(float(avgdl)))
-    )
+
+    ``n_docs`` / ``avgdl`` are either Python scalars (the stored-probe
+    path, where they come from the ``_stats`` sidecar) or Columns from
+    the 1-row :func:`_corpus_stats_rel` broadcast (the kernel path) —
+    the expression tree is identical either way."""
+    n_c = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+    avg_c = avgdl if isinstance(avgdl, Column) else F.lit(float(avgdl))
+    idf = F.log(((n_c - F.col(df) + 0.5) / (F.col(df) + 0.5)) + 1.0)
+    denom = F.col(tf) + k1 * ((1.0 - b) + b * (F.col(dl) / avg_c))
     contrib = idf * ((F.col(tf) * (k1 + 1.0)) / denom)
     return F.floor(contrib * float(SCORE_SCALE) + 0.5).cast("long")
 
@@ -142,30 +156,44 @@ def bm25_scores(
     aggregation for a ~0 idf contribution. The census twin
     (:func:`bm25_scores_max_df` / :func:`postings_skew_report`) keeps
     the truncation loud."""
-    qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
+    qt = (
+        query_terms.select("query_id", F.col("term").alias("tok"))
+        .distinct()
+    )
     terms = qt.select("tok").distinct()
 
+    # The (doc, term) relation has three consumers (stats, df build
+    # side, contrib probe side); the duplicated subtrees execute
+    # CONCURRENTLY inside the one job (measured: pinning them behind a
+    # localCheckpoint serializes the stages and loses ~15% wall-clock
+    # on idle cores), so the relation is deliberately NOT pinned.
     dtf = doc_term_freqs(docs, id_col, text_col)
     # restrict to query terms BEFORE df aggregation — the whole corpus
     # vocabulary never aggregates.
     hit = dtf.join(F.broadcast(terms), "tok", "left_semi")
     df_t = hit.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
 
-    n_docs, avgdl = _corpus_stats(docs, text_col)
+    stats = _corpus_stats_rel(docs, dtf)
     if max_df_fraction is not None:
-        df_t = df_t.filter(
-            F.col("df")
-            <= F.lit(float(max_df_fraction)) * F.lit(float(n_docs))
+        # the guard compares against the SAME N the broadcast carries —
+        # one IEEE multiply of identical operands on both engines
+        df_t = (
+            df_t.join(F.broadcast(stats))
+            .filter(
+                F.col("df") <= F.lit(float(max_df_fraction)) * F.col("__n")
+            )
+            .select("tok", "df")
         )
     contrib = (
         hit.join(F.broadcast(qt), "tok")
         .join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(stats))
         .select(
             "query_id",
             "doc_id",
-            bm25_contrib_e6("tf", "df", "dl", n_docs, avgdl, k1, b).alias(
-                "contrib_e6"
-            ),
+            bm25_contrib_e6(
+                "tf", "df", "dl", F.col("__n"), F.col("__avgdl"), k1, b
+            ).alias("contrib_e6"),
         )
     )
     return contrib.groupBy("query_id", "doc_id").agg(
@@ -193,27 +221,38 @@ def bm25_scores_max_df(
     Queries whose EVERY matching term is dropped vanish from the
     output entirely (no surviving contribution — the same implicit-
     zero convention as unmatched queries)."""
-    qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
+    qt = (
+        query_terms.select("query_id", F.col("term").alias("tok"))
+        .distinct()
+    )
     terms = qt.select("tok").distinct()
 
     dtf = doc_term_freqs(docs, id_col, text_col)
     hit = dtf.join(F.broadcast(terms), "tok", "left_semi")
     # bounded (≤ |workload terms| rows) and consumed twice (guarded
-    # scoring + census) — pin it so the corpus tokenize runs once.
+    # scoring + census) — pin it so the semi-join runs once.
     df_all = (
         hit.groupBy("tok")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: no standalone driver job
     )
-    n_docs, avgdl = _corpus_stats(docs, text_col)
-    thr = F.lit(float(max_df_fraction)) * F.lit(float(n_docs))
-    df_t = df_all.filter(F.col("df") <= thr)
+    stats = _corpus_stats_rel(docs, dtf)
+    # threshold rides the 1-row stats broadcast — one IEEE multiply of
+    # identical operands per comparison, same drop set on both engines
+    df_thr = df_all.join(F.broadcast(stats)).select(
+        "tok",
+        "df",
+        (F.lit(float(max_df_fraction)) * F.col("__n")).alias("__thr"),
+    )
+    df_t = df_thr.filter(F.col("df") <= F.col("__thr")).select("tok", "df")
     census = (
         qt.select("query_id")
         .distinct()
         .join(
             qt.join(
-                F.broadcast(df_all.filter(F.col("df") > thr)),
+                F.broadcast(
+                    df_thr.filter(F.col("df") > F.col("__thr")).select("tok")
+                ),
                 "tok",
                 "left_semi",
             )
@@ -232,12 +271,13 @@ def bm25_scores_max_df(
     contrib = (
         hit.join(F.broadcast(qt), "tok")
         .join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(stats))
         .select(
             "query_id",
             "doc_id",
-            bm25_contrib_e6("tf", "df", "dl", n_docs, avgdl, k1, b).alias(
-                "contrib_e6"
-            ),
+            bm25_contrib_e6(
+                "tf", "df", "dl", F.col("__n"), F.col("__avgdl"), k1, b
+            ).alias("contrib_e6"),
         )
     )
     scores = contrib.groupBy("query_id", "doc_id").agg(
@@ -549,7 +589,10 @@ def bm25_probe_postings(
     (:func:`postings_skew_report` / ``text_postings_skew_report``)
     keeps the cap observable; the per-query dropped-term count rides
     :func:`bm25_scores_max_df` for the kernel path."""
-    qt = query_terms.select("query_id", F.col("term").alias("tok")).distinct()
+    qt = (
+        query_terms.select("query_id", F.col("term").alias("tok"))
+        .distinct()
+    )
     buckets = sorted(
         r["b"]
         for r in qt.select(

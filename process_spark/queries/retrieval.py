@@ -316,23 +316,28 @@ def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
 
-    qt = _hybrid_qt(d, e)
-    lex = topk_ranked(bm25_scores(d, qt), "score_e6", k=10).select(
-        "query_id", "doc_id", "rank"
-    )
-
-    q = e.filter(F.expr(_Q_FILTER)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    vec = (
-        brute_force_knn(q, e, k=10)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("vec_id").alias("doc_id"),
-            "rank",
+    def lex_ch() -> DataFrame:
+        return (
+            topk_ranked(bm25_scores(d, _hybrid_qt(d, e)), "score_e6", k=10)
+            .select("query_id", "doc_id", "rank")
+            .localCheckpoint(eager=True)
         )
-    )
 
+    def vec_ch() -> DataFrame:
+        q = e.filter(F.expr(_Q_FILTER)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        return (
+            brute_force_knn(q, e, k=10)
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                "rank",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    lex, vec = _eager_channels(lex_ch, vec_ch)
     fused = rrf_fuse([lex, vec])
     return topk_ranked(fused, "rrf_e9", k=10)
 
@@ -516,6 +521,29 @@ def _scratch() -> str:
     from process_spark.queries.io_udf import _SCRATCH
 
     return _SCRATCH
+
+
+def _eager_channels(*thunks):
+    """Evaluate the independent retrieval channels CONCURRENTLY
+    (optimization guide §2.6: Spark happily runs several jobs at once
+    inside one application — actions are sequential only because the
+    driver calls them sequentially; the lexical and vector chains
+    share no state, so their index builds, probes and eager collects
+    overlap instead of queueing). Each thunk returns its channel's
+    bounded per-query top-k relation pinned with an EAGER
+    localCheckpoint (≤ k rows per query by construction), so the fuse
+    consumes two tiny materialized relations instead of duplicating
+    both channels' whole subtrees into the tail plan (the MMR pair
+    join references its candidate input twice — unpinned, that
+    re-planned and re-executed the full fuse chain per reference and
+    made the tail's Catalyst planning alone a measurable cost:
+    ~0.5-1.8 s on the e2e composite). Results are bit-identical: the
+    channel relations are exact-integer rank tables; pinning changes
+    when they materialize, not what they contain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
 
 
 def _o_mmr(k_sel: int, k_pool: int = 10, cand_sql: str | None = None) -> str:
@@ -832,17 +860,25 @@ def _register_hybrid_ann() -> None:
         as a registered query)."""
         d = t(spark, sf_dir, "documents")
         e = t(spark, sf_dir, "embeddings")
-        lex = topk_ranked(
-            bm25_scores(d, _hybrid_qt(d, e)), "score_e6", k=10
-        ).select("query_id", "doc_id", "rank")
-        knn = _stored_ivf_knn(
-            spark, _fixture_e2(spark, sf_dir), "hybrid_ann_ivf_index", k=10
-        )
-        vec = knn.select(
-            F.col("q_id").alias("query_id"),
-            F.col("vec_id").alias("doc_id"),
-            "rank",
-        )
+
+        def lex_ch() -> DataFrame:
+            return (
+                topk_ranked(bm25_scores(d, _hybrid_qt(d, e)), "score_e6", k=10)
+                .select("query_id", "doc_id", "rank")
+                .localCheckpoint(eager=True)
+            )
+
+        def vec_ch() -> DataFrame:
+            knn = _stored_ivf_knn(
+                spark, _fixture_e2(spark, sf_dir), "hybrid_ann_ivf_index", k=10
+            )
+            return knn.select(
+                F.col("q_id").alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                "rank",
+            ).localCheckpoint(eager=True)
+
+        lex, vec = _eager_channels(lex_ch, vec_ch)
         return topk_ranked(rrf_fuse([lex, vec]), "rrf_e9", k=10)
 
 
@@ -937,22 +973,31 @@ def _register_retrieval_e2e() -> None:
 
         d = t(spark, sf_dir, "documents")
         e = t(spark, sf_dir, "embeddings")
-        ppath = os.path.join(_scratch(), "retrieval_e2e_postings")
-        write_postings_index(d, ppath, mode="overwrite")
-        spark.catalog.refreshByPath(os.path.join(ppath, "data"))
-        lex = topk_ranked(
-            bm25_probe_postings(spark, ppath, _hybrid_qt(d, e)),
-            "score_e6",
-            k=10,
-        ).select("query_id", "doc_id", "rank")
-
         e2 = _fixture_e2(spark, sf_dir)
-        knn = _stored_ivf_knn(spark, e2, "retrieval_e2e_ivf", k=10)
-        vec = knn.select(
-            F.col("q_id").alias("query_id"),
-            F.col("vec_id").alias("doc_id"),
-            "rank",
-        )
+
+        def lex_ch() -> DataFrame:
+            ppath = os.path.join(_scratch(), "retrieval_e2e_postings")
+            write_postings_index(d, ppath, mode="overwrite")
+            spark.catalog.refreshByPath(os.path.join(ppath, "data"))
+            return (
+                topk_ranked(
+                    bm25_probe_postings(spark, ppath, _hybrid_qt(d, e)),
+                    "score_e6",
+                    k=10,
+                )
+                .select("query_id", "doc_id", "rank")
+                .localCheckpoint(eager=True)
+            )
+
+        def vec_ch() -> DataFrame:
+            knn = _stored_ivf_knn(spark, e2, "retrieval_e2e_ivf", k=10)
+            return knn.select(
+                F.col("q_id").alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                "rank",
+            ).localCheckpoint(eager=True)
+
+        lex, vec = _eager_channels(lex_ch, vec_ch)
         pool = topk_ranked(rrf_fuse([lex, vec]), "rrf_e9", k=10)
         cands = pool.select(
             "query_id",
@@ -1006,23 +1051,33 @@ def _register_hybrid_ann_fixedq() -> None:
         fixed query."""
         d = t(spark, sf_dir, "documents")
         e = t(spark, sf_dir, "embeddings")
-        lex = topk_ranked(
-            bm25_scores(d, _hybrid_qt(d, e, qfilter=_QF_FIXED)),
-            "score_e6",
-            k=10,
-        ).select("query_id", "doc_id", "rank")
-        knn = _stored_ivf_knn(
-            spark,
-            _fixture_e2(spark, sf_dir),
-            "hybrid_ann_fixedq_ivf_index",
-            k=10,
-            qfilter=_QF_FIXED,
-        )
-        vec = knn.select(
-            F.col("q_id").alias("query_id"),
-            F.col("vec_id").alias("doc_id"),
-            "rank",
-        )
+
+        def lex_ch() -> DataFrame:
+            return (
+                topk_ranked(
+                    bm25_scores(d, _hybrid_qt(d, e, qfilter=_QF_FIXED)),
+                    "score_e6",
+                    k=10,
+                )
+                .select("query_id", "doc_id", "rank")
+                .localCheckpoint(eager=True)
+            )
+
+        def vec_ch() -> DataFrame:
+            knn = _stored_ivf_knn(
+                spark,
+                _fixture_e2(spark, sf_dir),
+                "hybrid_ann_fixedq_ivf_index",
+                k=10,
+                qfilter=_QF_FIXED,
+            )
+            return knn.select(
+                F.col("q_id").alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                "rank",
+            ).localCheckpoint(eager=True)
+
+        lex, vec = _eager_channels(lex_ch, vec_ch)
         return topk_ranked(rrf_fuse([lex, vec]), "rrf_e9", k=10)
 
 
@@ -1329,26 +1384,35 @@ def _register_retrieval_e2e_fixedq() -> None:
 
         d = t(spark, sf_dir, "documents")
         e = t(spark, sf_dir, "embeddings")
-        ppath = os.path.join(_scratch(), "retrieval_e2e_fixedq_postings")
-        write_postings_index(d, ppath, mode="overwrite")
-        spark.catalog.refreshByPath(os.path.join(ppath, "data"))
-        lex = topk_ranked(
-            bm25_probe_postings(
-                spark, ppath, _hybrid_qt(d, e, qfilter=_QF_FIXED)
-            ),
-            "score_e6",
-            k=10,
-        ).select("query_id", "doc_id", "rank")
-
         e2 = _fixture_e2(spark, sf_dir)
-        knn = _stored_ivf_knn(
-            spark, e2, "retrieval_e2e_fixedq_ivf", k=10, qfilter=_QF_FIXED
-        )
-        vec = knn.select(
-            F.col("q_id").alias("query_id"),
-            F.col("vec_id").alias("doc_id"),
-            "rank",
-        )
+
+        def lex_ch() -> DataFrame:
+            ppath = os.path.join(_scratch(), "retrieval_e2e_fixedq_postings")
+            write_postings_index(d, ppath, mode="overwrite")
+            spark.catalog.refreshByPath(os.path.join(ppath, "data"))
+            return (
+                topk_ranked(
+                    bm25_probe_postings(
+                        spark, ppath, _hybrid_qt(d, e, qfilter=_QF_FIXED)
+                    ),
+                    "score_e6",
+                    k=10,
+                )
+                .select("query_id", "doc_id", "rank")
+                .localCheckpoint(eager=True)
+            )
+
+        def vec_ch() -> DataFrame:
+            knn = _stored_ivf_knn(
+                spark, e2, "retrieval_e2e_fixedq_ivf", k=10, qfilter=_QF_FIXED
+            )
+            return knn.select(
+                F.col("q_id").alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                "rank",
+            ).localCheckpoint(eager=True)
+
+        lex, vec = _eager_channels(lex_ch, vec_ch)
         pool = topk_ranked(rrf_fuse([lex, vec]), "rrf_e9", k=10)
         cands = pool.select(
             "query_id",

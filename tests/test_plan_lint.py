@@ -84,6 +84,11 @@ CROSS_OK = {
                                 # err-report joins — bounded by construction
     "vec_ivf_rebuild_trigger",  # broadcast cell/centroid tables (k rows)
     "text_vocab_drift_report",  # 1-row occurrence census × 1-row type census
+    "text_bm25_topk",           # 1-row corpus-stats (N/avgdl) broadcast —
+                                # the r13 in-plan replacement of the eager
+                                # per-call stats collect
+    "text_bm25_topk_maxdf",     # same 1-row stats broadcast (guard threshold
+                                # + contrib)
     "vec_hybrid_rrf",           # brute_force_knn broadcast query side (every
                                 # 100th embedding — bounded by construction)
     "vec_mmr_rerank",           # same brute_force_knn query-side broadcast;
@@ -197,37 +202,24 @@ BROADCAST_HINT_OK = {
         "same bounded workload/df broadcasts — both phases' probes of "
         "the tombstoned-then-purged-then-re-ingested index"
     ),
-    "vec_hybrid_rrf": (
-        "lexical query terms from every-100th doc (bounded sample) + "
-        "per-term df table + brute_force_knn's bounded query side"
-    ),
+    # r13: the hybrid/e2e retrieval composites pin their channels with
+    # eager localCheckpoints (channels run concurrently, the fuse
+    # consumes materialized k-row relations), so their bounded
+    # workload/df/cell broadcasts sit UPSTREAM of the lineage cut and
+    # no longer show as ResolvedHint in the final analyzed plan — they
+    # are covered by the source-level census (BROADCAST_SITES) instead,
+    # like the other checkpoint-hidden sites.
     "vec_mmr_rerank": (
         "brute_force_knn's bounded query side (every 100th embedding); "
         "everything downstream is the k-pool candidate relation"
-    ),
-    "vec_hybrid_rrf_ann": (
-        "same bounded lexical workload/df broadcasts as vec_hybrid_rrf "
-        "+ the stored-IVF probe's cell/probe tables (k rows)"
     ),
     "vec_mmr_rerank_ivf": (
         "stored-IVF probe's cell/probe tables (k rows); downstream is "
         "the k-pool candidate relation"
     ),
-    "retrieval_e2e_stored": (
-        "bounded lexical workload/df broadcasts (stored-postings probe) "
-        "+ stored-IVF cell/probe tables (k rows)"
-    ),
-    "retrieval_e2e_stored_fixedq": (
-        "same bounded broadcasts as retrieval_e2e_stored, fixed "
-        "50-query workload"
-    ),
     "text_bm25_topk_maxdf": (
         "same bounded workload/df broadcasts as text_bm25_topk + the "
         "per-query dropped-term census (≤ |workload| rows)"
-    ),
-    "vec_hybrid_rrf_ann_fixedq": (
-        "same bounded broadcasts as vec_hybrid_rrf_ann, fixed 50-query "
-        "workload"
     ),
     "vec_knn_bruteforce": "query side (fixed 1% id sample, bounded)",
     "vec_ann_srp_bucketed": "query side (fixed 1% id sample, bounded)",
@@ -416,7 +408,7 @@ BROADCAST_SITES = {
     ),
     "queries/text.py": (1, "constant in-code lexicon table"),
     "operators/retrieval.py": (
-        15,
+        19,
         "BM25's query-term table (a query workload, small by "
         "contract), the per-query-term df table (≤ |workload terms| "
         "rows), 3 sites each in bm25_scores and bm25_probe_postings; "
@@ -428,7 +420,11 @@ BROADCAST_SITES = {
         "anti-join — the same bounds as the other three sinks); +5 in "
         "bm25_scores_max_df (the same workload/df-table bounds plus "
         "the pre-guard df table, its dropped subset, and the ≤|queries|"
-        "-row census — all capped by the query workload)",
+        "-row census — all capped by the query workload); +4 r13 "
+        "1-row _corpus_stats_rel broadcasts (the in-plan N/avgdl "
+        "relation that replaced the eager per-call stats collect: "
+        "contrib cross-join + max_df threshold in bm25_scores, "
+        "threshold + contrib in bm25_scores_max_df)",
     ),
     "queries/retrieval.py": (
         1,
