@@ -117,8 +117,7 @@ def minhash_signatures(
     scales to 100 TB of documents.
     """
     mins = _minhash_mins(df, id_col, text_col, num_hashes, shingle_n, base_hash)
-    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
-    return mins.select(F.col(id_col), sig.alias("minhash"))
+    return mins.select(F.col(id_col), F.col("__mins").alias("minhash"))
 
 
 def _minhash_mins(
@@ -129,9 +128,15 @@ def _minhash_mins(
     shingle_n: int,
     base_hash: str,
 ) -> DataFrame:
-    """Wide form of the signature: one ``__m{i}`` long column per
-    permutation (callers pick array vs per-band projections without an
-    array round-trip)."""
+    """Signature mins as ONE ``__mins`` array<bigint> column.
+
+    The 64 per-permutation aggregates are assembled as a single SQL
+    string parsed server-side by one ``F.expr`` call: building them as
+    Python Column objects cost ~5 py4j round trips per permutation
+    (~320 per call site), and a py4j round trip measures ~2-3 ms in
+    this environment — plan CONSTRUCTION alone was a measured multi-
+    second cost per bench rep for the minhash family (guide §1:
+    measure first; the cost was on the driver, not in any stage)."""
     # Repartition by id BEFORE the tokenize/shingle/hash map work: a
     # single-file local scan is one partition, which would serialize
     # the whole CPU-heavy stage on one core. The partition count is
@@ -159,13 +164,19 @@ def _minhash_mins(
     )
     # Plain % (not pmod): every operand is non-negative (__h ∈ [0,p),
     # a>0, b≥0), so remainder == pmod without pmod's sign branch —
-    # measured ~15% off the 64-permutation aggregate.
-    return hashed.groupBy(id_col).agg(
-        *[
-            F.min((F.col("__h") * a[i] + b[i]) % _MINHASH_PRIME).alias(f"__m{i}")
+    # measured ~15% off the 64-permutation aggregate. The array-of-
+    # aggregates form is the same hash aggregate (one min accumulator
+    # per permutation, map-side combine) with the array assembled in
+    # the agg's result projection.
+    mins_sql = (
+        "array("
+        + ",".join(
+            f"min((__h * {a[i]} + {b[i]}) % {_MINHASH_PRIME})"
             for i in range(num_hashes)
-        ]
+        )
+        + ")"
     )
+    return hashed.groupBy(id_col).agg(F.expr(mins_sql).alias("__mins"))
 
 
 def minhash_lsh_pairs(
@@ -295,25 +306,30 @@ def _minhash_banded(
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
     mins = _minhash_mins(df, id_col, text_col, num_hashes, shingle_n, base_hash)
-
-    def band_expr(b: int) -> Column:
-        joined = F.concat_ws(
-            ",", *[F.col(f"__m{b * r + j}").cast("string") for j in range(r)]
-        )
-        # band_key="concat" keeps the raw string (has an exact SQL
-        # twin for the oracle variant); "hash" shrinks the shuffle key
-        # to 8 bytes — the default at scale.
-        return joined if band_key == "concat" else F.xxhash64(joined)
-
     bands_df = mins.select(
-        id_col, *[band_expr(b).alias(f"__b{b}") for b in range(bands)]
+        id_col, F.expr(_band_array_sql(bands, r, band_key)).alias("__bands")
     ).localCheckpoint(eager=False)
     return bands_df.select(
         id_col,
-        F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(bands)])).alias(
-            "band_idx", "band_hash"
-        ),
+        F.posexplode(F.col("__bands")).alias("band_idx", "band_hash"),
     )
+
+
+def _band_array_sql(bands: int, r: int, band_key: str) -> str:
+    """SQL for the per-doc band-key array over the ``__mins`` signature
+    array (one ``F.expr`` parse instead of ~6 py4j round trips per
+    band — see _minhash_mins). band_key="concat" keeps the raw joined
+    string (has an exact SQL twin for the oracle variant); "hash"
+    shrinks the shuffle key to 8 bytes — the default at scale."""
+    per_band = [
+        "concat_ws(','"
+        + "".join(f", cast(__mins[{b * r + j}] as string)" for j in range(r))
+        + ")"
+        for b in range(bands)
+    ]
+    if band_key != "concat":
+        per_band = [f"xxhash64({e})" for e in per_band]
+    return "array(" + ",".join(per_band) + ")"
 
 
 def minhash_band_index(
@@ -365,17 +381,10 @@ def lsh_band_bucket_stats(
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
     mins = _minhash_mins(df, id_col, text_col, num_hashes, shingle_n, base_hash)
-
-    def band_expr(b: int) -> Column:
-        joined = F.concat_ws(
-            ",", *[F.col(f"__m{b * r + j}").cast("string") for j in range(r)]
-        )
-        return joined if band_key == "concat" else F.xxhash64(joined)
-
     banded = mins.select(
         id_col,
         F.posexplode(
-            F.array(*[band_expr(b).alias(f"__b{b}") for b in range(bands)])
+            F.expr(_band_array_sql(bands, r, band_key))
         ).alias("band_idx", "band_hash"),
     )
     cap = F.lit(max_bucket_size if max_bucket_size is not None else None)
@@ -435,23 +444,32 @@ def _simhash_banded(
         h = F.conv(F.substring(F.md5(F.col("__w")), 1, 15), 16, 10).cast("long")
     else:
         h = F.xxhash64(F.col("__w"))
-    votes = exploded.select(F.col(id_col), h.alias("__h")).groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(
-                f"__s{b}"
-            )
-            for b in range(sig_bits)
-        ],
+    # The per-bit vote sums and the signature fold are assembled as
+    # TWO SQL strings parsed server-side by one F.expr each: built as
+    # Python Column objects they cost ~14 py4j round trips per bit
+    # (~900 per call site at ~2.5 ms each — multi-second driver-side
+    # plan construction; see _minhash_mins for the measurement). The
+    # parsed expressions are identical — same sum aggregates (map-side
+    # combine), same long-typed CASE/bitwise-OR fold, same values.
+    votes_sql = (
+        "array("
+        + ",".join(f"sum(shiftright(__h, {b}) & 1)" for b in range(sig_bits))
+        + ")"
     )
-    sig = F.lit(0).cast("long")
-    for b in range(sig_bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"__s{b}") * 2 > F.col("__n"),
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
+    votes = (
+        exploded.select(F.col(id_col), h.alias("__h"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.expr(votes_sql).alias("__sv"),
         )
+    )
+    sig = F.expr(
+        " | ".join(
+            f"(case when __sv[{b}] * 2 > __n then shiftleft(1L, {b}) else 0L end)"
+            for b in range(sig_bits)
+        )
+    )
     # Token-less docs (empty/whitespace text) vote to signature 0 —
     # the explode drops them, so join them back with sig 0.
     signed = (
