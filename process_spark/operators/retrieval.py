@@ -77,33 +77,42 @@ def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _corpus_stats_rel(docs: DataFrame, dtf: DataFrame) -> DataFrame:
+def _corpus_stats_rel(docs: DataFrame, text_col: str) -> DataFrame:
     """1-row ``(__n, __avgdl)`` corpus-stats relation, broadcast-cross-
     joined into the scoring plan instead of collected to the driver.
 
-    Two exactness identities make this a pure plan transformation:
-    Σdl = Σtf over the pinned (doc, term) relation EXACTLY (the
-    per-(doc, tok) groupBy conserves token counts, and a zero-token doc
-    contributes 0 either way — the identity write_postings_index's
-    stats delta already relies on), and N is a tokenize-free COUNT(*)
-    of ``docs``. Both are the same integers the old eager helper
-    collected, and the ONE IEEE division producing avgdl now simply
-    runs inside the plan on the identical operands — identical bits.
+    Computed in ONE map-only pass over ``docs``: N = COUNT(*) and
+    Σdl = Σ size(tokens(text)) ride the same aggregate, so the stats
+    consumer never touches the (doc, term) relation. Two exactness
+    identities make this a pure plan transformation: Σ size(toks) per
+    doc equals Σtf over the per-(doc, tok) aggregation EXACTLY (the
+    groupBy conserves token counts, and a zero-token doc contributes 0
+    either way — the identity write_postings_index's stats delta
+    already relies on), and both integers are the same the old eager
+    helper collected; the ONE IEEE division producing avgdl runs
+    inside the plan on the identical operands — identical bits.
 
-    Why in-plan (guide §1.2 order-1, §5 driver): the eager collect was
-    one full driver-synchronized job per kernel call *before* the
-    query's own job — at bench scale that is a fixed ~0.3-0.5 s tax
-    per call, and on a cluster it is an extra full barrier. Degenerate
-    0-doc corpora make ``__avgdl`` NaN (0/0) — never read, since no
+    Why map-only (guide §2.3/§2.4): the previous form aggregated
+    Σtf over the FULL (doc, term) relation, which forced the whole
+    corpus VOCABULARY through the tokenize → explode → hash-agg
+    exchange once per kernel call — the exact full-vocabulary shuffle
+    the query-terms-first design exists to avoid, smuggled back in by
+    the stats consumer. Summing token-array sizes needs no explode and
+    no (doc, tok) exchange: one scan, one 1-row agg.
+
+    Why in-plan (guide §1.2 order-1, §5 driver): the original eager
+    collect was one full driver-synchronized job per kernel call
+    *before* the query's own job — at bench scale a fixed ~0.3-0.5 s
+    tax per call, on a cluster an extra full barrier. Degenerate 0-doc
+    corpora make ``__avgdl`` NaN (0/0) — never read, since no
     (doc, term) hit row exists to score."""
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    sdl = dtf.agg(
-        F.coalesce(F.sum("tf"), F.lit(0)).cast("double").alias("__sdl")
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.coalesce(F.sum(F.size(tokens(text_col))), F.lit(0))
+        .cast("double")
+        .alias("__sdl"),
     )
-    return (
-        n.join(sdl)
-        .select("__n", (F.col("__sdl") / F.col("__n")).alias("__avgdl"))
-    )
+    return agg.select("__n", (F.col("__sdl") / F.col("__n")).alias("__avgdl"))
 
 
 def bm25_contrib_e6(
@@ -173,7 +182,7 @@ def bm25_scores(
     hit = dtf.join(F.broadcast(terms), "tok", "left_semi")
     df_t = hit.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
 
-    stats = _corpus_stats_rel(docs, dtf)
+    stats = _corpus_stats_rel(docs, text_col)
     if max_df_fraction is not None:
         # the guard compares against the SAME N the broadcast carries —
         # one IEEE multiply of identical operands on both engines
@@ -236,7 +245,7 @@ def bm25_scores_max_df(
         .agg(F.countDistinct("doc_id").alias("df"))
         .localCheckpoint(eager=False)  # lazy: no standalone driver job
     )
-    stats = _corpus_stats_rel(docs, dtf)
+    stats = _corpus_stats_rel(docs, text_col)
     # threshold rides the 1-row stats broadcast — one IEEE multiply of
     # identical operands per comparison, same drop set on both engines
     df_thr = df_all.join(F.broadcast(stats)).select(
@@ -538,9 +547,14 @@ def write_postings_index(
         .partitionBy("term_bucket")
         .parquet(data_path)
     )
+    # n_docs rides the same plan as the Σtf fold (1-row cross join of
+    # two 1-row aggregates) instead of a separate eager docs.count() —
+    # one stats-write job, not a count barrier plus a write (guide §5:
+    # the driver should do almost no data work; the integers are
+    # identical either way).
     batch = (
         pidx.agg(F.sum("tf").cast("long").alias("sum_dl"))
-        .withColumn("n_docs", F.lit(docs.count()).cast("long"))
+        .join(docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
         .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
         .select("n_docs", F.coalesce("sum_dl", F.lit(0)).alias("sum_dl"),
                 "n_buckets")
@@ -589,33 +603,75 @@ def bm25_probe_postings(
     (:func:`postings_skew_report` / ``text_postings_skew_report``)
     keeps the cap observable; the per-query dropped-term count rides
     :func:`bm25_scores_max_df` for the kernel path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from process_spark.operators.fsutil import fs_exists
+
+    # Pinned lazily: the bucket collect below materializes the query-
+    # term derivation ONCE; the two broadcast builds in the scoring
+    # plan then read the pinned rows instead of re-executing it (in the
+    # query-by-example composites qt is itself a join + explode over
+    # documents — three re-executions otherwise).
     qt = (
         query_terms.select("query_id", F.col("term").alias("tok"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    buckets = sorted(
-        r["b"]
-        for r in qt.select(
-            F.pmod(F.hash("tok"), F.lit(n_buckets)).cast("int").alias("b")
+
+    # Three independent driver-synchronized lookups gate the probe
+    # plan: the bounded bucket IN-set, the 1-row stats fold, and the
+    # tombstone adjustment. They share no state — overlap them
+    # (guide §2.6) so the probe pays the slowest, not the sum.
+    def _buckets() -> list[int]:
+        return sorted(
+            r["b"]
+            for r in qt.select(
+                F.pmod(F.hash("tok"), F.lit(n_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
-    # Two sidecar layouts share this reader: the batch lifecycle's
-    # single accumulated row, and the streaming layout's one row PER
-    # ingested batch (partitionBy(batch_id) — replay overwrites its own
-    # row). Integer-summing the rows is exact either way, and the one
-    # IEEE division lands both engines on the identical avgdl.
-    stats = (
-        spark.read.parquet(posixpath.join(path, "_stats"))
-        .agg(
-            F.sum("n_docs").alias("n"),
-            F.sum("sum_dl").alias("sdl"),
-            F.min("n_buckets").alias("nb_min"),
-            F.max("n_buckets").alias("nb_max"),
+
+    def _stats():
+        # Two sidecar layouts share this reader: the batch lifecycle's
+        # single accumulated row, and the streaming layout's one row
+        # PER ingested batch (partitionBy(batch_id) — replay overwrites
+        # its own row). Integer-summing the rows is exact either way,
+        # and the one IEEE division lands both engines on the identical
+        # avgdl.
+        return (
+            spark.read.parquet(posixpath.join(path, "_stats"))
+            .agg(
+                F.sum("n_docs").alias("n"),
+                F.sum("sum_dl").alias("sdl"),
+                F.min("n_buckets").alias("nb_min"),
+                F.max("n_buckets").alias("nb_max"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+
+    def _tomb():
+        tomb_dir = posixpath.join(path, "_tombstones")
+        if not fs_exists(spark, tomb_dir):
+            return 0, 0, None
+        tomb = (
+            spark.read.parquet(tomb_dir).select("doc_id", "dl").distinct()
+        )
+        trow = tomb.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        ).collect()[0]
+        n, sdl = int(trow["n"] or 0), int(trow["sdl"] or 0)
+        return n, sdl, (tomb.select("doc_id") if n else None)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_b, f_s, f_t = (
+            pool.submit(_buckets),
+            pool.submit(_stats),
+            pool.submit(_tomb),
+        )
+        buckets, stats = f_b.result(), f_s.result()
+        n_del, sdl_del, tomb_ids = f_t.result()
+
     # Bucket-count mismatch = silently wrong pruning (query terms would
     # be looked up in partitions the writer never used) — fail loudly.
     if stats["nb_min"] is not None and (
@@ -626,18 +682,6 @@ def bm25_probe_postings(
             f"{stats['nb_min']}..{stats['nb_max']}, probe requested "
             f"{n_buckets}"
         )
-    tomb_dir = posixpath.join(path, "_tombstones")
-    n_del, sdl_del, tomb_ids = 0, 0, None
-    from process_spark.operators.fsutil import fs_exists
-
-    if fs_exists(spark, tomb_dir):
-        tomb = spark.read.parquet(tomb_dir).select("doc_id", "dl").distinct()
-        trow = tomb.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
-        ).collect()[0]
-        n_del, sdl_del = int(trow["n"] or 0), int(trow["sdl"] or 0)
-        if n_del:
-            tomb_ids = tomb.select("doc_id")
 
     n_docs = int(stats["n"] or 0) - n_del
     if n_docs <= 0:

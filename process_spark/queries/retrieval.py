@@ -750,20 +750,31 @@ def _stored_ivf_knn(
     # refinement chain runs once, not per consumer.
     cells = cells.localCheckpoint(eager=True)
     path = _os.path.join(_scratch(), scratch_name)
-    assignments.repartition(8, F.col("cell_id")).write.mode(
-        "overwrite"
-    ).partitionBy("cell_id").parquet(path)
-    stored = spark.read.parquet(path)
     q = e2.filter(F.expr(qfilter)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    probed = sorted(  # bounded: cell domain is n_cells=8
-        r["cell_id"]
-        for r in ivf_probe_cells(cells, q, n_probe=2)
-        .select("cell_id")
-        .distinct()
-        .collect()
-    )
+
+    # The index write and the probe-cell selection are independent once
+    # ``cells`` is pinned (the write consumes assignments, the probe
+    # consumes cells + the bounded query sample) — run them as two
+    # concurrent jobs (guide §2.6) instead of serializing two driver
+    # barriers.
+    def _write() -> None:
+        assignments.repartition(8, F.col("cell_id")).write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(path)
+
+    def _probe() -> list[int]:
+        return sorted(  # bounded: cell domain is n_cells=8
+            r["cell_id"]
+            for r in ivf_probe_cells(cells, q, n_probe=2)
+            .select("cell_id")
+            .distinct()
+            .collect()
+        )
+
+    _, probed = _eager_channels(_write, _probe)
+    stored = spark.read.parquet(path)
     pruned = stored.filter(F.col("cell_id").isin(probed))
     return ivf_search(q, cells, pruned, k=k, n_probe=2)
 
