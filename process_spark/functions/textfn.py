@@ -7,17 +7,42 @@ fingerprints — so they run JVM-side over 100 TB of documents.
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: Plain-identifier guard for the single-parse fast paths: only bare
+#: column names take the F.expr route (anything qualified, quoted or
+#: derived falls back to the Column-building form).
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _c(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+@lru_cache(maxsize=256)
+def _tokens_expr(name: str) -> Column:
+    return F.expr(
+        f"filter(split(lower(`{name}`), '[^a-z0-9]+'), "
+        "__t -> length(__t) > 0)"
+    )
+
+
 def tokens(text: Column | str) -> Column:
     """O73 — lowercase word tokens (splits on non-alphanumeric runs,
-    drops empty strings)."""
+    drops empty strings).
+
+    For a bare column NAME the expression is assembled as one SQL
+    string parsed server-side (and memoized — Column objects are
+    immutable plan fragments, safely shared across plans): the
+    HOF-with-Python-lambda form costs ~10 py4j round trips of driver
+    time per construction (~20 ms here, guide §7.3), and this is the
+    engine's single most-constructed expression."""
+    if isinstance(text, str) and _IDENT.match(text):
+        return _tokens_expr(text)
     return F.filter(
         F.split(F.lower(_c(text)), r"[^a-z0-9]+"), lambda t: F.length(t) > 0
     )
@@ -58,16 +83,24 @@ def word_ngrams(toks: Column | str, n: int = 3) -> Column:
     )
 
 
-def quality_signals(text: Column | str) -> dict[str, Column]:
+def quality_signals(
+    text: Column | str, toks: Column | str | None = None
+) -> dict[str, Column]:
     """Quality-scoring signals (contract: training-data pipeline).
 
     Returns named expressions; callers select the ones they need:
     length, token count, mean word length, punctuation ratio, digit
     ratio, uppercase ratio, stopword ratio (small English lexicon).
-    """
+
+    ``toks``: optionally a PRE-PROJECTED token-array column. The token
+    expression is embedded several times across the returned signals;
+    selecting them in one flat projection re-runs the tokenize once
+    per embedding (HOFs get no common-subexpression elimination), so a
+    caller that projects ``tokens(text)`` first and passes the column
+    name pays ONE tokenize per row."""
     t = _c(text)
     n = F.length(t).cast("double")
-    toks = tokens(t)
+    toks = tokens(t) if toks is None else _c(toks)
     stop = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
     return {
@@ -113,13 +146,21 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def language_guess(text: Column | str) -> Column:
+def language_guess(
+    text: Column | str, toks: Column | str | None = None
+) -> Column:
     """Heuristic language-ID (contract op): CJK-codepoint test for zh,
     else argmax of marker-word hits across the Latin languages.
     Deliberately simple and deterministic; the engine treats it as a
-    feature column, not ground truth."""
+    feature column, not ground truth.
+
+    ``toks``: optionally a pre-projected token-array column — the
+    marker scan embeds the token expression once per language, so
+    passing a column makes that 4 array scans of one materialized
+    array instead of 4 tokenizes (same contract as
+    :func:`quality_signals`)."""
     t = _c(text)
-    toks = tokens(t)
+    toks = tokens(t) if toks is None else _c(toks)
     has_cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", "")) > 0
     scores = []
     for lang, markers in _LANG_MARKERS.items():

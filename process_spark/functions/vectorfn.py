@@ -10,19 +10,50 @@ Two tiers:
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+#: Bare-identifier guard for the single-parse fast paths (anything
+#: qualified/derived falls back to the Column-building HOF form).
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
 
 def _c(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def _ident(x: Column | str) -> str | None:
+    return x if isinstance(x, str) and _IDENT.match(x) else None
+
+
+# The SQL fast paths below parse the IDENTICAL expression tree in one
+# py4j round trip instead of ~12-15 (one per Column op / lambda —
+# ~30 ms of driver time per construction here, paid before any task
+# starts and unchanged on a real cluster; guide §7.3 "generating
+# gigantic expression trees in loops"). Float literals carry the D
+# suffix: a bare `0.0` parses as DECIMAL in Spark SQL and would change
+# the fold's operand types.
+
+
+@lru_cache(maxsize=512)
+def _dot_expr(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with(`{a}`, `{b}`, (__x, __y) -> __x * __y), "
+        "0.0D, (__acc, __x) -> __acc + __x)"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """O66 — dot product via zip_with + aggregate (exact expression)."""
+    an, bn = _ident(a), _ident(b)
+    if an and bn:
+        return _dot_expr(an, bn)
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -30,8 +61,19 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+@lru_cache(maxsize=512)
+def _l2_norm_expr(a: str) -> Column:
+    return F.expr(
+        f"sqrt(aggregate(transform(`{a}`, __x -> __x * __x), "
+        "0.0D, (__acc, __x) -> __acc + __x))"
+    )
+
+
 def l2_norm(a: Column | str) -> Column:
     """O65 — Euclidean norm."""
+    an = _ident(a)
+    if an:
+        return _l2_norm_expr(an)
     return F.sqrt(
         F.aggregate(
             F.transform(_c(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -43,6 +85,14 @@ def l2_normalize(a: Column | str) -> Column:
     """Unit-length vector (null-safe on zero vectors)."""
     n = l2_norm(a)
     return F.when(n > 0, F.transform(_c(a), lambda x: x / n))
+
+
+@lru_cache(maxsize=512)
+def _unit_with_expr(a: str, norm: str) -> Column:
+    return F.expr(
+        f"CASE WHEN (`{norm}` > 0) THEN "
+        f"transform(`{a}`, __x -> __x / `{norm}`) END"
+    )
 
 
 def unit_with(a: Column | str, norm: Column | str) -> Column:
@@ -57,6 +107,9 @@ def unit_with(a: Column | str, norm: Column | str) -> Column:
     A plain ``/`` would raise DIVIDE_BY_ZERO under Spark 4's default
     ANSI mode — one degenerate embedding in a 100 TB corpus must not
     abort the job. Callers exclude NULL unit vectors from scoring."""
+    an, nn = _ident(a), _ident(norm)
+    if an and nn:
+        return _unit_with_expr(an, nn)
     return F.when(_c(norm) > 0, F.transform(_c(a), lambda x: x / _c(norm)))
 
 

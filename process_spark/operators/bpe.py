@@ -121,7 +121,7 @@ def bpe_train(
     deterministic cut). Returns the rank-ordered merge list
     ``[(left, right), ...]``."""
     wf = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("word").asc())
@@ -217,7 +217,7 @@ def bpe_doc_token_counts(
     doc reports (n_words=0, n_bpe_tokens=0). A budget report that
     loses rows undercounts corpus coverage, not just tokens."""
     toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
     )
     vocab = toks.select("word").distinct()
     encoded = bpe_encode_words(vocab, merges).select("word", "n_pieces")

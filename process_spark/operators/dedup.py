@@ -438,7 +438,7 @@ def _simhash_banded(
         eager=False
     )
     exploded = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+        F.col(id_col), F.explode(tokens(text_col)).alias("__w")
     )
     if base_hash == "md5":
         h = F.conv(F.substring(F.md5(F.col("__w")), 1, 15), 16, 10).cast("long")
@@ -600,7 +600,7 @@ def jaccard_pairs(
         df.repartition(n_part, F.col(id_col))  # parallelize tokenization
         .select(
             F.col(id_col),
-            F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+            F.array_distinct(tokens(text_col)).alias("__toks"),
             *([F.col(block_col)] if block_col else []),
         )
         .localCheckpoint(eager=False)  # tokenize once, not per join side
@@ -665,7 +665,7 @@ def jaccard_pairs_with_census(
         df.repartition(n_part, F.col(id_col))
         .select(
             F.col(id_col),
-            F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+            F.array_distinct(tokens(text_col)).alias("__toks"),
             F.col(block_col),
         )
         .localCheckpoint(eager=False)

@@ -126,10 +126,36 @@ def bm25_contrib_e6(
         denom  = tf + k1 * ((1 - b) + b * (dl / avgdl))
         contrib = idf * ((tf * (k1 + 1)) / denom)
 
-    ``n_docs`` / ``avgdl`` are either Python scalars (the stored-probe
-    path, where they come from the ``_stats`` sidecar) or Columns from
-    the 1-row :func:`_corpus_stats_rel` broadcast (the kernel path) —
-    the expression tree is identical either way."""
+    ``n_docs`` / ``avgdl`` are Python scalars (the stored-probe path,
+    where they come from the ``_stats`` sidecar), bare column NAMES
+    ("__n"/"__avgdl" from the 1-row :func:`_corpus_stats_rel`
+    broadcast — the kernel path), or Columns — the expression tree is
+    identical in every case.
+
+    For scalar/name operands the whole formula is assembled as ONE SQL
+    string parsed server-side (~15 Column ops ≈ ~30 py4j round trips of
+    driver time per construction otherwise — guide §7.3). Constants are
+    Python-evaluated and repr-inlined with the D suffix (repr
+    round-trips exactly; a bare SQL float literal would parse as
+    DECIMAL), so the parsed literals are bit-identical to the
+    F.lit doubles of the Column form."""
+    if not isinstance(n_docs, Column) and not isinstance(avgdl, Column):
+        n_s = (
+            f"`{n_docs}`"
+            if isinstance(n_docs, str)
+            else f"{float(n_docs)!r}D"
+        )
+        avg_s = (
+            f"`{avgdl}`" if isinstance(avgdl, str) else f"{float(avgdl)!r}D"
+        )
+        return F.expr(
+            f"CAST(FLOOR(("
+            f"ln((((({n_s} - `{df}`) + 0.5D) / (`{df}` + 0.5D)) + 1.0D))"
+            f" * ((`{tf}` * {k1 + 1.0!r}D)"
+            f" / (`{tf}` + {float(k1)!r}D"
+            f" * ({1.0 - b!r}D + {float(b)!r}D * (`{dl}` / {avg_s}))))"
+            f") * {float(SCORE_SCALE)!r}D + 0.5D) AS BIGINT)"
+        )
     n_c = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
     avg_c = avgdl if isinstance(avgdl, Column) else F.lit(float(avgdl))
     idf = F.log(((n_c - F.col(df) + 0.5) / (F.col(df) + 0.5)) + 1.0)
@@ -201,7 +227,7 @@ def bm25_scores(
             "query_id",
             "doc_id",
             bm25_contrib_e6(
-                "tf", "df", "dl", F.col("__n"), F.col("__avgdl"), k1, b
+                "tf", "df", "dl", "__n", "__avgdl", k1, b
             ).alias("contrib_e6"),
         )
     )
@@ -285,7 +311,7 @@ def bm25_scores_max_df(
             "query_id",
             "doc_id",
             bm25_contrib_e6(
-                "tf", "df", "dl", F.col("__n"), F.col("__avgdl"), k1, b
+                "tf", "df", "dl", "__n", "__avgdl", k1, b
             ).alias("contrib_e6"),
         )
     )

@@ -64,7 +64,7 @@ def brute_force_knn(
         corpus = corpus.select(
             corpus_id, l2_norm(corpus_vec).alias("__cn"), F.col(corpus_vec)
         ).select(corpus_id, unit_with(corpus_vec, "__cn").alias(corpus_vec))
-    score = dot(F.col(query_vec), F.col(corpus_vec))
+    score = dot(query_vec, corpus_vec)
     scored = corpus.join(F.broadcast(queries)).select(
         F.col(query_id), F.col(corpus_id), score.alias("score")
     )
@@ -383,7 +383,7 @@ def _assign_cells(
         corpus_id,
         vec_col,
         "cell_id",
-        dot(F.col(vec_col), F.col("centroid")).alias("__sim"),
+        dot(vec_col, "centroid").alias("__sim"),
     )
     w = Window.partitionBy(corpus_id).orderBy(
         F.col("__sim").desc(), F.col("cell_id").asc()
@@ -507,7 +507,7 @@ def ivf_probe_cells(
             query_id,
             query_vec,
             "cell_id",
-            dot(F.col(query_vec), F.col("centroid")).alias("__sim"),
+            dot(query_vec, "centroid").alias("__sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -557,7 +557,7 @@ def ivf_search(
     cand = ucand.join(F.broadcast(probes), on="cell_id").select(
         query_id,
         corpus_id,
-        dot(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        dot(query_vec, corpus_vec).alias("score"),
     )
     # NaN-nulled ordering + post-window NaN filter: same degenerate-
     # input rule as brute_force_knn (NaN would sort above every real
@@ -611,7 +611,7 @@ def soft_assign_cells(
             corpus_id,
             vec_col,
             "cell_id",
-            dot(F.col(vec_col), F.col("centroid")).alias("__score"),
+            dot(vec_col, "centroid").alias("__score"),
         )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_assign)
@@ -685,7 +685,7 @@ def ivf_tune_n_probe(
             query_id,
             query_vec,
             "cell_id",
-            dot(F.col(query_vec), F.col("centroid")).alias("__sim"),
+            dot(query_vec, "centroid").alias("__sim"),
         )
         .withColumn("probe_rank", F.row_number().over(wp))
         .select(query_id, query_vec, "cell_id", "probe_rank")
@@ -705,7 +705,7 @@ def ivf_tune_n_probe(
             query_id,
             corpus_id,
             F.col("probe_rank"),
-            dot(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+            dot(query_vec, corpus_vec).alias("score"),
         )
         .filter(F.col("score").isNotNull() & ~F.isnan("score"))
         .localCheckpoint(eager=False)  # one scoring pass feeds every rung
@@ -798,7 +798,7 @@ def ivf_search_arrow(
         query_id,
         query_vec,
         "cell_id",
-        dot(F.col(query_vec), F.col("centroid")).alias("__sim"),
+        dot(query_vec, "centroid").alias("__sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("__sim").desc(), F.col("cell_id").asc()
@@ -1476,7 +1476,7 @@ def pq_search(
         .select(
             query_id,
             corpus_id,
-            dot(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+            dot(query_vec, corpus_vec).alias("score"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(

@@ -71,7 +71,7 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.explode(
-                F.array_distinct(word_ngrams(tokens(F.col("text")), 3))
+                F.array_distinct(word_ngrams(tokens("text"), 3))
             ).alias("shingle"),
         )
         .localCheckpoint(eager=False)
@@ -365,7 +365,11 @@ def pipeline_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-joined on doc_id; counts stay integers until one final division,
     so both engines land on identical doubles."""
     d = t(spark, sf_dir, "documents")
-    tk = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # Lazy pin: both signal branches (token counts, 2-gram counts)
+    # explode the same token array — unpinned, each re-tokenized.
+    tk = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
     tok_stats = (
         tk.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -460,22 +464,78 @@ def _quality_reason_expr() -> "F.Column":
     )
 
 
+def _cascade_metrics(d: DataFrame) -> DataFrame:
+    """The cascade queries' fused per-doc signal projection
+    ``(doc_id, lang, source, text, nc, n_tokens, n_distinct,
+    mean_token_len, n_sh, n_dup)`` — layered so the token array and the
+    3-gram shingle array are each computed ONCE per row. A single flat
+    projection inlined the tokenize into every metric (measured: 21
+    evaluations per row in the cascade plans — HOFs get no
+    common-subexpression elimination); the multiply-referenced
+    non-cheap ``__toks``/``__sh`` aliases keep CollapseProject from
+    folding the layers back together (guide §1.2 order-2 per-task
+    work)."""
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.length("text").alias("nc"),
+        tokens("text").alias("__toks"),
+    )
+    shp = base.select("*", word_ngrams("__toks", 3).alias("__sh"))
+    return shp.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "nc",
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct"),
+        F.when(
+            F.size("__toks") > 0,
+            F.aggregate(
+                "__toks", F.lit(0), lambda a, w: a + F.length(w)
+            ).cast("double")
+            / F.size("__toks"),
+        ).alias("mean_token_len"),
+        F.size("__sh").cast("long").alias("n_sh"),
+        (F.size("__sh") - F.size(F.array_distinct("__sh")))
+        .cast("long")
+        .alias("n_dup"),
+    )
+
+
 def _quality_metrics(d: DataFrame, *extra_cols: str) -> DataFrame:
     """Per-doc quality metric projection feeding _quality_reason_expr
-    (one scan, pure per-row expressions)."""
-    toks = tokens(F.col("text"))
-    return d.select(
+    (one scan, pure per-row expressions).
+
+    The token array is projected ONCE in a sub-projection and the
+    metrics reference the column: inlining ``tokens("text")`` into
+    each metric re-ran the split per metric (measured: 5 evaluations
+    per row in the optimized plan — HOFs get no common-subexpression
+    elimination, and CollapseProject keeps the two projections apart
+    because the alias is non-cheap and multiply-referenced). One
+    interpreted tokenize per row instead of five is a per-task win at
+    any scale (guide §1.2 order-2)."""
+    sig = d.select(
         "doc_id",
         *extra_cols,
         F.length("text").alias("nc"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        tokens("text").alias("__toks"),
+    )
+    return sig.select(
+        "doc_id",
+        *extra_cols,
+        "nc",
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct"),
         F.when(
-            F.size(toks) > 0,
-            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast(
-                "double"
-            )
-            / F.size(toks),
+            F.size("__toks") > 0,
+            F.aggregate(
+                "__toks", F.lit(0), lambda a, w: a + F.length(w)
+            ).cast("double")
+            / F.size("__toks"),
         ).alias("mean_token_len"),
     )
 
@@ -566,7 +626,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = d.select(
         "doc_id",
         "source",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("source")
@@ -646,7 +706,7 @@ def pipeline_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFra
         # integer `div`, NOT double `/`+cast: float division truncates
         # toward zero for negative ids and loses exactness above 2^53
         F.expr(f"doc_id div {_PACK_SHARD_SPAN}").alias("shard"),
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
     )
     w_in = (
         Window.partitionBy("source", "shard")
@@ -738,11 +798,13 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions are single IEEE ops on identical operands, so the kept
     id set is bit-stable cross-engine."""
     d = t(spark, sf_dir, "documents")
+    # Lazy pin: tk feeds the per-language rate aggregate AND the keep
+    # pass — unpinned, the corpus tokenized once per consumer.
     tk = d.select(
         "doc_id",
         "lang",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
     g = tk.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
     tot = g.agg(
         F.sum("lang_tokens").cast("double").alias("total"),
@@ -791,7 +853,7 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     g = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
     )
     tot = g.agg(
         F.sum("n_tokens").alias("__total"), F.count(F.lit(1)).alias("__n_langs")
@@ -915,10 +977,15 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack variant is the drop-in when one source stream outgrows a
     task)."""
     d = t(spark, sf_dir, "documents")
+    # Lazy pin: the keep filter otherwise pushes the whole quality
+    # CASE (9 tokenize evaluations) below the metric projection, and
+    # the kept relation feeds three consumers (band join, CC vertex
+    # set, keeper ranking) that each re-ran the gate from the scan.
     kept_ids = (
         pipeline_quality_filter(spark, sf_dir)
         .filter(F.col("keep"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     kept = d.join(kept_ids, "doc_id")
     edges = minhash_lsh_pairs(
@@ -946,7 +1013,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ktk = keepers.join(d, "doc_id").select(
         "doc_id",
         "source",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
     )
     w_off = (
         Window.partitionBy("source")
@@ -1034,18 +1101,21 @@ def pipeline_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines)."""
     d = t(spark, sf_dir, "documents")
     ref = d.filter(F.col("doc_id") % 5 == 0).select(
-        F.explode(tokens(F.col("text"))).alias("tok")
+        F.explode(tokens("text")).alias("tok")
     )
+    # Lazy pin: vocab feeds the 1-row totals AND the scoring join —
+    # unpinned, the reference cohort tokenized once per consumer.
     vocab = (
         ref.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
+        .localCheckpoint(eager=False)
     )
     tot = vocab.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_cov"),
         F.count(F.lit(1)).alias("v"),
     )
-    tk = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     lp = (
         tk.crossJoin(F.broadcast(tot))
         .join(vocab, "tok", "left")
@@ -1142,8 +1212,14 @@ def pipeline_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with zero tokens have no spans and no denominator and are
     absent from the output (same rows on both engines)."""
     d = t(spark, sf_dir, "documents")
-    tkd = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") > 0
+    # Lazy pins: tkd feeds the span stage AND the final denominator
+    # join, gk feeds the duplicate census AND the coverage join —
+    # unpinned, each consumer re-ran the tokenize (and the span
+    # transform) from the scan.
+    tkd = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
     )
     gk = tkd.filter(F.size("toks") >= _SPAN_N).select(
         "doc_id",
@@ -1154,7 +1230,9 @@ def pipeline_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" md5(array_join(slice(toks, i + 1, {_SPAN_N}), ' ')) AS gk))"
             )
         ).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gk").alias("gk"))
+    ).select(
+        "doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gk").alias("gk")
+    ).localCheckpoint(eager=False)
     dup = (
         gk.groupBy("gk")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1307,7 +1385,18 @@ def pipeline_contamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs stay in the output with clean_text = '' (the doc survives
     with its remainder — even an empty one — on both engines)."""
     d = t(spark, sf_dir, "documents")
-    alltk = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    # Fan out before the CPU-bound tokenize and cut lineage after it —
+    # the same pin as pipeline_contamination_check's shingle table:
+    # the benchmark branch, the positioned-gram branch, and the
+    # reassembly tail otherwise EACH re-run the tokenize (no
+    # cross-branch subplan reuse; measured 16 tokenize evaluations in
+    # the downstream scrubbed-pack plan, 4 after the pin).
+    n_part = spark.sparkContext.defaultParallelism
+    alltk = (
+        d.repartition(n_part, F.col("doc_id"))
+        .select("doc_id", "source", tokens("text").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
     bench = (
         alltk.filter(F.col("source") == "src0")
         .select(
@@ -1384,7 +1473,11 @@ def pipeline_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     span window pass through unmodified (clean_text = original
     tokens)."""
     d = t(spark, sf_dir, "documents")
-    tkd = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # Same lazy pin as the coverage twin: tkd feeds the span stage and
+    # the reassembly tail.
+    tkd = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
     gk = tkd.filter(F.size("toks") >= _SPAN_N).select(
         "doc_id",
         F.explode(
@@ -1462,10 +1555,14 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sqrt outputs are DECIMAL(18,9)-quantized BEFORE the
     normalization sum so the sum is order-independent."""
     d = t(spark, sf_dir, "documents")
+    # Pinned lazily: the per-language table is bounded by language
+    # cardinality, and both the 1-row total and the final projection
+    # consume it — unpinned, the corpus tokenize+aggregate subtree ran
+    # once per consumer.
     g = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
-    )
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
     tot = g.agg(F.sum("n_tokens").cast("double").alias("__total"))
     s = g.crossJoin(F.broadcast(tot)).select(
         "lang",
@@ -1530,14 +1627,23 @@ def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source names); zero-token docs are excluded (an empty content
     string is not 'shared content')."""
     d = t(spark, sf_dir, "documents")
+    # Layered: token array once, then the content key and the
+    # zero-token gate reference the column (the flat form re-tokenized
+    # for the md5, the filter, and each downstream branch).
     h = (
-        d.select(
+        d.select("source", tokens("text").alias("__toks"))
+        .select(
             "source",
-            F.md5(F.array_join(tokens(F.col("text")), " ")).alias("ck"),
+            F.md5(F.array_join("__toks", " ")).alias("ck"),
+            F.size("__toks").alias("__nt"),
         )
-        .filter(F.length("ck").isNotNull() & (F.size(tokens(F.col("text"))) > 0))
+        .filter(F.length("ck").isNotNull() & (F.col("__nt") > 0))
+        .select("source", "ck")
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    # ^ lazy pin: both sides of the pair self-join consume h —
+    # unpinned, the content-key derivation ran once per side.
     a = h.select(F.col("ck"), F.col("source").alias("src_a"))
     b = h.select(F.col("ck"), F.col("source").alias("src_b"))
     return (
@@ -1657,7 +1763,7 @@ def pipeline_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFram
     # whole corpus for nothing.
     base = _quality_metrics(
         d.withColumn("n_bpe", bpe_token_count(F.col("text")).cast("long"))
-        .withColumn("ck", F.md5(F.array_join(tokens(F.col("text")), " "))),
+        .withColumn("ck", F.md5(F.array_join(tokens("text"), " "))),
         "source",
         "n_bpe",
         "ck",
@@ -1665,7 +1771,11 @@ def pipeline_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFram
         "*",
         (_quality_reason_expr() == "keep").alias("keep"),
         (F.col("n_tokens") > 0).alias("has_toks"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ lazy pin: base feeds the duplicate census AND the marked join;
+    # unpinned, the metric/content projection (tokenize + BPE count +
+    # md5) ran once per consumer, and the has_toks filter pushdown
+    # re-inlined the token expression below the projection.
     dup = (
         base.filter(F.col("has_toks"))
         .groupBy("ck")
@@ -1743,7 +1853,13 @@ def pipeline_scrubbed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = scrubbed.select(
         "doc_id", F.col("clean_text").alias("text")
     ).join(d.select("doc_id", "source"), "doc_id")
-    m = _quality_metrics(q, "source")
+    # Lazy pin between the metric projection and the gate filter:
+    # predicate pushdown otherwise substitutes the metric aliases into
+    # the filter CASE, re-tokenizing the cleaned text 9 more times per
+    # row BELOW the projection (the guide-§4.4 double-evaluation
+    # pattern, with interpreted HOFs instead of a UDF). The pinned
+    # relation is the narrow per-doc metric table — no text column.
+    m = _quality_metrics(q, "source").localCheckpoint(eager=False)
     kept = m.filter(_quality_reason_expr() == "keep").select(
         "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
     )
@@ -1878,7 +1994,7 @@ def pipeline_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.size(tokens("text")).cast("long").alias("n_words"),
         bpe_token_count(F.col("text")).cast("long").alias("n_pretokens"),
     )
     wrk = Window.partitionBy("lang", "source").orderBy("n_words", "doc_id")
@@ -2131,28 +2247,7 @@ def pipeline_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the whole report is one pass over the corpus plus one tiny
     shuffle."""
     d = t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    sh = word_ngrams(toks, 3)
-    m = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.length("text").alias("nc"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.when(
-            F.size(toks) > 0,
-            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast(
-                "double"
-            )
-            / F.size(toks),
-        ).alias("mean_token_len"),
-        F.size(sh).cast("long").alias("n_sh"),
-        (F.size(sh) - F.size(F.array_distinct(sh)))
-        .cast("long")
-        .alias("n_dup"),
-    )
+    m = _cascade_metrics(d)
     rep_frac = F.when(
         F.col("n_sh") > 0,
         F.floor(
@@ -2354,28 +2449,7 @@ def pipeline_quality_cascade_dedup(
     scrub touches only final keepers; the report aggregate stays
     map-side combined on the bounded (lang, source) domain."""
     d = t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    sh = word_ngrams(toks, 3)
-    m = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.length("text").alias("nc"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.when(
-            F.size(toks) > 0,
-            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast(
-                "double"
-            )
-            / F.size(toks),
-        ).alias("mean_token_len"),
-        F.size(sh).cast("long").alias("n_sh"),
-        (F.size(sh) - F.size(F.array_distinct(sh)))
-        .cast("long")
-        .alias("n_dup"),
-    )
+    m = _cascade_metrics(d)
     rep_frac = F.when(
         F.col("n_sh") > 0,
         F.floor(

@@ -982,7 +982,7 @@ def mg_state_sink(state_dir: str, capacity: int):
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        tk = batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        tk = batch_df.select(F.explode(tokens("text")).alias("tok"))
         counters, batch_total = mg_partition_summaries(tk, "tok", capacity)
         mg_save_batch_summary(
             batch_df.sparkSession, state_dir, batch_id, counters,
@@ -1060,7 +1060,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
 
     counters, total = mg_load_state(spark, state_dir, _HH_CAPACITY)
-    tk_all = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    tk_all = d.select(F.explode(tokens("text")).alias("tok"))
     return exact_verify(tk_all, "tok", list(counters.keys()), total,
                         _HH_CAPACITY)
 
@@ -1142,7 +1142,7 @@ def stream_heavy_hitters_compacted(
     shutil.rmtree(ckpt, ignore_errors=True)
 
     counters, total = mg_load_state(spark, state_dir, _HH_CAPACITY)
-    tk_all = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    tk_all = d.select(F.explode(tokens("text")).alias("tok"))
     return exact_verify(tk_all, "tok", list(counters.keys()), total,
                         _HH_CAPACITY)
 
@@ -1309,7 +1309,7 @@ def stream_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         tk = batch_df.select(
-            "lang", F.explode(tokens(F.col("text"))).alias("tok")
+            "lang", F.explode(tokens("text")).alias("tok")
         )
         counters, totals = mg_partition_summaries_by_group(
             tk, "lang", "tok", cap
@@ -1334,7 +1334,7 @@ def stream_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counters, totals = mg_load_state_by_group(spark, state_dir, cap)
     # exact verify, per group: bounded candidate + threshold tables
-    tk_all = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    tk_all = d.select("lang", F.explode(tokens("text")).alias("tok"))
     cand = spark.createDataFrame(
         [(g, k) for g, dd in counters.items() for k in dd]
         or [("", "")],

@@ -57,12 +57,15 @@ _O_SHINGLES = f"""(
 def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O73: tokenization + per-doc token stats."""
     d = t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    return d.select(
+    # Token array projected once; the flat form re-tokenized per stat
+    # (4 evaluations per row — no CSE for HOFs).
+    return d.select("doc_id", tokens("text").alias("__toks")).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.when(F.size(toks) > 0, F.element_at(toks, 1)).alias("first_token"),
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct"),
+        F.when(F.size("__toks") > 0, F.element_at("__toks", 1)).alias(
+            "first_token"
+        ),
     )
 
 
@@ -157,11 +160,17 @@ def text_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O75: word 3-gram shingles (the MinHash input) — counts only, so
     the oracle needn't agree on array ordering."""
     d = t(spark, sf_dir, "documents")
-    sh = word_ngrams(tokens("text"), 3)
-    return d.select(
-        "doc_id",
-        F.size(sh).alias("n_shingles"),
-        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    # Layered: token array once, shingle array once, metrics from the
+    # column — word_ngrams references its token argument 5 times
+    # internally, so the flat form tokenized 10x per row.
+    return (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select("doc_id", word_ngrams("__toks", 3).alias("__sh"))
+        .select(
+            "doc_id",
+            F.size("__sh").alias("n_shingles"),
+            F.size(F.array_distinct("__sh")).alias("n_distinct_shingles"),
+        )
     )
 
 
@@ -292,8 +301,12 @@ def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract op: document quality scoring (length / punctuation /
     digit / stopword signals) as pure expressions."""
     d = t(spark, sf_dir, "documents")
-    q = quality_signals(F.col("text"))
-    return d.select(
+    # Token array projected once; the signals reference the column
+    # (one tokenize per row instead of one per signal — see
+    # quality_signals' toks contract).
+    base = d.select("doc_id", "text", tokens("text").alias("__toks"))
+    q = quality_signals(F.col("text"), toks="__toks")
+    return base.select(
         "doc_id",
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
@@ -339,12 +352,22 @@ def text_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties resolve identically on both sides: max/sort on (score, lang)
     structs is field-lexicographic in Spark and DuckDB."""
     d = t(spark, sf_dir, "documents")
-    g = language_guess(F.col("text"))
-    return d.select(
+    # Guess projected once, hit computed from the column (the flat
+    # form embedded the 4-language marker scan — and its tokenize —
+    # twice; with the pre-projected token array this is one tokenize
+    # and one marker scan per row).
+    base = d.select(
+        "doc_id", "lang", "text", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        "lang",
+        language_guess(F.col("text"), toks="__toks").alias("__g"),
+    )
+    return base.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        g.alias("guessed_lang"),
-        (g == F.col("lang")).alias("hit"),
+        F.col("__g").alias("guessed_lang"),
+        (F.col("__g") == F.col("lang")).alias("hit"),
     )
 
 
@@ -1361,7 +1384,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0
             )
         ).cast("long").alias("n_ws_tokens"),
-        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.size(tokens("text")).cast("long").alias("n_words"),
         bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
@@ -1406,7 +1429,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from process_spark.operators.sketch import frequent_items
 
     d = t(spark, sf_dir, "documents")
-    tk = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    tk = d.select(F.explode(tokens("text")).alias("tok"))
     return frequent_items(tk, "tok", capacity=_HH_CAPACITY)
 
 
@@ -1517,7 +1540,7 @@ def text_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from process_spark.operators.sketch import frequent_items_by_group
 
     d = t(spark, sf_dir, "documents")
-    tk = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    tk = d.select("lang", F.explode(tokens("text")).alias("tok"))
     return frequent_items_by_group(tk, "lang", "tok", capacity=48)
 
 
@@ -1572,11 +1595,18 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages). The fraction lands as a half-up-scaled integer and the
     keep verdict compares that same integer on both engines."""
     d = t(spark, sf_dir, "documents")
-    sh = word_ngrams(tokens("text"), 3)
+    # Shingle array projected once, metrics reference the column: a
+    # flat projection inlined tokenize+shingle into every metric
+    # (measured 15 evaluations per row in the optimized plan — HOFs
+    # get no common-subexpression elimination).
     c = d.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select(
+        "doc_id", word_ngrams("__toks", 3).alias("__sh")
+    ).select(
         "doc_id",
-        F.size(sh).cast("long").alias("n_shingles"),
-        (F.size(sh) - F.size(F.array_distinct(sh)))
+        F.size("__sh").cast("long").alias("n_shingles"),
+        (F.size("__sh") - F.size(F.array_distinct("__sh")))
         .cast("long")
         .alias("n_dup_shingles"),
     )
@@ -1664,27 +1694,41 @@ def text_vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__known", F.lit(1))
     )
     cur = tk.filter(F.col("doc_id") % 2 == 1).select("tok")
-    occ = cur.join(train, "tok", "left").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    # ONE pass over the joined token stream: every token of a type
+    # shares the same __known flag, so the per-type relation carries
+    # (occurrence count, known) and BOTH the occurrence-level and the
+    # type-level counts fold from it in one more (4-column, 1-row)
+    # aggregate. The previous two-branch form (occ over the stream,
+    # types over its distinct) re-ran each cohort's tokenize+explode
+    # per branch — 4 corpus tokenizes and two joins for the same
+    # integers.
+    per_type = (
+        cur.join(train, "tok", "left")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("__n_occ"),
+            F.first("__known").alias("__known"),
+        )
+    )
+    occ_types = per_type.agg(
+        F.coalesce(F.sum("__n_occ"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__known").isNull(), F.col("__n_occ")).otherwise(
+                    0
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
         F.coalesce(
             F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)),
             F.lit(0),
         )
         .cast("long")
-        .alias("n_oov"),
-    )
-    types = (
-        cur.distinct()
-        .join(train, "tok", "left")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_types"),
-            F.coalesce(
-                F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_new_types"),
-        )
+        .alias("n_new_types"),
     )
 
     def ppm(num: str, den: str) -> "F.Column":
@@ -1692,7 +1736,7 @@ def text_vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(num) * 1000000.0 / F.col(den) + 0.5
         ).cast("long")
 
-    return occ.crossJoin(types).select(
+    return occ_types.select(
         "n_tokens",
         "n_oov",
         ppm("n_oov", "n_tokens").alias("oov_ppm"),

@@ -1977,7 +1977,7 @@ def vec_ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            dot(F.col("q_emb"), F.col("embedding")).alias("score"),
+            dot("q_emb", "embedding").alias("score"),
         )
         .filter(F.col("score").isNotNull() & ~F.isnan("score"))
     )

@@ -309,10 +309,16 @@ BROADCAST_HINT_OK = {
         "same grouped-sketch pass-2 candidate/threshold broadcasts as "
         "text_heavy_hitters_by_lang (state-table reload side)"
     ),
-    "pipeline_scrubbed_pack": (
-        "benchmark eval-suite 3-grams via the embedded "
-        "pipeline_contamination_scrub stage — same bounded set"
-    ),
+    # pipeline_scrubbed_pack's benchmark-3-gram hint (via the embedded
+    # pipeline_contamination_scrub stage) moved behind scrubbed_pack's
+    # metric-relation pin (r13: the quality gate's lazy localCheckpoint
+    # that stops predicate pushdown from re-tokenizing 9x per row), so
+    # it is no longer visible in scrubbed_pack's analyzed plan — the
+    # KNOWN BLIND SPOT below. The hint stays reviewed two ways: the
+    # source-level census (test_broadcast_call_sites_reviewed) counts
+    # the call site, and pipeline_contamination_scrub's own entry
+    # above still sees it (the hint sits downstream of that query's
+    # internal tokenize pin).
 }
 
 _BROADCAST_HINT = re.compile(r"ResolvedHint \(strategy=broadcast\)", re.I)
