@@ -158,6 +158,18 @@ def main() -> None:
                 "spread": spread,
                 "reps": reps,
                 "sf": float(sf) if sf else None,
+                # Scaling-evidence fields (additions only — the JSON
+                # contract keys above are unchanged): the session's
+                # actual master and scheduler parallelism, so a
+                # low-core re-run is PROVABLY running on fewer cores
+                # even when wall time is flat (at sf0.1 the inputs scan
+                # as 1-2 tasks and AQE's size-driven coalescing
+                # collapses tiny post-shuffle stages to ~1 partition,
+                # so core count cannot show up in wall time; a scaling
+                # probe needs sf >= 1 to exercise parallelism).
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
             }
         )
     )

@@ -778,9 +778,14 @@ def connected_components(
                 ).alias("__changed"),
             )
         )
-        # cut lineage each iteration; eager (also materializes for the
-        # count below — one job, not two)
-        new_labels = cut(new_labels, eager=True)
+        # Cut lineage each iteration, LAZILY: the convergence count is
+        # the checkpoint's materializing action, so each iteration runs
+        # ONE job (materialize-and-count) instead of two (eager pin,
+        # then a count over the pinned blocks) — one driver barrier per
+        # round saved (guide §1.5/§5: per-iteration jobs are
+        # cluster-wide barriers; the count reads the same pinned rows
+        # either way).
+        new_labels = cut(new_labels, eager=False)
         n_changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if n_changed == 0:

@@ -191,9 +191,17 @@ def bm25_scores(
     aggregation for a ~0 idf contribution. The census twin
     (:func:`bm25_scores_max_df` / :func:`postings_skew_report`) keeps
     the truncation loud."""
+    # Lazy pin on the query-term relation: it feeds TWO broadcast
+    # builds (the term semi-join and the contrib join) whose subtrees
+    # would otherwise each re-derive it — in the query-by-example
+    # composites qt is itself a join + explode over documents, so
+    # unpinned it cost a corpus pass per broadcast (the same fix
+    # bm25_probe_postings already carries). A bounded workload relation
+    # pays only a no-op block pin.
     qt = (
         query_terms.select("query_id", F.col("term").alias("tok"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     terms = qt.select("tok").distinct()
 
@@ -256,9 +264,12 @@ def bm25_scores_max_df(
     Queries whose EVERY matching term is dropped vanish from the
     output entirely (no surviving contribution — the same implicit-
     zero convention as unmatched queries)."""
+    # Same lazy qt pin as bm25_scores — here qt additionally feeds the
+    # dropped-term census (two more subtree references).
     qt = (
         query_terms.select("query_id", F.col("term").alias("tok"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     terms = qt.select("tok").distinct()
 
@@ -498,8 +509,12 @@ def write_postings_index(
     # a second time: Σ dl = Σ tf over the postings EXACTLY (the per-doc
     # groupBy conserves token counts, and a zero-token doc contributes
     # 0 either way); n_docs is a tokenize-free count of ``docs``.
+    # Overwrite mode pins EAGERLY (one materialization job) so the
+    # three component writes below can consume the pinned blocks
+    # concurrently; append mode stays lazy — its validation collects
+    # materialize the pin on their own first action.
     pidx = postings_index(docs, id_col, text_col, n_buckets).localCheckpoint(
-        eager=False
+        eager=(mode != "append")
     )
     docs_path = posixpath.join(path, "_docs")
     bids = (
@@ -554,10 +569,7 @@ def write_postings_index(
                 "tombstone_postings_docs it, run compact_postings_index "
                 "(purges every trace), then re-ingest the new version"
             )
-    if mode != "append" or have_docs_sidecar:
-        # _docs FIRST (crash-ordering contract in the docstring): a
-        # half-appended batch must fail loud on the re-run, never
-        # silently duplicate its postings.
+    def _write_docs() -> None:
         (
             postings_membership(bids, pidx, n_buckets=n_buckets)
             .withColumn("src_batch", F.lit(batch_no))
@@ -567,28 +579,67 @@ def write_postings_index(
             .partitionBy("doc_bucket", "batch_id")
             .parquet(docs_path)
         )
-    (
-        pidx.repartition(64, F.col("term_bucket"))
-        .write.mode(mode)
-        .partitionBy("term_bucket")
-        .parquet(data_path)
-    )
-    # n_docs rides the same plan as the Σtf fold (1-row cross join of
-    # two 1-row aggregates) instead of a separate eager docs.count() —
-    # one stats-write job, not a count barrier plus a write (guide §5:
-    # the driver should do almost no data work; the integers are
-    # identical either way).
-    batch = (
-        pidx.agg(F.sum("tf").cast("long").alias("sum_dl"))
-        .join(docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
-        .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
-        .select("n_docs", F.coalesce("sum_dl", F.lit(0)).alias("sum_dl"),
-                "n_buckets")
-        .withColumn("batch_id", F.lit(batch_no).cast("int"))
-    )
-    batch.coalesce(1).write.mode(
-        "append" if mode == "append" else "overwrite"
-    ).partitionBy("batch_id").parquet(stats_path)
+
+    def _write_data() -> None:
+        # Keyed repartition with NO pinned partition count: AQE sizes
+        # the exchange from the shuffle bytes (guide §2.2/§6 —
+        # scale-adaptive: a couple of tasks at bench scale, thousands
+        # at 100 TB) instead of always launching 64 tasks; the layout
+        # is unchanged (every term_bucket still lands in exactly one
+        # partition dir).
+        (
+            pidx.repartition(F.col("term_bucket"))
+            .write.mode(mode)
+            .partitionBy("term_bucket")
+            .parquet(data_path)
+        )
+
+    def _write_stats() -> None:
+        # n_docs rides the same plan as the Σtf fold (1-row cross join
+        # of two 1-row aggregates) instead of a separate eager
+        # docs.count() — one stats-write job, not a count barrier plus
+        # a write (guide §5: the driver should do almost no data work;
+        # the integers are identical either way).
+        batch = (
+            pidx.agg(F.sum("tf").cast("long").alias("sum_dl"))
+            .join(docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+            .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+            .select("n_docs", F.coalesce("sum_dl", F.lit(0)).alias("sum_dl"),
+                    "n_buckets")
+            .withColumn("batch_id", F.lit(batch_no).cast("int"))
+        )
+        batch.coalesce(1).write.mode(
+            "append" if mode == "append" else "overwrite"
+        ).partitionBy("batch_id").parquet(stats_path)
+
+    if mode == "append":
+        # Append crash-ordering contract (docstring): _docs FIRST (a
+        # half-appended batch must fail loud on the re-run, never
+        # silently duplicate its postings), postings second, the stats
+        # delta LAST (a crash between them leaves a MISSING delta — a
+        # recoverable gap — never a delta counting absent postings).
+        # The ordering is load-bearing, so the writes stay sequential.
+        if have_docs_sidecar:
+            _write_docs()
+        _write_data()
+        _write_stats()
+    else:
+        # Overwrite is an in-place REBUILD: a crash anywhere mid-way
+        # leaves a partially rebuilt index that needs the overwrite
+        # re-run no matter which component landed first (the stale
+        # sidecars were already deleted above), so no write ordering is
+        # load-bearing — run the three component writes CONCURRENTLY
+        # (guide §2.6); all consume the eagerly pinned pidx blocks, so
+        # nothing recomputes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [
+                pool.submit(_write_docs),
+                pool.submit(_write_data),
+                pool.submit(_write_stats),
+            ]:
+                f.result()
 
 
 def bm25_probe_postings(
@@ -599,9 +650,17 @@ def bm25_probe_postings(
     k1: float = K1,
     b: float = B,
     max_df_fraction: float | None = None,
+    query_terms_prepared: bool = False,
 ) -> DataFrame:
     """Score a query workload against the STORED postings index:
     ``(query_id, doc_id, score_e6)``.
+
+    ``query_terms_prepared=True`` declares that ``query_terms`` is
+    ALREADY the probe's internal query-term relation — distinct
+    ``(query_id, tok)`` rows, pinned — so the probe skips its own
+    derivation/pin. Callers use it to materialize the query terms
+    CONCURRENTLY with an index build (guide §2.6) instead of paying
+    that derivation inside the probe's first collect.
 
     The probe computes each query term's bucket with the same
     ``pmod(hash(tok), n_buckets)`` the writer used, collects the
@@ -638,11 +697,14 @@ def bm25_probe_postings(
     # plan then read the pinned rows instead of re-executing it (in the
     # query-by-example composites qt is itself a join + explode over
     # documents — three re-executions otherwise).
-    qt = (
-        query_terms.select("query_id", F.col("term").alias("tok"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if query_terms_prepared:
+        qt = query_terms
+    else:
+        qt = (
+            query_terms.select("query_id", F.col("term").alias("tok"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
 
     # Three independent driver-synchronized lookups gate the probe
     # plan: the bounded bucket IN-set, the 1-row stats fold, and the

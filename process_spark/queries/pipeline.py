@@ -1264,44 +1264,55 @@ def pipeline_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scrub_reassemble(tkd: DataFrame, cov: DataFrame) -> DataFrame:
-    """Shared scrub tail: drop the flagged (doc_id, cpos) token
-    positions from ``tkd`` (doc_id, toks) and re-emit each document as
-    space-joined surviving tokens, in original order.
+def _scrub_kept(tkd: DataFrame, cov: DataFrame) -> DataFrame:
+    """Shared scrub core: per document, the surviving token array after
+    dropping the flagged ``(c_doc_id, cpos)`` token positions — all of
+    ``tkd``'s columns plus ``__kept`` (order preserved).
 
-    Shape: posexplode → anti-join on the composite (doc_id, pos) key
-    (both sides doc_id-partitioned, AQE free to broadcast a small
-    flagged set) → one per-doc aggregate that collects (pos, tok)
-    structs and sorts WITHIN the row (array_sort on the struct's
-    leading pos field — no global or per-doc window, ordering cost is
-    per-row in the aggregate's own task)."""
-    tok = tkd.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    ).withColumn("pos", F.col("pos").cast("long"))
-    kept = tok.join(
-        cov,
-        (tok.doc_id == cov.c_doc_id) & (tok.pos == cov.cpos),
-        "left_anti",
+    Shape: the flagged positions fold to ONE bounded set-array per doc
+    (collect_set absorbs duplicate flags, so callers need no pre-
+    distinct), one doc_id equi-join, and a per-row array filter on the
+    position index. This replaces the old posexplode → (doc_id, pos)
+    anti-join → collect/sort reassembly aggregate: the corpus never
+    explodes to token-level rows (the old shuffle carried one row PER
+    TOKEN; this one carries one row per flagged doc — guide §2.3
+    shuffle fewer bytes, §2.4 remove shuffles), and the per-doc
+    re-sort disappears because array order already is document order.
+    Rows identical: filtering positions ∉ cov ≡ anti-joining them,
+    and ``filter`` preserves the survivors' relative order."""
+    cov_arr = cov.groupBy(F.col("c_doc_id").alias("doc_id")).agg(
+        F.collect_set("cpos").alias("__cov")
     )
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(pos, tok))),"
-                   " s -> s.tok)"),
-            " ",
-        ).alias("clean_text"),
-    )
-    return (
-        tkd.join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    kept = F.when(F.col("__cov").isNull(), F.col("toks")).otherwise(
+        F.expr(
+            "filter(toks, (__t, __i) ->"
+            " NOT array_contains(__cov, CAST(__i AS BIGINT)))"
         )
     )
+    return (
+        tkd.join(cov_arr, "doc_id", "left")
+        .select("*", kept.alias("__kept"))
+        .drop("__cov")
+    )
+
+
+def _scrub_output(k: DataFrame) -> DataFrame:
+    """Shared scrub tail over :func:`_scrub_kept` rows: emit each
+    document as its space-joined surviving tokens, in original order —
+    ``(doc_id, n_tokens, n_removed, clean_text)``. Zero-token and
+    fully-scrubbed docs come out with ``clean_text = ''`` (an empty
+    array joins to the empty string)."""
+    return k.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("__kept")).cast("long").alias("n_removed"),
+        F.array_join("__kept", " ").alias("clean_text"),
+    )
+
+
+def _scrub_reassemble(tkd: DataFrame, cov: DataFrame) -> DataFrame:
+    """:func:`_scrub_output` ∘ :func:`_scrub_kept`."""
+    return _scrub_output(_scrub_kept(tkd, cov))
 
 
 #: DuckDB twin of _scrub_reassemble, parameterized on the CTE names:
@@ -1384,13 +1395,34 @@ def pipeline_contamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate both partition on doc_id. Zero-token and fully-scrubbed
     docs stay in the output with clean_text = '' (the doc survives
     with its remainder — even an empty one — on both engines)."""
+    k = _contamination_kept(spark, sf_dir)
+    return _scrub_output(k)
+
+
+def _contamination_kept(
+    spark: SparkSession, sf_dir: str, with_source: bool = False
+) -> DataFrame:
+    """The contamination scrub's shared core — :func:`_scrub_kept` rows
+    ``(doc_id[, source], toks, __kept)`` for the non-benchmark corpus,
+    with every token inside a benchmark-shared 3-gram flagged out of
+    ``__kept``. Shared by the registered scrub (which reassembles
+    ``clean_text``) and by pipeline_scrubbed_pack (which needs only the
+    surviving tokens' counts — guide §2.3: compute the decision
+    quantities from the survivors directly instead of reassembling a
+    string and re-tokenizing it)."""
     d = t(spark, sf_dir, "documents")
     # Fan out before the CPU-bound tokenize and cut lineage after it —
     # the same pin as pipeline_contamination_check's shingle table:
     # the benchmark branch, the positioned-gram branch, and the
-    # reassembly tail otherwise EACH re-run the tokenize (no
+    # scrub-core join otherwise EACH re-run the tokenize (no
     # cross-branch subplan reuse; measured 16 tokenize evaluations in
     # the downstream scrubbed-pack plan, 4 after the pin).
+    # localCheckpoint, NOT persist(): a persisted plan is registered in
+    # the CacheManager and an IDENTICAL plan built by the next bench
+    # rep (or the sibling registered query) would silently reuse the
+    # cached tokenize — cross-invocation result reuse, which the bench
+    # contract forbids. The lineage-loss trade-off (executor loss ⇒
+    # query retry) is accepted and documented in OPTIMIZATION_r14.md.
     n_part = spark.sparkContext.defaultParallelism
     alltk = (
         d.repartition(n_part, F.col("doc_id"))
@@ -1404,7 +1436,8 @@ def pipeline_contamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    tkd = alltk.filter(F.col("source") != "src0").select("doc_id", "toks")
+    cols = ["doc_id", "source", "toks"] if with_source else ["doc_id", "toks"]
+    tkd = alltk.filter(F.col("source") != "src0").select(*cols)
     gr = tkd.filter(F.size("toks") >= 3).select(
         "doc_id",
         F.explode(
@@ -1418,17 +1451,13 @@ def pipeline_contamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same bounded-benchmark broadcast contract as
     # pipeline_contamination_check (see its docstring + the lint
     # allowlist): the hinted side is the eval suite, never the corpus.
-    cov = (
-        gr.join(F.broadcast(bench), "g")
-        .select(
-            F.col("doc_id").alias("c_doc_id"),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias(
-                "cpos"
-            ),
-        )
-        .distinct()
+    # No pre-distinct on the flagged positions: _scrub_kept's
+    # collect_set dedups per doc, saving the (doc_id, cpos) exchange.
+    cov = gr.join(F.broadcast(bench), "g").select(
+        F.col("doc_id").alias("c_doc_id"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("cpos"),
     )
-    return _scrub_reassemble(tkd, cov)
+    return _scrub_kept(tkd, cov)
 
 
 @register(
@@ -1494,15 +1523,13 @@ def pipeline_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("gk")
     )
-    cov = (
-        gk.join(dup, "gk")
-        .select(
-            F.col("doc_id").alias("c_doc_id"),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + _SPAN_N - 1)
-            ).alias("cpos"),
-        )
-        .distinct()
+    # No pre-distinct on the flagged positions: _scrub_kept's
+    # collect_set dedups per doc, saving the (doc_id, cpos) exchange.
+    cov = gk.join(dup, "gk").select(
+        F.col("doc_id").alias("c_doc_id"),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + _SPAN_N - 1)
+        ).alias("cpos"),
     )
     return _scrub_reassemble(tkd, cov)
 
@@ -1845,21 +1872,48 @@ def pipeline_scrubbed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     originals — are what the gate and the offsets consume.
 
     Scale shape: union of the component queries' shapes (bounded
-    benchmark broadcast, doc_id-partitioned scrub tail, scan-fused
-    gate metrics, per-source packing window — the sharded pack variant
-    composes the same way when one source outgrows a task)."""
-    d = t(spark, sf_dir, "documents")
-    scrubbed = pipeline_contamination_scrub(spark, sf_dir)
-    q = scrubbed.select(
-        "doc_id", F.col("clean_text").alias("text")
-    ).join(d.select("doc_id", "source"), "doc_id")
+    benchmark broadcast, doc_id-partitioned scrub core, per-source
+    packing window — the sharded pack variant composes the same way
+    when one source outgrows a task). The gate metrics are computed
+    DIRECTLY from the scrub core's surviving-token arrays (guide §2.3
+    / §1.2 order-1: the pack decision needs only counts, so the
+    reassembled clean_text string — which the old chain built with a
+    corpus-wide posexplode + anti-join + collect/sort aggregate, only
+    to re-tokenize it — is never materialized here). Metric identities
+    vs the clean-text form: tokens(array_join(kept, ' ')) == kept
+    (every survivor is a tokens() output — lowercase, non-empty, no
+    separator chars — so the join/re-split round-trips exactly);
+    LENGTH(clean_text) == Σ len(tok) + (n − 1) for n > 0 and 0 for
+    n = 0; the distinct/mean forms read the same array."""
+    k = _contamination_kept(spark, sf_dir, with_source=True)
+    base = k.select(
+        "doc_id",
+        "source",
+        F.size("__kept").alias("__nt"),
+        F.size(F.array_distinct("__kept")).alias("n_distinct"),
+        F.aggregate(
+            "__kept", F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("__sumlen"),
+    )
     # Lazy pin between the metric projection and the gate filter:
     # predicate pushdown otherwise substitutes the metric aliases into
-    # the filter CASE, re-tokenizing the cleaned text 9 more times per
-    # row BELOW the projection (the guide-§4.4 double-evaluation
-    # pattern, with interpreted HOFs instead of a UDF). The pinned
-    # relation is the narrow per-doc metric table — no text column.
-    m = _quality_metrics(q, "source").localCheckpoint(eager=False)
+    # the filter CASE, re-running the array aggregates per rule BELOW
+    # the projection (the guide-§4.4 double-evaluation pattern, with
+    # interpreted HOFs instead of a UDF). The pinned relation is the
+    # narrow per-doc metric table — no text or array column.
+    m = base.select(
+        "doc_id",
+        "source",
+        F.when(F.col("__nt") > 0, F.col("__sumlen") + F.col("__nt") - 1)
+        .otherwise(F.lit(0))
+        .alias("nc"),
+        F.col("__nt").alias("n_tokens"),
+        "n_distinct",
+        F.when(
+            F.col("__nt") > 0,
+            F.col("__sumlen").cast("double") / F.col("__nt"),
+        ).alias("mean_token_len"),
+    ).localCheckpoint(eager=False)
     kept = m.filter(_quality_reason_expr() == "keep").select(
         "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
     )

@@ -662,6 +662,45 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(_mmr_pairs(cands, _unit_of(e)), k=5)
 
 
+def _stored_lex_channel(
+    spark: SparkSession,
+    d: DataFrame,
+    e: DataFrame,
+    ppath: str,
+    qfilter: str = _Q_FILTER,
+) -> DataFrame:
+    """The e2e composites' lexical channel: build the stored postings
+    index and, CONCURRENTLY (guide §2.6), derive + pin the probe's
+    query-term relation — a join + explode over documents that shares
+    no state with the index bytes, so it need not queue behind the
+    write's barriers. The probe then consumes the prepared relation
+    (``query_terms_prepared=True``) instead of re-deriving it. Rows are
+    identical either way — only WHEN the two jobs run changes."""
+
+    def _build() -> None:
+        write_postings_index(d, ppath, mode="overwrite")
+        spark.catalog.refreshByPath(os.path.join(ppath, "data"))
+
+    def _qt() -> DataFrame:
+        return (
+            _hybrid_qt(d, e, qfilter=qfilter)
+            .select("query_id", F.col("term").alias("tok"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    _, qt = _eager_channels(_build, _qt)
+    return (
+        topk_ranked(
+            bm25_probe_postings(spark, ppath, qt, query_terms_prepared=True),
+            "score_e6",
+            k=10,
+        )
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+
+
 def _unit_of(e: DataFrame) -> DataFrame:
     """(vec_id, nemb) unit vectors — norm folded once per vector, then
     elementwise division (the normalize-once layout _o_unit_cte
@@ -678,16 +717,31 @@ def _mmr_pairs(cands: DataFrame, unit: DataFrame) -> DataFrame:
     ``(query_id, a_id, b_id, sim, rel_a)`` — every ordered pool pair
     with its unit-dot similarity (pool² per query, ≤ 100 rows for a
     10-candidate pool) plus the relevance of ``a_id``. ``cands`` is
-    ``(query_id, doc_id, rel)``."""
+    ``(query_id, doc_id, rel)``.
+
+    The candidates join ``unit`` ONCE and the joined (bounded — ≤ pool
+    rows per query) relation is lazily pinned before the pair
+    self-join: the previous two-sided form referenced both ``cands``
+    and ``unit`` twice, so the corpus-wide unit-vector projection AND
+    the candidate derivation (in the e2e composites: fuse + top-k
+    window) each executed twice per plan (guide §2.4 — the duplicated
+    subtrees are full corpus passes at scale). Same rows: join and
+    column pruning commute with the self-join, and the dot runs on the
+    identical nemb operands."""
     from process_spark.functions.vectorfn import dot as _dot
 
-    ca = cands.join(unit, cands.doc_id == unit.vec_id).select(
+    cwe = (
+        cands.join(unit, cands.doc_id == unit.vec_id)
+        .select("query_id", "doc_id", "rel", "nemb")
+        .localCheckpoint(eager=False)
+    )
+    ca = cwe.select(
         "query_id",
         F.col("doc_id").alias("a_id"),
         F.col("rel").alias("rel_a"),
         F.col("nemb").alias("a_emb"),
     )
-    cb = cands.join(unit, cands.doc_id == unit.vec_id).select(
+    cb = cwe.select(
         "query_id",
         F.col("doc_id").alias("b_id"),
         F.col("nemb").alias("b_emb"),
@@ -987,17 +1041,8 @@ def _register_retrieval_e2e() -> None:
         e2 = _fixture_e2(spark, sf_dir)
 
         def lex_ch() -> DataFrame:
-            ppath = os.path.join(_scratch(), "retrieval_e2e_postings")
-            write_postings_index(d, ppath, mode="overwrite")
-            spark.catalog.refreshByPath(os.path.join(ppath, "data"))
-            return (
-                topk_ranked(
-                    bm25_probe_postings(spark, ppath, _hybrid_qt(d, e)),
-                    "score_e6",
-                    k=10,
-                )
-                .select("query_id", "doc_id", "rank")
-                .localCheckpoint(eager=True)
+            return _stored_lex_channel(
+                spark, d, e, os.path.join(_scratch(), "retrieval_e2e_postings")
             )
 
         def vec_ch() -> DataFrame:
@@ -1398,19 +1443,12 @@ def _register_retrieval_e2e_fixedq() -> None:
         e2 = _fixture_e2(spark, sf_dir)
 
         def lex_ch() -> DataFrame:
-            ppath = os.path.join(_scratch(), "retrieval_e2e_fixedq_postings")
-            write_postings_index(d, ppath, mode="overwrite")
-            spark.catalog.refreshByPath(os.path.join(ppath, "data"))
-            return (
-                topk_ranked(
-                    bm25_probe_postings(
-                        spark, ppath, _hybrid_qt(d, e, qfilter=_QF_FIXED)
-                    ),
-                    "score_e6",
-                    k=10,
-                )
-                .select("query_id", "doc_id", "rank")
-                .localCheckpoint(eager=True)
+            return _stored_lex_channel(
+                spark,
+                d,
+                e,
+                os.path.join(_scratch(), "retrieval_e2e_fixedq_postings"),
+                qfilter=_QF_FIXED,
             )
 
         def vec_ch() -> DataFrame:
