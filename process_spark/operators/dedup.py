@@ -752,7 +752,16 @@ def connected_components(
 
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     sym = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
-    sym = cut(sym)
+    # Pin the symmetrized edges PRE-PARTITIONED on the join key (__d):
+    # the checkpoint preserves the hash partitioning, so every
+    # iteration's edge⋈label join reuses it instead of re-shuffling the
+    # edge relation once per round (guide §2.4 — the edge set is the
+    # big side of a dedup graph; the label side still shuffles, but it
+    # is (vertex, long) only). Explicit partition count: the pinned
+    # partitioning must stay stable across iterations for the reuse to
+    # hold.
+    n_part = spark.sparkContext.defaultParallelism
+    sym = cut(sym.repartition(n_part, F.col("__d")))
 
     if vertices is None:
         verts = sym.select(F.col("__s").alias("id")).distinct()

@@ -845,8 +845,17 @@ def rrf_fuse(channels: list[DataFrame], k: int = RRF_K) -> DataFrame:
     allc = contribs[0]
     for c in contribs[1:]:
         allc = allc.unionByName(c)
-    return allc.groupBy("query_id", "doc_id").agg(
-        F.sum("c_e9").alias("rrf_e9")
+    # One keyed repartition on query_id serves BOTH the fuse aggregate
+    # (hash(query_id) satisfies the (query_id, doc_id) clustering) and
+    # every consumer's per-query top-k window — 2 exchanges → 1 (guide
+    # §2.4 "two operations keyed the same way can share one exchange").
+    # Safe at any scale: the fused relation is ≤ |channels|·k rows per
+    # query by construction (each channel is a top-k), so a query_id
+    # partition is bounded — no skew hazard; the count is left to AQE.
+    return (
+        allc.repartition(F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_e9").alias("rrf_e9"))
     )
 
 

@@ -293,6 +293,16 @@ def ivf_build(
                 ),
             )
         )
+    # Lazy pin on the n_cells-row refined cell table: BOTH outputs
+    # consume it (the returned cells relation and the assignments'
+    # broadcast build) — unpinned, the whole seed → assign → refine
+    # chain re-executed inside the assignments job even when a caller
+    # pinned the returned cells (the assignments' lineage pointed at
+    # the un-pinned subtree). One refinement per build also removes a
+    # latent ULP hazard: two executions of the float avg could in
+    # principle reduce in different orders; the pin makes every
+    # consumer read the identical centroid bits.
+    refined = refined.localCheckpoint(eager=False)
     assignments = assign_fn(corpus, refined, corpus_id, vec_col)
     return refined, assignments
 

@@ -746,7 +746,13 @@ def _mmr_pairs(cands: DataFrame, unit: DataFrame) -> DataFrame:
         F.col("doc_id").alias("b_id"),
         F.col("nemb").alias("b_emb"),
     )
-    return ca.join(cb, "query_id").select(
+    # Broadcast the b-side: the candidate pool is ≤ k rows per query by
+    # construction (top-k output over a bounded query sample — the same
+    # boundedness contract every channel broadcast in this module
+    # rides), so the pair join needs no exchange-and-sort of either
+    # side; the only remaining shuffle is the pandas groupBy's own
+    # query_id exchange (guide §2.4 / §3.1).
+    return ca.join(F.broadcast(cb), "query_id").select(
         "query_id",
         "a_id",
         "b_id",

@@ -1,5 +1,6 @@
 """Capture .explain('formatted') for headline queries into
-plans/r13/<query>_<tag>.txt (the judge-facing before/after evidence).
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (the judge-facing
+before/after evidence; round dir defaults to r14).
 
 Usage: python scripts/capture_plans.py <tag> [query ...]
        (default queries: the bench HEADLINE set)
@@ -24,7 +25,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")

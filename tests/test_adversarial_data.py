@@ -298,7 +298,30 @@ def adversarial_dir():
     yield DST
 
 
-@pytest.mark.parametrize("name", QUERIES)
+
+#: Measured >8 s per replay on this host (r14 durations): stored-index
+#: lifecycle / streaming composites whose cost is fixed (index writes,
+#: restarts), not data-sized. Skipped in the default fast profile,
+#: covered by --runslow / SPARK_GRAFT_SLOW=1 (conftest docstring).
+SLOW_ADVERSARIAL = {
+    "dedup_band_index_compact",
+    "stream_dedup_index_probe",
+    "stream_srp_index_probe",
+    "vec_srp_stored_lifecycle",
+    "vec_ann_srp_search_tuned",
+}
+
+
+def _p(names):
+    return [
+        pytest.param(n, marks=pytest.mark.slow)
+        if n in SLOW_ADVERSARIAL
+        else n
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _p(QUERIES))
 def test_parity_on_adversarial_events(spark, adversarial_dir, name):
     from process_spark.oracle import compare_query
 
@@ -306,7 +329,7 @@ def test_parity_on_adversarial_events(spark, adversarial_dir, name):
     assert res.ok, str(res)
 
 
-@pytest.mark.parametrize("name", VEC_QUERIES)
+@pytest.mark.parametrize("name", _p(VEC_QUERIES))
 def test_parity_on_degenerate_embeddings(spark, adversarial_dir, name):
     from process_spark.oracle import compare_query
 
@@ -314,7 +337,7 @@ def test_parity_on_degenerate_embeddings(spark, adversarial_dir, name):
     assert res.ok, str(res)
 
 
-@pytest.mark.parametrize("name", TEXT_QUERIES)
+@pytest.mark.parametrize("name", _p(TEXT_QUERIES))
 def test_parity_on_degenerate_documents(spark, adversarial_dir, name):
     from process_spark.oracle import compare_query
 

@@ -160,6 +160,7 @@ def test_registered_soft_variant_superset_of_hard(spark):
     assert soft >= hard
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_adaptive_search_end_to_end(clustered, tmp_path):
     """tune→search composition: the end-to-end adaptive search runs at
     the tuner's chosen rung and its results reach recall ≥ 0.9 against

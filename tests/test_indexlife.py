@@ -39,6 +39,7 @@ def _live_set(spark, path):
     }
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_delete_update_lifecycle(spark, tmp_path):
     path = str(tmp_path / "idx")
     write_stored_index(
@@ -120,6 +121,7 @@ def test_meta_mismatch_raises(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_overwrite_rebuild_clears_stale_tombstones(spark, tmp_path):
     path = str(tmp_path / "idx")
     write_stored_index(
@@ -148,6 +150,7 @@ def test_compact_refuses_all_purged(spark, tmp_path):
     assert _live_set(spark, path) == set()  # empty-index semantics hold
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_compact_rerun_converges_on_stale_tombstones(spark, tmp_path):
     """Crash window: purge swapped in, tombstone drop didn't happen.
     Re-running converges — purge no-ops, n_purged_ids reports 0 (docs
@@ -176,6 +179,7 @@ def test_compact_rerun_converges_on_stale_tombstones(spark, tmp_path):
     assert _live_set(spark, path) == {(1, 0), (2, 0)}
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_band_index_layout_generality(spark, tmp_path):
     """The same toolkit serves the band-index families: multi-column
     partition keys ((band_idx, band_bucket)) and a doc_id identity —
@@ -217,6 +221,7 @@ def test_band_index_layout_generality(spark, tmp_path):
     assert r["consistent"] and r["n_ids"] == 2 and r["n_data_ids"] == 2
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_append_crash_between_ids_and_data_fails_loud(
     spark, tmp_path, monkeypatch
 ):
@@ -281,6 +286,7 @@ def test_append_crash_between_ids_and_data_fails_loud(
     assert _live_set(spark, path) == {(1, 0), (2, 1), (3, 0)}
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_stored_index_audit_divergence_classes(spark, tmp_path):
     """stored_index_audit: TRUE on a clean lifecycle (tombstoned docs
     still registered), then each divergence class seeded on purpose
@@ -376,6 +382,7 @@ def test_stored_index_audit_divergence_classes(spark, tmp_path):
     assert r["consistent"] and r["n_ids"] == 1 and r["n_tombstoned"] == 0
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_repair_stored_index_converges_all_divergences(spark, tmp_path):
     """repair_stored_index heals every divergence class the audit
     names in ONE pass — _ids rebuilt from data, orphaned tombstones

@@ -4,6 +4,7 @@ exact, not fuzzy."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -16,6 +17,7 @@ ACTIVE = [s for s in range(7200) if not (3600 <= s < 4500)]
 N_CORRUPT = sum(1 for s in ACTIVE if s % 97 == 0)
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_sail_summary_pinned(spark):
     from process_spark.queries.registry import REGISTRY
 

@@ -230,6 +230,7 @@ def test_ivf_partitioned_layout_prunes_probed_cells(spark, tmp_path):
     assert mem == disk
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_lsh_band_index_prunes_probe_partitions(spark, tmp_path):
     """The incremental-dedup-at-scale story: the banded MinHash index
     written partitionBy(band_idx, band_bucket) must give probe reads
@@ -420,6 +421,7 @@ def test_ivf_stored_append_prunes_and_stays_one_file_per_write(spark):
         assert 1 <= len(files) <= 2, f"{cell_dir}: {len(files)} files"
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_compact_band_index_collapses_files_probe_invariant(spark, tmp_path):
     """compact_band_index: (a) every (band_idx, band_bucket) dir
     collapses to ONE file regardless of how many appends built it;
@@ -527,6 +529,7 @@ def test_ivf_stored_compact_one_file_per_cell(spark):
         assert len(files) == 1, f"{cell_dir}: {len(files)} files"
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_srp_stored_lifecycle_prunes_and_compacts(spark):
     """vec_srp_stored_lifecycle: (a) the phase-1 tuned-prefix probe
     reaches the stored scan as PartitionFilters on band_idx (the
@@ -597,6 +600,7 @@ def test_simhash_stored_index_prunes(spark):
             assert len(files) == 1, f"{band_dir}/{bucket_dir}: {len(files)}"
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_postings_stored_lifecycle_prunes_and_compacts(spark):
     """text_postings_stored_lifecycle: (a) the stored-probe scan prunes
     on term_bucket (the query terms' bucket IN-set reaches the parquet
@@ -630,3 +634,36 @@ def test_postings_stored_lifecycle_prunes_and_compacts(spark):
             continue
         files = [f for f in os.listdir(bp) if f.endswith(".parquet")]
         assert len(files) == 1, f"{bucket_dir}: {len(files)} files"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "vec_hybrid_rrf",
+        "vec_hybrid_rrf_ann",
+        "vec_hybrid_rrf_ann_fixedq",
+        "retrieval_e2e_stored",
+        "retrieval_e2e_stored_fixedq",
+    ],
+)
+def test_pinned_composite_tail_consumes_checkpointed_channels(spark, name):
+    """The checkpoint-pinned retrieval composites (the r13 channel
+    overlap): the registered DataFrame's physical plan must consume the
+    eagerly pinned per-channel top-k relations (Scan ExistingRDD) and
+    must NOT re-execute a channel subtree — no tokenize
+    (``split(lower(``) and no documents-table scan may appear in the
+    fuse/MMR tail. This closes the r13 plan-lint blind spot: the
+    channels' broadcast hints and plans moved behind the lineage cut,
+    invisible to the analyzed-plan lint, so this test pins the cut
+    itself on the executed plan (the 1,586-line re-executed-subtree
+    tail this guards against is plans/r13/retrieval_e2e_stored's
+    before capture)."""
+    from process_spark.queries.registry import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan[:2000]
+    assert "split(lower(" not in plan, (
+        "channel tokenize re-executed in the fuse/MMR tail"
+    )
+    assert "documents" not in plan, "tail re-scans the documents table"

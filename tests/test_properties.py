@@ -9,6 +9,8 @@ import functools
 import math
 import operator
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -111,6 +113,7 @@ def test_nmea_coord_conversion(spark, coords):
         max_size=12,
     )
 )
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_unit_dot_matches_cosine(spark, vectors):
     """The normalize-once-then-dot scoring (operators.similarity) must
     agree with the classic dot/(|a||b|) cosine to float64 tolerance —
@@ -311,6 +314,7 @@ def test_kmeans_arrow_assignment_matches_expression_path(spark):
     assert ex == ar
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_iterative_ops_with_reliable_checkpoint_dir(spark, tmp_path):
     """connected_components / kmeans with checkpoint_dir must write
     RELIABLE checkpoints (the kind that survives executor loss on a
@@ -409,6 +413,7 @@ def test_sq8_arrow_matmul_matches_hof_exactly(spark):
     assert hof == arrow
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_sq8_arrow_negative_topk_even_batch(spark):
     """Adversarial fixture for the self-pair sentinel: an EVEN-sized
     Arrow batch whose every non-self candidate scores NEGATIVE
@@ -628,6 +633,7 @@ def test_pq_codebook_store_lifecycle(spark, tmp_path):
     assert direct == stored
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_star_components_long_chain(spark):
     """The scale case alternating-star exists for: a 200-link CHAIN
     (diameter 200 — the pathological sliding-boilerplate near-dup

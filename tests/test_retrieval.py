@@ -161,6 +161,7 @@ def test_hybrid_rrf_self_retrieval(spark):
     assert top and all(qid == did for qid, did in top.items())
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_postings_sink_replay_and_sealed_own(spark, tmp_path):
     """incremental_postings_sink: (a) replaying a batch (at-least-once
     delivery) leaves index rows AND summed stats unchanged — dynamic
@@ -262,6 +263,7 @@ def test_postings_sink_fresh_path_first_batch(spark, tmp_path):
     assert {(r["doc_id"], r["src_batch"]) for r in mem} == {(1, 0), (2, 0)}
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_postings_sink_rejects_reingest(spark, tmp_path):
     """Append-only validation: a batch re-ingesting a doc_id the index
     already holds RAISES instead of silently corrupting the index (the
@@ -312,6 +314,7 @@ def test_postings_sink_rejects_reingest(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_compact_postings_stats_replay_watermark(spark, tmp_path):
     """compact_postings_stats folds the per-batch stats deltas into one
     sealed row: file count collapses, probe stats are unchanged, and a
@@ -356,6 +359,7 @@ def test_compact_postings_stats_replay_watermark(spark, tmp_path):
     assert stats_sum() == (3, 6)
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_tombstone_delete_update_lifecycle(spark, tmp_path):
     """The postings UPDATE path end to end: tombstone (logical delete —
     probes immediately exclude the doc from df AND subtract its
@@ -432,6 +436,7 @@ def test_tombstone_delete_update_lifecycle(spark, tmp_path):
     assert probe() == want2
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_compact_postings_rerun_converges_on_stale_tombstones(spark, tmp_path):
     """The documented crash window (stats swapped, tombstone drop
     crashed): probes under-count N until the compactor re-runs. Pin
@@ -493,6 +498,7 @@ def test_compact_postings_rerun_converges_on_stale_tombstones(spark, tmp_path):
     assert probe() == want
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_stats_audit_catches_corrupt_sidecar(spark, tmp_path):
     """postings_stats_audit must flip ``consistent`` to False when the
     sidecar drifts from the bytes (the crash-between-append-and-delta
@@ -564,6 +570,7 @@ def test_mmr_defers_redundant_candidate(spark):
     # (0.7*0.94 - 0.3*0.99 = 0.361 < 0.7*0.80 - 0.3*0.10 = 0.53)
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_overwrite_rebuild_clears_stale_sidecars(spark, tmp_path):
     """write_postings_index(mode="overwrite") on a path that previously
     held a STREAMING index with tombstones must start from a clean
@@ -631,6 +638,7 @@ def test_overwrite_rebuild_clears_stale_sidecars(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_batch_stats_layout_unified_and_compactable(spark, tmp_path):
     """The batch lifecycle's _stats rows land under batch_id= partitions
     (synthetic monotone ids) — the SAME layout the streaming sink
@@ -1048,6 +1056,7 @@ def test_skew_report_immune_to_duplicate_postings(spark, tmp_path):
     assert got == want  # byte-identical duplicates change nothing
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_batch_append_refuses_reingest_and_update_path(spark, tmp_path):
     """The BATCH lifecycle now enforces the same append-only identity
     contract as the streaming sink, via the same _docs sidecar: an
@@ -1109,6 +1118,7 @@ def test_batch_append_refuses_reingest_and_update_path(spark, tmp_path):
     assert got == want and (0, 2) in got  # the UPDATE is live
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_batch_append_crash_between_docs_and_data_fails_loud(
     spark, tmp_path, monkeypatch
 ):

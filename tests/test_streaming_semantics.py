@@ -305,6 +305,7 @@ def test_group_state_event_time_timeout_eviction(spark):
     assert ev10[0]["n_events"] == 3
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_stream_dedup_index_batch2_sees_batch1(spark):
     """The incremental-dedup stream: batch 2's probe must find
     candidates from batch 1 (appended mid-stream), not just the
@@ -509,6 +510,7 @@ def test_stream_heavy_hitters_merges_across_batches(spark):
     assert out == {"heavy": 800}, out
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_stream_heavy_hitters_survives_driver_restart(spark, tmp_path):
     """Durable MG state: run ONE availableNow pass over the first half
     of the corpus, throw the driver-side objects away entirely (the
@@ -708,6 +710,7 @@ def test_incremental_dedup_sink_replay_idempotent(spark, tmp_path):
     assert bands_seen == {(3, kw["bands"]), (200, kw["bands"])}, bands_seen
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_incremental_vector_sink_replay_idempotent(spark, tmp_path):
     """The vector sink twin of the text replay guarantee: driving the
     same micro-batch twice under the same batch_id (foreachBatch is
@@ -971,6 +974,7 @@ def test_incremental_vector_sink_hot_cell_guard(spark, tmp_path):
     assert (100, 200) in pairs and (0, 200) in pairs
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_incremental_srp_sink_hot_bucket_guard(spark, tmp_path):
     """A hostile (boilerplate-embedding) batch through
     incremental_srp_sink with the guard: near-identical vectors share
@@ -1100,6 +1104,7 @@ def test_incremental_vector_sink_replay_after_compaction(spark, tmp_path):
     ).count() == 0
 
 
+@pytest.mark.slow  # measured >8s (r14 durations); full profile via --runslow
 def test_incremental_srp_sink_replay_after_compaction(spark, tmp_path):
     """The SRP twin of the crash-ordering defense: crash-after-append,
     compaction seals the orphaned batch into batch_id = -1, the batch
